@@ -1,0 +1,106 @@
+"""Device kernels: ASCII -> codes, k-mer window extraction as packed keys.
+
+Replaces the reference's per-character Python hot loop
+(/root/reference/src/krisp/kstream/kstream.py:617-642, the ``_kmers`` sliding
+window) and its string-level complement pass (kstream.py:644-694) with
+vectorized XLA ops over the whole genome buffer at once.
+
+Design: a genome is one uint8 ASCII buffer with a single invalid sentinel byte
+between FASTA records (so no window spans two records — parity with the
+reference, which k-merizes per record: kstream.py:556-583).  Each window of
+length L becomes a fixed-width key: bases permuted into the ``[left|right|mid]``
+sort layout and packed 16 (2-bit) or 8 (4-bit) bases per uint32 word,
+most-significant-first.  Unsigned lexicographic comparison of the word tuple
+then equals ``LC_ALL=C sort -t, -k1,1 -k3,3`` plus GNU sort's whole-line
+tiebreak (which, for fixed-geometry rows, reduces to the mid column) — the
+exact effective ordering of the reference's sorted k-mer tables
+(kstream.py:45-119).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sort_perm(left: int, mid: int, right: int) -> tuple[int, ...]:
+    """Base-index permutation implementing the [left|right|mid] key layout."""
+    L = left + mid + right
+    return tuple(range(left)) + tuple(range(left + mid, L)) + tuple(range(left, left + mid))
+
+
+def num_words(n_bases: int, bits: int) -> int:
+    return math.ceil(n_bases * bits / 32) if n_bases > 0 else 0
+
+
+def encode_ascii(ascii_u8, code_table, valid_table):
+    """Map an ASCII uint8 buffer to (codes uint32, valid bool) on device."""
+    codes = jnp.take(jnp.asarray(code_table), ascii_u8).astype(jnp.uint32)
+    valid = jnp.take(jnp.asarray(valid_table), ascii_u8)
+    return jnp.where(valid, codes, 0), valid
+
+
+def window_validity(valid, L: int):
+    """valid[i] per base -> ok[i] per window start (all L bases valid)."""
+    n = valid.shape[0]
+    n_win = n - L + 1
+    bad = (~valid).astype(jnp.int32)
+    csum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(bad)])
+    return (csum[L:] - csum[:n_win]) == 0
+
+
+def pack_windows(codes, perm: tuple[int, ...], bits: int, n_win: int):
+    """Pack every window into key words under a base permutation.
+
+    codes: uint32[N] (one per base).  Returns list of uint32[n_win] word
+    arrays, most-significant word first.  Each word is a weighted sum of
+    statically-shifted slices of ``codes`` — pure VPU work that XLA fuses.
+    """
+    per_word = 32 // bits
+    words = []
+    for w in range(num_words(len(perm), bits)):
+        part = perm[w * per_word:(w + 1) * per_word]
+        acc = jnp.zeros((n_win,), jnp.uint32)
+        for j, off in enumerate(part):
+            sh = np.uint32(32 - bits * (j + 1))
+            acc = acc | (jax.lax.dynamic_slice(codes, (off,), (n_win,)) << sh)
+        words.append(acc)
+    return words
+
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "add_revcomp"))
+def kmer_keys(ascii_u8, code_table, valid_table, comp_table,
+              left: int, mid: int, right: int, bits: int,
+              add_revcomp: bool = True):
+    """Full window-extraction kernel: ASCII buffer -> packed sorted-layout keys.
+
+    Returns (invalid_flag uint32[n], words list of uint32[n]) where n is
+    2 * n_win when ``add_revcomp`` (forward strand rows first, then reverse
+    complements — the reference emits fwd,rc interleaved per window
+    (kstream.py:661-677) but order is irrelevant pre-sort).
+
+    invalid_flag is 0 for real keys and 1 for masked ones; it is used as the
+    leading sort key so padding sorts after every valid key.
+    """
+    L = left + mid + right
+    codes, valid = encode_ascii(ascii_u8, code_table, valid_table)
+    ok = window_validity(valid, L)
+    n_win = ok.shape[0]
+    perm = sort_perm(left, mid, right)
+
+    fwd = pack_windows(codes, perm, bits, n_win)
+    if add_revcomp:
+        comp_codes = jnp.take(jnp.asarray(comp_table), codes).astype(jnp.uint32)
+        perm_rc = tuple(L - 1 - p for p in perm)
+        rc = pack_windows(comp_codes, perm_rc, bits, n_win)
+        words = [jnp.concatenate([f, r]) for f, r in zip(fwd, rc)]
+        okall = jnp.concatenate([ok, ok])
+    else:
+        words = fwd
+        okall = ok
+    invalid = (~okall).astype(jnp.uint32)
+    return invalid, words
