@@ -1,0 +1,88 @@
+"""`kstream` command-line front-end.
+
+Flag parity with the reference CLI
+(/root/reference/src/krisp/kstream/kstream.py:835-956).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(
+        description=("Read and parse kmers from fasta or kmer stream\n"
+                     "Compatible with gz, bz2, and stdin."),
+        prog="kstream",
+        formatter_class=argparse.RawTextHelpFormatter)
+    parser.add_argument("file", nargs="?", type=str, default="-",
+                        help="Fasta file to read. .gz, .bz2, default stdin")
+    parser.add_argument("-k", "--kmers", type=int, nargs="+",
+                        help="Convert sequences into kmers of given length(s).")
+    group = parser.add_mutually_exclusive_group()
+    group.add_argument("--canonicals", action="store_true",
+                       help="Print canonical sequences (alphabetically first)")
+    group.add_argument("--complements", action="store_true",
+                       help="Add reverse complement to stream")
+    parser.add_argument("--disallow", type=str,
+                        help="Omit sequences containing dissallowed nucleotides")
+    parser.add_argument("--allow", type=str,
+                        help="Only accept sequences containing allowed nucleotides")
+    parser.add_argument("--expand-iupac", action="store_true",
+                        help="Expand IUPAC nucleotide codes (including N's)")
+    parser.add_argument("--omit-softmask", action="store_true",
+                        help="Omit sequences containing soft masking")
+    parser.add_argument("--map-softmask", action="store_true",
+                        help="Unmask sequences containing soft masking")
+    parser.add_argument("--split", nargs="+", type=int,
+                        help="Split kmers into columns and delimit by ','")
+    parser.add_argument("-p", "--parallel", type=int, default=1,
+                        help="Number of processors to use. Default 1")
+    parser.add_argument("-s", "--sort", action="store_true",
+                        help="Sort resulting kmers")
+    parser.add_argument("--sort-np", type=int, default=1,
+                        help="Number of processores to use for sorting")
+    parser.add_argument("--sort-mem", type=str,
+                        help="Amount of memory to use, see linux sort mem usage")
+    parser.add_argument("--sort-cols", nargs="+", type=int,
+                        help="Sort based on these columns, 0-based indexing")
+    parser.add_argument("--output",
+                        help="Write output to file as opposed to terminal")
+    parser.add_argument("--version", action="version", version="%(prog)s 1.0")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    from ..kstream import KStream
+
+    args = parse_args(sys.argv[1:] if argv is None else argv)
+    streamer = KStream(kmers=args.kmers,
+                       complements=args.complements,
+                       canonicals=args.canonicals,
+                       allow=args.allow,
+                       disallow=args.disallow,
+                       omitsoft=args.omit_softmask,
+                       mapsoft=args.map_softmask,
+                       expandiupac=args.expand_iupac,
+                       split=args.split,
+                       parallel=args.parallel,
+                       sort=args.sort,
+                       sortnp=args.sort_np,
+                       sortmem=args.sort_mem,
+                       sortcols=args.sort_cols)
+    try:
+        if args.output is not None:
+            with open(args.output, "w") as fout:
+                for seq in streamer(args.file):
+                    print(seq, file=fout)
+        else:
+            for seq in streamer(args.file):
+                print(seq)
+    except BrokenPipeError:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    main()

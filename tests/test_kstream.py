@@ -1,0 +1,93 @@
+"""kstream parity tests: our KStream vs. the reference implementation run
+directly (the reference kstream module is pure stdlib, so it can serve as a
+live oracle)."""
+
+import subprocess
+import sys
+
+import pytest
+
+from krisp_tpu.kstream import KStream, external_sort, sort_key_for_cols
+
+REF_ENV = {"PYTHONPATH": "/root/reference/src"}
+
+
+def run_reference(args, stdin_text):
+    proc = subprocess.run(
+        [sys.executable, "-m", "krisp.kstream.kstream", *args],
+        input=stdin_text, capture_output=True, text=True,
+        env={**REF_ENV, "PATH": "/usr/bin:/bin"})
+    assert proc.returncode == 0, proc.stderr
+    return proc.stdout.splitlines()
+
+
+def run_ours(args, stdin_text, tmp_path):
+    fasta = tmp_path / "in.fa"
+    fasta.write_text(stdin_text)
+    from krisp_tpu.cli.kstream import parse_args
+    from krisp_tpu.kstream import KStream
+    a = parse_args([str(fasta), *args])
+    ks = KStream(kmers=a.kmers, complements=a.complements,
+                 canonicals=a.canonicals, allow=a.allow, disallow=a.disallow,
+                 omitsoft=a.omit_softmask, mapsoft=a.map_softmask,
+                 expandiupac=a.expand_iupac, split=a.split,
+                 parallel=a.parallel, sort=a.sort, sortnp=a.sort_np,
+                 sortmem=a.sort_mem, sortcols=a.sort_cols)
+    return list(ks(str(fasta)))
+
+
+FASTA = """>seq1
+ACGTACGTNNGGCCAacgtRYK
+ACGTTT
+>seq2
+GGGCCCAAATTT
+"""
+
+RNA = """>r1
+ACGUACGUACGU
+"""
+
+CASES = [
+    ["--kmers", "6"],
+    ["--kmers", "6", "--sort"],
+    ["--kmers", "6", "--disallow", "Nn", "--sort"],
+    ["--kmers", "6", "--disallow", "Nn", "--sort", "--canonicals"],
+    ["--kmers", "6", "--complements"],
+    ["--kmers", "5", "--omit-softmask"],
+    ["--kmers", "5", "--map-softmask"],
+    ["--kmers", "4", "--expand-iupac", "--sort"],
+    ["--kmers", "8", "--split", "3", "-2", "--sort", "--sort-cols", "0", "2"],
+    ["--kmers", "3", "7"],
+    [],
+]
+
+
+@pytest.mark.parametrize("args", CASES, ids=[" ".join(c) or "plain" for c in CASES])
+def test_kstream_matches_reference(args, tmp_path):
+    assert run_ours(args, FASTA, tmp_path) == run_reference(args, FASTA)
+
+
+def test_kstream_rna_roundtrip(tmp_path):
+    args = ["--kmers", "4", "--canonicals", "--sort"]
+    assert run_ours(args, RNA, tmp_path) == run_reference(args, RNA)
+
+
+def test_external_sort_spills_to_disk():
+    import random
+    rng = random.Random(0)
+    lines = ["".join(rng.choice("ACGT") for _ in range(8)) for _ in range(5000)]
+    got = list(external_sort(iter(lines), chunk_lines=512))
+    assert got == sorted(lines)
+
+
+def test_sort_cols_matches_gnu_sort():
+    import random
+    rng = random.Random(1)
+    lines = [",".join("".join(rng.choice("ACGT") for _ in range(4))
+                      for _ in range(3)) for _ in range(500)]
+    proc = subprocess.run(["sort", "-t,", "-k1,1", "-k3,3"],
+                          input="\n".join(lines) + "\n", capture_output=True,
+                          text=True, env={"LC_ALL": "C"})
+    want = proc.stdout.splitlines()
+    got = sorted(lines, key=sort_key_for_cols([0, 2]))
+    assert got == want
