@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Headline benchmark: k-mers/s through the device sort+intersect engine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N}
+
+vs_baseline compares against the reference CPU pipeline (grunwaldlab/krisp's
+kstream extraction + GNU sort + Python merge intersection), measured live on
+this machine on a scaled-down input (its per-kmer cost is size-independent;
+measured rate is extrapolation-free — we compare rates, not wall times).
+The measured baseline rate is cached in BASELINE_MEASURED.json.
+
+Workload: 5 synthetic 2 Mb genomes with planted shared spacer regions,
+spacer geometry 25/1/2 (the krisp_fasta README example) — the end-to-end
+krisp_fasta path minus rendering: window extraction, both strands, per-genome
+sort+unique, 5-way intersection.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent
+N_FILES = 5
+GENOME_SIZE = 2_000_000
+BASE_GENOME_SIZE = 100_000    # for the CPU reference measurement
+LEFT, MID, RIGHT = 25, 1, 2
+L = LEFT + MID + RIGHT
+
+
+def synth_genomes(tmpdir: Path, size: int, seed: int = 7):
+    """Write N_FILES synthetic genomes sharing a few planted regions."""
+    tmpdir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    planted = ["".join(rng.choice(list("ACGT"), size=L)) for _ in range(3)]
+    paths = []
+    for f in range(N_FILES):
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=size)
+        seq = bytearray(seq.tobytes())
+        for i, p in enumerate(planted):
+            pos = (i + 1) * size // (len(planted) + 1)
+            seq[pos:pos + L] = p.encode()
+        path = tmpdir / f"genome{f}.fasta"
+        with open(path, "w") as fh:
+            fh.write(f">synthetic_{f}\n")
+            s = seq.decode()
+            for i in range(0, len(s), 80):
+                fh.write(s[i:i + 80] + "\n")
+        paths.append(str(path))
+    return paths
+
+
+def run_ours(paths):
+    """Time the device pipeline end-to-end; returns (n_keys, seconds)."""
+    from krisp_tpu.engine.pipeline import KmerGeometry, run_pipeline
+
+    geom = KmerGeometry(LEFT, MID, RIGHT)
+    ingroup, outgroup = paths[:2], paths[2:]
+    # warm-up: compile everything
+    run_pipeline(ingroup, outgroup, geom)
+    t0 = time.perf_counter()
+    groups = run_pipeline(ingroup, outgroup, geom)
+    dt = time.perf_counter() - t0
+    n_keys = N_FILES * 2 * (GENOME_SIZE - L + 1)  # both strands
+    return n_keys, dt, len(groups)
+
+
+def run_reference(tmpdir: Path):
+    """Time the reference CPU pipeline on a smaller input; returns rate."""
+    paths = synth_genomes(tmpdir / "ref", BASE_GENOME_SIZE)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}/tools/refstubs:/root/reference/src"
+    cmd = [sys.executable, "-m", "krisp.krisp_fasta.krisp_fasta",
+           *paths[:2], "--outgroup", *paths[2:],
+           "--conserved-left", str(LEFT), "--conserved-right", str(RIGHT),
+           "--diagnostic", str(MID), "--cores", "4",
+           "--out_csv", str(tmpdir / "ref_out.csv")]
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                          timeout=3600)
+    dt = time.perf_counter() - t0
+    if proc.returncode != 0:
+        raise RuntimeError(f"reference pipeline failed: {proc.stderr[-2000:]}")
+    n_keys = N_FILES * 2 * (BASE_GENOME_SIZE - L + 1)
+    return n_keys / dt
+
+
+def baseline_rate(tmpdir: Path) -> float:
+    cache = REPO / "BASELINE_MEASURED.json"
+    if cache.exists():
+        return json.loads(cache.read_text())["kmers_per_s"]
+    rate = run_reference(tmpdir)
+    try:
+        cache.write_text(json.dumps(
+            {"kmers_per_s": rate,
+             "workload": f"krisp_fasta 25/1/2, {N_FILES}x{BASE_GENOME_SIZE}bp, 4 cores",
+             "machine": os.uname().nodename}))
+    except OSError:
+        pass
+    return rate
+
+
+def main():
+    import tempfile
+    from krisp_tpu.runtime import setup
+    setup()
+    with tempfile.TemporaryDirectory() as td:
+        tmpdir = Path(td)
+        ref_rate = baseline_rate(tmpdir)
+        paths = synth_genomes(tmpdir, GENOME_SIZE)
+        n_keys, dt, n_groups = run_ours(paths)
+        rate = n_keys / dt
+        print(json.dumps({
+            "metric": "kmers_per_s_sort_intersect",
+            "value": round(rate),
+            "unit": "kmers/s",
+            "vs_baseline": round(rate / ref_rate, 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Multi-device sharded k-mer pipeline (jax.sharding.Mesh + shard_map).
+
+The reference's concurrency story is single-node multiprocessing over files
+and byte-range file shards (/root/reference/src/krisp/krisp_fasta/
+krisp_fasta.py:86-123, shared.py:133-207, intersectAmplicons.py:131-187 — the
+latter disabled for nondeterminism).  The TPU-native equivalent:
+
+  - **sequence parallelism**: each device owns a contiguous slice of the
+    genome buffer; a ppermute halo exchange ships the (L-1)-base prefix of
+    the next shard left so windows crossing shard boundaries are computed
+    exactly once (the device-mesh analog of the reference's 1 kb chunk-flank
+    overlap, krisp_vcf.py:1036-1040).
+  - **local sort + unique** per device (same kernels as single-chip).
+  - **key-range ownership**: shard s owns keys whose leading bits bucket to
+    s; tables are all_gathered and each shard filters to its range, so the
+    concatenation over shards is the globally sorted table.  Deterministic by
+    construction — result order is a pure function of key order, never of
+    scheduling (the property whose absence forced the reference to disable
+    its parallel merge, intersectAmplicons.py:216-218).
+  - **stats reduction**: per-shard survivor counts psum over the mesh.
+
+all_gather suffices while per-shard unique tables fit in HBM; the range
+partition makes an all_to_all drop-in when they don't (each shard then sends
+only the slice each peer owns).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from .. import dna
+from ..ops.encode import encode_ascii, window_validity, pack_windows, sort_perm, num_words
+from ..ops.sort import sort_keys, unique_counts
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _halo_exchange(block, halo: int, axis: str):
+    """Append the next shard's first ``halo`` elements to this shard's block.
+
+    The last shard receives an all-invalid halo (zero bytes = NUL sentinel),
+    so no window is fabricated past the end of the genome.
+    """
+    n = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+    head = block[:halo]
+    # send my head to my left neighbor (shard i receives from i+1)
+    perm = [(i, (i - 1) % n) for i in range(n)]
+    recv = jax.lax.ppermute(head, axis, perm)
+    recv = jnp.where(idx == n - 1, jnp.zeros_like(recv), recv)
+    return jnp.concatenate([block, recv])
+
+
+def sharded_kmer_step(mesh: Mesh, left: int, mid: int, right: int, bits: int,
+                      n_files: int):
+    """Build the jitted multi-device step: sharded ASCII buffers -> per-shard
+    sorted unique tables (key-range partitioned) + global stats.
+
+    Input shapes (per full array, sharded over axis 0):
+      buffers: uint8[n_files, n_shards * chunk]  — one genome per file row,
+      sharded along the sequence axis.
+    Returns (invalid, words, file_id, counts) each sharded over the mesh
+    axis, plus the psum'd total number of valid keys.
+    """
+    L = left + mid + right
+    axis = mesh.axis_names[0]
+    n_shards = mesh.devices.size
+    perm = sort_perm(left, mid, right)
+    code_table = dna.CODE2_TABLE if bits == 2 else dna.CODE4_TABLE
+    comp_table = dna.COMP2_TABLE if bits == 2 else dna.COMP4_TABLE
+    valid_table = dna.base_validity_table(bits, disallow="Nn")
+    shift = 32 - max((n_shards - 1).bit_length(), 1)
+
+    def per_shard(buffers):
+        # buffers: uint8[n_files, chunk] local slice
+        tables = []
+        for f in range(n_files):
+            block = _halo_exchange(buffers[f], L - 1, axis)
+            codes, valid = encode_ascii(block, code_table, valid_table)
+            ok = window_validity(valid, L)
+            n_win = ok.shape[0]
+            fwd = pack_windows(codes, perm, bits, n_win)
+            comp = jnp.take(jnp.asarray(comp_table), codes).astype(jnp.uint32)
+            rc = pack_windows(comp, tuple(L - 1 - p for p in perm), bits, n_win)
+            words = [jnp.concatenate([a, b]) for a, b in zip(fwd, rc)]
+            invalid = (~jnp.concatenate([ok, ok])).astype(jnp.uint32)
+            inv_s, words_s, _ = sort_keys(invalid, words)
+            u_inv, u_words, u_cnt, _ = unique_counts(inv_s, words_s)
+            tables.append((u_inv, u_words, u_cnt))
+
+        # Exchange: gather all shards' tables, keep this shard's key range.
+        my_bucket = jax.lax.axis_index(axis)
+        inv = jnp.concatenate([t[0] for t in tables])
+        words = [jnp.concatenate([t[1][w] for t in tables])
+                 for w in range(num_words(L, bits))]
+        cnts = jnp.concatenate([t[2] for t in tables])
+        fids = jnp.concatenate([jnp.full(tables[f][0].shape[0], f, jnp.uint32)
+                                for f in range(n_files)])
+
+        g_inv = jax.lax.all_gather(inv, axis, tiled=True)
+        g_words = [jax.lax.all_gather(w, axis, tiled=True) for w in words]
+        g_cnts = jax.lax.all_gather(cnts, axis, tiled=True)
+        g_fids = jax.lax.all_gather(fids, axis, tiled=True)
+
+        bucket = (g_words[0] >> jnp.uint32(shift)).astype(jnp.uint32)
+        if n_shards == 1:
+            mine = g_inv == 0
+        else:
+            mine = (bucket == my_bucket.astype(jnp.uint32)) & (g_inv == 0)
+        l_inv = jnp.where(mine, jnp.uint32(0), jnp.uint32(1))
+        # local sort of the owned range: global order = shard order + local
+        l_inv, l_words, (l_fids, l_cnts) = sort_keys(
+            l_inv, g_words, (g_fids, g_cnts))
+        total_valid = jax.lax.psum(jnp.sum((l_inv == 0).astype(jnp.int32)),
+                                   axis)
+        return l_inv, jnp.stack(l_words), l_fids, l_cnts, total_valid
+
+    spec = P(None, axis)
+    out_specs = (P(axis), P(None, axis), P(axis), P(axis), P())
+    fn = shard_map(per_shard, mesh=mesh, in_specs=(spec,),
+                   out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)

