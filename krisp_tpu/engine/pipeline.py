@@ -17,13 +17,14 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import dna
 from ..io.fasta import read_fasta_buffer, bucket_size, simple_name
 from ..ops.encode import kmer_keys
 from ..ops.sort import build_sorted_unique
-from ..ops.intersect import intersect_rows
+from ..ops.intersect import intersect_and_compact
 from .groups import FlankGroup, KmerAmplicon
 
 
@@ -111,42 +112,44 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
         buffers.append(buf)
     bits = detect_bits(buffers)
 
-    word_parts, fid_parts, cnt_parts = [], [], []
+    # Device-resident stage 1: per-genome unique tables stay on device
+    # (padded; the invalid flag marks padding) — no host round-trips.
+    inv_parts, word_parts, fid_parts, cnt_parts = [], [], [], []
     n_words = None
     for file_idx, buf in enumerate(buffers):
         padded = np.zeros(bucket_size(buf.size), np.uint8)
         padded[:buf.size] = buf
-        u_inv, u_words, counts, n_unique = genome_unique_table(
+        u_inv, u_words, counts, _ = genome_unique_table(
             padded, geom, bits, omit_soft)
-        nu = int(n_unique)  # host sync; compact away the padding rows
-        word_parts.append([np.asarray(w)[:nu] for w in u_words])
-        fid_parts.append(np.full(nu, file_idx, np.uint32))
-        cnt_parts.append(np.asarray(counts)[:nu])
+        inv_parts.append(u_inv)
+        word_parts.append(u_words)
+        fid_parts.append(np.full(u_inv.shape[0], file_idx, np.uint32))
+        cnt_parts.append(counts)
         n_words = len(u_words)
 
-    total = sum(len(p) for p in fid_parts)
-    padded_total = bucket_size(total)
-    w_stack = np.zeros((n_words, padded_total), np.uint32)
-    for w in range(n_words):
-        w_stack[w, :total] = np.concatenate([wp[w] for wp in word_parts])
-    file_id = np.zeros(padded_total, np.uint32)
-    file_id[:total] = np.concatenate(fid_parts)
-    counts = np.zeros(padded_total, np.uint32)
-    counts[:total] = np.concatenate(cnt_parts)
-    invalid = np.ones(padded_total, np.uint32)
-    invalid[:total] = 0
+    invalid = jnp.concatenate(inv_parts)
+    w_stack = jnp.stack([jnp.concatenate([wp[w] for wp in word_parts])
+                         for w in range(n_words)])
+    file_id = jnp.concatenate([jnp.asarray(p) for p in fid_parts])
+    counts = jnp.concatenate(cnt_parts)
 
-    ws, fid, cnt, gid, keep = intersect_rows(
-        invalid, w_stack, file_id, counts, n_files=len(all_files),
-        flank_bases=geom.left + geom.right, bits=bits)
+    # Device-resident stage 2: global sort + intersect + compaction; only
+    # ``cap`` survivor rows cross back to the host.  Overflow re-runs with a
+    # larger cap (the intersect result is deterministic, so this is safe).
+    cap = 1 << 16
+    while True:
+        out_words, fid_d, cnt_d, gid_d, n_keep = intersect_and_compact(
+            invalid, w_stack, file_id, counts, n_files=len(all_files),
+            flank_bases=geom.left + geom.right, bits=bits, cap=cap)
+        n_keep = int(n_keep)
+        if n_keep <= cap:
+            break
+        cap = bucket_size(n_keep, quantum=1 << 16)
 
-    # Host epilogue: compact the (small) survivor set and decode.
-    keep = np.asarray(keep)
-    idx = np.nonzero(keep)[0]
-    words_h = np.asarray(ws)[:, idx].T
-    fid_h = np.asarray(fid)[idx]
-    cnt_h = np.asarray(cnt)[idx]
-    gid_h = np.asarray(gid)[idx]
+    words_h = np.asarray(out_words)[:, :n_keep].T
+    fid_h = np.asarray(fid_d)[:n_keep]
+    cnt_h = np.asarray(cnt_d)[:n_keep]
+    gid_h = np.asarray(gid_d)[:n_keep]
 
     decoded = dna.decode_words(words_h, geom.total, bits)
     render_ingroup = frozenset(ingroup_tags) if has_outgroup else None

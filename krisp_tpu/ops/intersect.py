@@ -92,3 +92,26 @@ def intersect_rows(invalid, w_stack, file_id, counts,
 
     row_keep = (n_present == n_files) & valid
     return jnp.stack(ws), fid, cnt, group_id, row_keep
+
+
+@partial(jax.jit, static_argnames=("n_files", "flank_bases", "bits", "cap"))
+def intersect_and_compact(invalid, w_stack, file_id, counts, n_files: int,
+                          flank_bases: int, bits: int, cap: int):
+    """Fused intersect + on-device survivor compaction.
+
+    Avoids pulling the full sorted table to the host: only ``cap`` compacted
+    survivor rows (plus a true survivor count for overflow detection) leave
+    the device.  Returns (words [W, cap], file_id[cap], counts[cap],
+    group_id[cap], n_survivors).
+    """
+    ws, fid, cnt, gid, keep = intersect_rows(invalid, w_stack, file_id,
+                                             counts, n_files, flank_bases,
+                                             bits)
+    n = fid.shape[0]
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    idx = jnp.nonzero(keep, size=cap, fill_value=n - 1)[0]
+    k = jnp.arange(cap)
+    valid_out = k < n_keep
+    out_words = jnp.take(ws, idx, axis=1)
+    return (out_words, jnp.take(fid, idx), jnp.take(cnt, idx),
+            jnp.where(valid_out, jnp.take(gid, idx), -1), n_keep)

@@ -1,0 +1,85 @@
+"""Thermodynamic engine tests.
+
+Tm ground truth: the reference README's libprimer3 outputs
+(/root/reference/README.md:216-223) — our SantaLucia implementation must
+reproduce those published values to 5 decimals (same model, same salt
+defaults)."""
+
+import pytest
+
+from krisp_tpu.thermo import nn
+from krisp_tpu.thermo.design import design_primers, run_primer3
+
+
+def test_tm_matches_libprimer3_published_values():
+    # README.md:219-220 (PRIMER_LEFT/RIGHT TM from libprimer3)
+    assert nn.tm_santalucia("CACAAGGACAAGTGCCACTAAACCAG") == pytest.approx(
+        64.24706, abs=1e-4)
+    assert nn.tm_santalucia("TCGTTCCCATCGACAAGATACTCTC") == pytest.approx(
+        61.93757, abs=1e-4)
+
+
+def test_tm_monotonic_in_gc():
+    at = nn.tm_santalucia("ATATATATATATATATATATATATA")
+    gc = nn.tm_santalucia("GCGCGCGCGCGCGCGCGCGCGCGCG")
+    assert gc > at
+
+
+def test_gc_percent():
+    assert nn.gc_percent("GGCC") == 100.0
+    assert nn.gc_percent("ATGC") == 50.0
+    assert nn.gc_percent("") == 0.0
+
+
+def test_self_structures_zero_for_plain_seq():
+    assert nn.hairpin_th("AAAAAAAAAAAAAAAAAAAAAAAAA") == 0.0
+    assert nn.self_any_th("AAAAAAAAAAAAAAAAAAAAAAAAA") == 0.0
+
+
+def test_hairpin_detected():
+    # strong stem (10bp GC-rich palindrome) + 5nt loop
+    seq = "GCGCGCGGCC" + "AAAAA" + "GGCCGCGCGC"
+    assert nn.hairpin_th(seq) > 40
+
+
+def test_design_on_readme_template():
+    # README.md:200-232: the 100-nt amplicon; primers must flank the
+    # 40-nt target starting at 30
+    t = ("ACGCACAAGGACAAGTGCCACTAAACCAGCCAGCCCTGACGCAGATCATCCCGCGCTTACT"
+         "GACCAAGCTGCGAGAGTATCTTGTCGATGGGAACGATAG")
+    out = design_primers(t, 30, 40, amp_size=(70, 150))
+    assert out["PRIMER_PAIR_NUM_RETURNED"] == 1
+    l_start, l_len = out["PRIMER_LEFT_0"]
+    r_pos, r_len = out["PRIMER_RIGHT_0"]
+    assert l_start + l_len <= 30                # flanks target on the left
+    assert r_pos - r_len + 1 >= 70              # flanks target on the right
+    assert out["PRIMER_LEFT_0_SEQUENCE"] == t[l_start:l_start + l_len]
+    # right primer is the revcomp of the plus-strand slice
+    from krisp_tpu.dna import revcomp
+    assert out["PRIMER_RIGHT_0_SEQUENCE"] == revcomp(
+        t[r_pos - r_len + 1:r_pos + 1])
+    # penalty model: |tm - 60.5| + |size - 30| per primer, summed for pair
+    want = (abs(out["PRIMER_LEFT_0_TM"] - 60.5) + abs(l_len - 30)
+            + abs(out["PRIMER_RIGHT_0_TM"] - 60.5) + abs(r_len - 30))
+    assert out["PRIMER_PAIR_0_PENALTY"] == pytest.approx(want, abs=1e-4)
+
+
+def test_no_primers_when_impossible():
+    out = design_primers("ACGT" * 30, 10, 100, amp_size=(70, 150))
+    assert out["PRIMER_PAIR_NUM_RETURNED"] == 0
+
+
+def test_gc_clamp_enforced():
+    t = ("ACGCACAAGGACAAGTGCCACTAAACCAGCCAGCCCTGACGCAGATCATCCCGCGCTTACT"
+         "GACCAAGCTGCGAGAGTATCTTGTCGATGGGAACGATAG")
+    out = design_primers(t, 30, 40, amp_size=(70, 150), gc_clamp=2)
+    if out["PRIMER_PAIR_NUM_RETURNED"]:
+        assert all(b in "GC" for b in out["PRIMER_LEFT_0_SEQUENCE"][-2:])
+        assert all(b in "GC" for b in out["PRIMER_RIGHT_0_SEQUENCE"][-2:])
+
+
+def test_run_primer3_accepts_list_template():
+    t = list("ACGCACAAGGACAAGTGCCACTAAACCAGCCAGCCCTGACGCAGATCATCCCGCGCTTACT"
+             "GACCAAGCTGCGAGAGTATCTTGTCGATGGGAACGATAG")
+    out = run_primer3(t, target_start=30, target_len=40, amp_size=(70, 150))
+    assert out["PRIMER_PAIR_NUM_RETURNED"] == 1
