@@ -21,10 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import dna
-from ..io.fasta import read_fasta_buffer, bucket_size, simple_name
+from ..io.fasta import load_buffer, bucket_size, simple_name
 from ..ops.encode import kmer_keys
 from ..ops.sort import build_sorted_unique
-from ..ops.intersect import intersect_and_compact
+from ..ops.intersect import fused_pipeline
 from .groups import FlankGroup, KmerAmplicon
 
 
@@ -106,41 +106,27 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
     if ingroup_filter is None:
         ingroup_filter = geom.mid > 0 and has_outgroup
 
-    buffers = []
-    for path in all_files:
-        buf, _ = read_fasta_buffer(path)
-        buffers.append(buf)
+    buffers = [load_buffer(path) for path in all_files]
     bits = detect_bits(buffers)
 
-    # Device-resident stage 1: per-genome unique tables stay on device
-    # (padded; the invalid flag marks padding) — no host round-trips.
-    inv_parts, word_parts, fid_parts, cnt_parts = [], [], [], []
-    n_words = None
-    for file_idx, buf in enumerate(buffers):
-        padded = np.zeros(bucket_size(buf.size), np.uint8)
-        padded[:buf.size] = buf
-        u_inv, u_words, counts, _ = genome_unique_table(
-            padded, geom, bits, omit_soft)
-        inv_parts.append(u_inv)
-        word_parts.append(u_words)
-        fid_parts.append(np.full(u_inv.shape[0], file_idx, np.uint32))
-        cnt_parts.append(counts)
-        n_words = len(u_words)
+    # One fused device program: per-genome extract/sort/unique (vmapped over
+    # the genome axis) + global sort + intersection + survivor compaction.
+    # Only ``cap`` compacted survivor rows cross back to the host; overflow
+    # re-runs with a larger cap (deterministic result, so this is safe).
+    pad = bucket_size(max(b.size for b in buffers))
+    stacked = np.zeros((len(buffers), pad), np.uint8)
+    for i, buf in enumerate(buffers):
+        stacked[i, :buf.size] = buf
 
-    invalid = jnp.concatenate(inv_parts)
-    w_stack = jnp.stack([jnp.concatenate([wp[w] for wp in word_parts])
-                         for w in range(n_words)])
-    file_id = jnp.concatenate([jnp.asarray(p) for p in fid_parts])
-    counts = jnp.concatenate(cnt_parts)
-
-    # Device-resident stage 2: global sort + intersect + compaction; only
-    # ``cap`` survivor rows cross back to the host.  Overflow re-runs with a
-    # larger cap (the intersect result is deterministic, so this is safe).
+    code_table = dna.CODE2_TABLE if bits == 2 else dna.CODE4_TABLE
+    comp_table = dna.COMP2_TABLE if bits == 2 else dna.COMP4_TABLE
+    valid_table = dna.base_validity_table(bits, disallow="Nn",
+                                          omit_soft=omit_soft)
     cap = 1 << 16
     while True:
-        out_words, fid_d, cnt_d, gid_d, n_keep = intersect_and_compact(
-            invalid, w_stack, file_id, counts, n_files=len(all_files),
-            flank_bases=geom.left + geom.right, bits=bits, cap=cap)
+        out_words, fid_d, cnt_d, gid_d, n_keep = fused_pipeline(
+            stacked, code_table, valid_table, comp_table, left=geom.left,
+            mid=geom.mid, right=geom.right, bits=bits, cap=cap)
         n_keep = int(n_keep)
         if n_keep <= cap:
             break

@@ -90,6 +90,19 @@ def read_fasta_buffer(path, pad_to: int | None = None):
     return buf, names
 
 
+def load_buffer(path) -> np.ndarray:
+    """Genome buffer for the device engine: native C++ reader when
+    available (csrc/fastaio.cpp via io.native), Python fallback otherwise.
+    Both produce the identical sentinel-separated layout (pinned by
+    tests/test_native_io.py)."""
+    if path != "-" and not str(path).endswith(".bz2"):
+        from .native import read_fasta_buffer_native
+        buf = read_fasta_buffer_native(path)
+        if buf is not None:
+            return buf
+    return read_fasta_buffer(path)[0]
+
+
 def bucket_size(n: int, quantum: int = 1 << 16) -> int:
     """Round a buffer size up to a bucket to bound jit recompiles."""
     return ((n + quantum - 1) // quantum) * quantum

@@ -94,6 +94,46 @@ def intersect_rows(invalid, w_stack, file_id, counts,
     return jnp.stack(ws), fid, cnt, group_id, row_keep
 
 
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
+                                   "omit_soft"))
+def fused_pipeline(buffers, code_table, valid_table, comp_table, left: int,
+                   mid: int, right: int, bits: int, cap: int,
+                   omit_soft: bool = False):
+    """Whole krisp_fasta compute path as ONE device program.
+
+    buffers: uint8[F, P] sentinel-separated genome buffers (equal padded
+    length).  Per genome (vmapped): window keys -> sort -> unique+count;
+    then flatten, global sort, flank-group intersection, survivor
+    compaction.  A single dispatch and a single small device->host transfer
+    — the shape that makes dispatch/transfer latency irrelevant and lets
+    XLA overlap every stage.
+    """
+    from .encode import kmer_keys
+    from .sort import build_sorted_unique
+
+    F, P = buffers.shape
+
+    def per_file(buf):
+        invalid, words = kmer_keys(buf, code_table, valid_table, comp_table,
+                                   left, mid, right, bits,
+                                   add_revcomp=True)
+        u_inv, u_words, u_cnt, _ = build_sorted_unique(invalid, words, bits)
+        return u_inv, jnp.stack(u_words), u_cnt
+
+    u_inv, u_words, u_cnt = jax.vmap(per_file)(buffers)
+    n_per = u_inv.shape[1]
+    W = u_words.shape[1]
+    invalid = u_inv.reshape(F * n_per)
+    w_stack = jnp.transpose(u_words, (1, 0, 2)).reshape(W, F * n_per)
+    counts = u_cnt.reshape(F * n_per)
+    file_id = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.uint32)[:, None], (F, n_per)).reshape(-1)
+
+    return intersect_and_compact(invalid, w_stack, file_id, counts,
+                                 n_files=F, flank_bases=left + right,
+                                 bits=bits, cap=cap)
+
+
 @partial(jax.jit, static_argnames=("n_files", "flank_bases", "bits", "cap"))
 def intersect_and_compact(invalid, w_stack, file_id, counts, n_files: int,
                           flank_bases: int, bits: int, cap: int):

@@ -1,0 +1,99 @@
+"""Vectorized per-variant, per-group classification (device kernel).
+
+The TPU-scale path for SURVEY C27/C28: the reference classifies one variant
+at a time with Python dict math over samples
+(/root/reference/src/krisp/krisp_vcf/find_diag_var.py:203-411); this kernel
+evaluates a whole batch of variants × samples at once as masked reductions —
+the shape that lets a chip chew through whole-genome VCFs (thousands of
+samples) at memory bandwidth.
+
+Alleles are per-variant indices (0 = REF); cross-group set operations become
+bitmask algebra.  The '?' zero-coverage pseudo-allele is representable only
+when min_reads == 0 (reference semantics: find_diag_var.py:249-251); this
+kernel requires min_reads >= 1 and the host engine handles the rest —
+asserted by the batch builder.
+
+Exact agreement with the host-side ClassifiedVariant is pinned by
+tests/test_vcfclass_device.py over the bundled 10k-variant VCF.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("n_groups",))
+def classify_batch(dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
+                   n_groups: int, min_samples=5, min_reads=10,
+                   min_geno_qual=40, min_freq=0.1, min_map_qual=30,
+                   min_var_qual=10, min_samp_prop=0.9):
+    """Classify V variants for G groups.
+
+    Shapes: dp,gq int32[V,S] (-1 missing); ad int32[V,S,A]; n_alleles
+    int32[V]; mq,qual float32[V]; group_id int32[S] (-1 = unused sample);
+    group_sizes int32[G].
+
+    Returns dict of arrays:
+      sample_counts int32[V,G], allele_counts int32[V,G,A],
+      conserved int32[V,G] (allele index or -1),
+      diagnostic int32[V,G] (allele index or -1).
+    """
+    V, S, A = ad.shape
+
+    gate = (dp >= min_reads) & (gq >= min_geno_qual)          # (V,S)
+    member = (group_id[None, :, None]
+              == jnp.arange(n_groups, dtype=jnp.int32)[None, None, :])  # (1,S,G)
+
+    sample_counts = jnp.sum((gate[:, :, None] & member).astype(jnp.int32),
+                            axis=1)                            # (V,G)
+
+    depth_sum = jnp.sum(ad, axis=2, keepdims=True)             # (V,S,1)
+    allele_idx = jnp.arange(A, dtype=jnp.int32)
+    keep = ((ad > 0)
+            & (ad.astype(jnp.float32)
+               >= depth_sum.astype(jnp.float32) * min_freq)
+            & (allele_idx[None, None, :] < n_alleles[:, None, None]))
+    counted = keep & gate[:, :, None]                          # (V,S,A)
+
+    allele_counts = jnp.sum(
+        (counted[:, :, None, :] & member[:, :, :, None]).astype(jnp.int32),
+        axis=1)                                                # (V,G,A)
+
+    present = allele_counts > 0
+    n_distinct = jnp.sum(present.astype(jnp.int32), axis=2)    # (V,G)
+    single_allele = jnp.argmax(present, axis=2).astype(jnp.int32)
+
+    prop = (sample_counts.astype(jnp.float32)
+            / jnp.maximum(group_sizes, 1).astype(jnp.float32)[None, :])
+    qual_ok = (mq >= min_map_qual) & (qual >= min_var_qual)    # (V,)
+    samp_ok = (sample_counts >= min_samples) & (prop >= min_samp_prop)
+
+    consv_ok = qual_ok[:, None] & (n_distinct == 1) & samp_ok
+    conserved = jnp.where(consv_ok, single_allele, -1)
+
+    # diagnostic: all groups must pass sample thresholds; per group, its
+    # single allele must appear in no other group
+    all_groups_ok = jnp.all(samp_ok, axis=1)                   # (V,)
+    mask = jnp.sum(jnp.where(present,
+                             jnp.uint32(1) << allele_idx[None, None, :].astype(jnp.uint32),
+                             jnp.uint32(0)), axis=2)           # (V,G)
+    def union_of_others(g):
+        acc = jnp.zeros_like(mask[:, 0])
+        for og in range(n_groups):
+            if og != g:
+                acc = acc | mask[:, og]
+        return acc
+
+    others = jnp.stack([union_of_others(g) for g in range(n_groups)], axis=1)
+    unique_bits = mask & ~others
+    diag_ok = (qual_ok & all_groups_ok)[:, None] & (n_distinct == 1) \
+        & (unique_bits != 0)
+    diagnostic = jnp.where(diag_ok, single_allele, -1)
+
+    return {"sample_counts": sample_counts,
+            "allele_counts": allele_counts,
+            "conserved": conserved,
+            "diagnostic": diagnostic}

@@ -1,0 +1,59 @@
+"""Device classification kernel vs. the exact host engine on the bundled
+10k-variant VCF — every variant, every group, bit-for-bit agreement."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from krisp_tpu.ops.vcfclass import classify_batch
+from krisp_tpu.vcf.batch import build_batch
+from krisp_tpu.vcf.classify import ClassifiedVariant, parse_group_data
+from krisp_tpu.vcf.parser import VcfReader
+
+VCF = "/root/reference/test_data/krisp_vcf/variants.vcf.gz"
+META = "/root/reference/test_data/krisp_vcf/metadata.csv"
+
+KW = dict(min_samples=3, min_reads=10, min_geno_qual=40, min_freq=0.1,
+          min_map_qual=40, min_var_qual=10, min_samp_prop=0.9)
+
+N_CHECK = 1500  # variants to compare (full host pass over 10k is slow-ish)
+
+
+def test_device_matches_host_engine():
+    groups = parse_group_data(META, groups=["NA1", "NA2", "EU1"])
+    variants = list(itertools.islice(VcfReader(VCF), N_CHECK))
+    arrays, group_names, _ = build_batch(variants, groups)
+    out = classify_batch(n_groups=len(group_names), **arrays, **KW)
+
+    sample_counts = np.asarray(out["sample_counts"])
+    allele_counts = np.asarray(out["allele_counts"])
+    conserved = np.asarray(out["conserved"])
+    diagnostic = np.asarray(out["diagnostic"])
+
+    mismatches = []
+    for vi, var in enumerate(variants):
+        host = ClassifiedVariant(var, groups, **KW)
+        for gi, g in enumerate(group_names):
+            if host.sample_counts[g] != sample_counts[vi, gi]:
+                mismatches.append((var.pos, g, "sample_counts"))
+            want_counts = {a: c for a, c in host.allele_counts[g].items()}
+            got_counts = {var.alleles[ai]: int(c)
+                          for ai, c in enumerate(allele_counts[vi, gi])
+                          if c > 0}
+            if want_counts != got_counts:
+                mismatches.append((var.pos, g, "allele_counts",
+                                   want_counts, got_counts))
+            want_consv = host.conserved[g]
+            got_consv = (None if conserved[vi, gi] < 0
+                         else var.alleles[conserved[vi, gi]])
+            if want_consv != got_consv:
+                mismatches.append((var.pos, g, "conserved",
+                                   want_consv, got_consv))
+            want_diag = host.diagnostic[g]
+            got_diag = (None if diagnostic[vi, gi] < 0
+                        else var.alleles[diagnostic[vi, gi]])
+            if want_diag != got_diag:
+                mismatches.append((var.pos, g, "diagnostic",
+                                   want_diag, got_diag))
+    assert not mismatches, mismatches[:10]
