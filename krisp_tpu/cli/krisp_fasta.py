@@ -44,7 +44,7 @@ def parse_args(argv):
     parser.add_argument("-s", "--out_csv", type=str, metavar="PATH",
                         help="Write results to as a CSV file (gzip supported). (default: stdout)")
     parser.add_argument("-w", "--workdir", type=str, metavar="PATH",
-                        help="Work directory to place temporary files (unused; kept for compatibility)")
+                        help="Work directory for per-genome k-mer table checkpoints (resume support)")
     parser.add_argument("-p", "--primer3", action=argparse.BooleanOptionalAction,
                         help="Score candidate regions with the primer design engine")
     parser.add_argument("--tm", type=int, nargs=2, metavar="INT", default=[53, 68])
@@ -95,7 +95,7 @@ def main(argv=None):
         print(file=sys.stderr)
 
     groups = run_pipeline(args.files, args.outgroup, geom,
-                          omit_soft=args.omit_soft)
+                          omit_soft=args.omit_soft, workdir=args.workdir)
 
     p3_args = dict(tm=tuple(args.tm), gc=tuple(args.gc),
                    amp_size=tuple(args.amp_size),

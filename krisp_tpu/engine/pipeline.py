@@ -24,7 +24,7 @@ from .. import dna
 from ..io.fasta import load_buffer, bucket_size, simple_name
 from ..ops.encode import kmer_keys
 from ..ops.sort import build_sorted_unique
-from ..ops.intersect import fused_pipeline
+from ..ops.intersect import fused_pipeline, intersect_and_compact
 from .groups import FlankGroup, KmerAmplicon
 
 
@@ -86,8 +86,53 @@ def genome_unique_table(buffer: np.ndarray, geom: KmerGeometry, bits: int,
     return build_sorted_unique(invalid, words, bits)
 
 
+def _cached_tables(paths, geom, bits, omit_soft, workdir):
+    """Per-genome unique tables via the TableCache (checkpoint/resume
+    path): load hits, compute+store misses.  Returns concatenated
+    (invalid, w_stack, file_id, counts) numpy arrays."""
+    from .checkpoint import TableCache
+    from ..metrics import GLOBAL as METRICS
+
+    cache = TableCache(workdir)
+    parts = []
+    for file_idx, path in enumerate(paths):
+        hit = cache.load(path, geom, bits, omit_soft)
+        if hit is None:
+            with METRICS.stage("extract+sort", items=0):
+                buf = load_buffer(path)
+                padded = np.zeros(bucket_size(buf.size), np.uint8)
+                padded[:buf.size] = buf
+                u_inv, u_words, counts, n_unique = genome_unique_table(
+                    padded, geom, bits, omit_soft)
+            nu = int(n_unique)
+            words = np.stack([np.asarray(w) for w in u_words])
+            counts = np.asarray(counts)
+            cache.store(path, geom, bits, omit_soft, words, counts, nu)
+            words, counts = words[:, :nu], counts[:nu]
+        else:
+            words, counts, nu = hit
+        parts.append((file_idx, words, counts))
+
+    total = sum(p[1].shape[1] for p in parts)
+    padded_total = bucket_size(total)
+    W = parts[0][1].shape[0]
+    w_stack = np.zeros((W, padded_total), np.uint32)
+    file_id = np.zeros(padded_total, np.uint32)
+    counts = np.zeros(padded_total, np.uint32)
+    invalid = np.ones(padded_total, np.uint32)
+    at = 0
+    for file_idx, words, cnts in parts:
+        n = words.shape[1]
+        w_stack[:, at:at + n] = words
+        file_id[at:at + n] = file_idx
+        counts[at:at + n] = cnts
+        invalid[at:at + n] = 0
+        at += n
+    return invalid, w_stack, file_id, counts
+
+
 def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
-                 ingroup_filter: bool | None = None):
+                 ingroup_filter: bool | None = None, workdir: str | None = None):
     """Run the full intersection for ingroup ``files`` + ``outgroup`` files.
 
     Returns a list of FlankGroup in deterministic sorted-key order.
@@ -109,28 +154,43 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
     buffers = [load_buffer(path) for path in all_files]
     bits = detect_bits(buffers)
 
-    # One fused device program: per-genome extract/sort/unique (vmapped over
-    # the genome axis) + global sort + intersection + survivor compaction.
-    # Only ``cap`` compacted survivor rows cross back to the host; overflow
-    # re-runs with a larger cap (deterministic result, so this is safe).
-    pad = bucket_size(max(b.size for b in buffers))
-    stacked = np.zeros((len(buffers), pad), np.uint8)
-    for i, buf in enumerate(buffers):
-        stacked[i, :buf.size] = buf
-
-    code_table = dna.CODE2_TABLE if bits == 2 else dna.CODE4_TABLE
-    comp_table = dna.COMP2_TABLE if bits == 2 else dna.COMP4_TABLE
-    valid_table = dna.base_validity_table(bits, disallow="Nn",
-                                          omit_soft=omit_soft)
     cap = 1 << 16
-    while True:
-        out_words, fid_d, cnt_d, gid_d, n_keep = fused_pipeline(
-            stacked, code_table, valid_table, comp_table, left=geom.left,
-            mid=geom.mid, right=geom.right, bits=bits, cap=cap)
-        n_keep = int(n_keep)
-        if n_keep <= cap:
-            break
-        cap = bucket_size(n_keep, quantum=1 << 16)
+    if workdir is not None:
+        # Checkpoint/resume path: per-genome tables cached on disk keyed by
+        # content+geometry; the global intersection re-runs over them.
+        invalid, w_stack, file_id, counts = _cached_tables(
+            all_files, geom, bits, omit_soft, workdir)
+        while True:
+            out_words, fid_d, cnt_d, gid_d, n_keep = intersect_and_compact(
+                invalid, w_stack, file_id, counts, n_files=len(all_files),
+                flank_bases=geom.left + geom.right, bits=bits, cap=cap)
+            n_keep = int(n_keep)
+            if n_keep <= cap:
+                break
+            cap = bucket_size(n_keep, quantum=1 << 16)
+    else:
+        # One fused device program: per-genome extract/sort/unique (vmapped
+        # over the genome axis) + global sort + intersection + survivor
+        # compaction.  Only ``cap`` compacted survivor rows cross back to
+        # the host; overflow re-runs with a larger cap (deterministic
+        # result, so this is safe).
+        pad = bucket_size(max(b.size for b in buffers))
+        stacked = np.zeros((len(buffers), pad), np.uint8)
+        for i, buf in enumerate(buffers):
+            stacked[i, :buf.size] = buf
+
+        code_table = dna.CODE2_TABLE if bits == 2 else dna.CODE4_TABLE
+        comp_table = dna.COMP2_TABLE if bits == 2 else dna.COMP4_TABLE
+        valid_table = dna.base_validity_table(bits, disallow="Nn",
+                                              omit_soft=omit_soft)
+        while True:
+            out_words, fid_d, cnt_d, gid_d, n_keep = fused_pipeline(
+                stacked, code_table, valid_table, comp_table, left=geom.left,
+                mid=geom.mid, right=geom.right, bits=bits, cap=cap)
+            n_keep = int(n_keep)
+            if n_keep <= cap:
+                break
+            cap = bucket_size(n_keep, quantum=1 << 16)
 
     words_h = np.asarray(out_words)[:, :n_keep].T
     fid_h = np.asarray(fid_d)[:n_keep]

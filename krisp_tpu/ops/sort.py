@@ -19,16 +19,58 @@ import jax
 import jax.numpy as jnp
 
 
+def lsd_sort(keys, payloads=()):
+    """Stable lexicographic sort by multi-word keys via LSD passes.
+
+    XLA's TPU sort has a fast path for a single u32 key with carried
+    operands (~390 Mkeys/s measured on v5e) but falls off a cliff for
+    multi-key comparator sorts (~6 Mkeys/s at 8M rows).  A least-
+    significant-word-first sequence of stable single-key sorts computes the
+    identical lexicographic order at the fast rate — the radix-sort idea
+    with XLA's sort as the per-digit primitive (digit = 32 bits).
+
+    keys: list of uint32 arrays, most-significant first.  Returns
+    (keys_sorted list, payloads_sorted list).
+
+    For wide keys (many words), payloads are replaced by a row-id during
+    the passes and re-attached at the end with two extra sorts per payload
+    (sort-by-known-permutation is far cheaper than gather on TPU).
+    """
+    W, P = len(keys), len(payloads)
+    if W == 0:
+        return [], list(payloads)
+
+    def passes(arrays, n_keys):
+        for k in range(n_keys - 1, -1, -1):
+            ops = (arrays[k], *arrays[:k], *arrays[k + 1:])
+            out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+            arrays = list(out[1:k + 1]) + [out[0]] + list(out[k + 1:])
+        return arrays
+
+    if W + P <= 4 or P == 0:
+        arrays = passes(list(keys) + list(payloads), W)
+        return arrays[:W], arrays[W:]
+
+    # wide path: carry a row id, then permute payloads via sort
+    n = keys[0].shape[0]
+    iota = jnp.arange(n, dtype=jnp.uint32)
+    arrays = passes(list(keys) + [iota], W)
+    src = arrays[W]              # src[j] = original index of sorted row j
+    # dest[i] = sorted position of original row i (inverse permutation)
+    dest = jax.lax.sort((src, iota), num_keys=1, is_stable=True)[1]
+    sorted_payloads = [jax.lax.sort((dest, p), num_keys=1, is_stable=True)[1]
+                       for p in payloads]
+    return arrays[:W], sorted_payloads
+
+
 def sort_keys(invalid, words, payloads=()):
     """Lexicographic sort by (invalid, *words); payloads carried along.
 
     ``invalid`` leads so masked/padding rows sort after all real keys.
     Returns (invalid_sorted, words_sorted list, payloads_sorted list).
     """
-    operands = (invalid, *words, *payloads)
-    out = jax.lax.sort(operands, num_keys=1 + len(words), is_stable=True)
-    nw = len(words)
-    return out[0], list(out[1:1 + nw]), list(out[1 + nw:])
+    keys_sorted, payloads_sorted = lsd_sort([invalid, *words], payloads)
+    return keys_sorted[0], keys_sorted[1:], payloads_sorted
 
 
 def run_heads(invalid, words):
