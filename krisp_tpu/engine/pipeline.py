@@ -2,29 +2,31 @@
 
 Host orchestration of the device kernels:
 
-  FASTA -> uint8 buffer -> [device] window keys -> sort -> unique+count
-        -> concat across genomes -> [device] global sort + segment intersect
-        -> host decode of (small) survivor set -> FlankGroup objects.
+  FASTA -> uint8 buffers -> [ONE fused device program: per-genome window
+  keys -> LSD sort -> duplicate collapse; global (flank, genome) sort ->
+  survivor marking -> capped compaction] -> host decode of the (small)
+  survivor set -> FlankGroup objects.
 
 This replaces the reference's four file-based stages
 (/root/reference/src/krisp/krisp_fasta/krisp_fasta.py:237-290: per-file
-extract+GNU-sort, tournament merge, ingroup filter, parallel render) with two
-device launches and a host epilogue; no temp files, no subprocesses.
+extract+GNU-sort, tournament merge, ingroup filter, parallel render) with a
+single device dispatch and a host epilogue; no temp files, no subprocesses.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import dna
 from ..io.fasta import load_buffer, bucket_size, simple_name
-from ..ops.encode import kmer_keys
-from ..ops.sort import build_sorted_unique
-from ..ops.intersect import fused_pipeline, intersect_and_compact
+from ..metrics import GLOBAL as METRICS
+from ..ops.encode import kmer_keys_split, num_words
+from ..ops.sort import lsd_sort
+from ..ops.intersect import (SENTINEL, dedup_sorted, flank_is_ambiguous,
+                             fused_pipeline, global_intersect)
 from .groups import FlankGroup, KmerAmplicon
 
 
@@ -67,48 +69,65 @@ def detect_bits(buffers) -> int:
     return max(dna.choose_bits(buf) for buf in buffers)
 
 
-def genome_unique_table(buffer: np.ndarray, geom: KmerGeometry, bits: int,
-                        omit_soft: bool):
-    """Device stage 1 for one genome: windows -> sorted unique keys + counts.
-
-    Matches ``extractSortedKmers`` semantics (krisp_fasta.py:16-66): k-mers of
-    the full amplicon length, 'N'/'n' disallowed, both strands added
-    (complements=True, NOT canonicalized), soft-masked bases dropped
-    (--omit-soft) or uppercased (default), sorted by (left, right) flank.
-    """
+def _encoding_tables(bits: int, omit_soft: bool):
     code_table = dna.CODE2_TABLE if bits == 2 else dna.CODE4_TABLE
     comp_table = dna.COMP2_TABLE if bits == 2 else dna.COMP4_TABLE
     valid_table = dna.base_validity_table(bits, disallow="Nn",
                                           omit_soft=omit_soft)
-    invalid, words = kmer_keys(buffer, code_table, valid_table, comp_table,
-                               geom.left, geom.mid, geom.right, bits,
-                               add_revcomp=True)
-    return build_sorted_unique(invalid, words, bits)
+    return code_table, valid_table, comp_table
+
+
+def genome_unique_table(buffer: np.ndarray, geom: KmerGeometry, bits: int,
+                        omit_soft: bool):
+    """Device stage for one genome: sorted, duplicate-collapsed k-mer table
+    in the split [flank | mid] layout.
+
+    Matches ``extractSortedKmers`` semantics (krisp_fasta.py:16-66): k-mers
+    of the full amplicon length, 'N'/'n' disallowed, both strands added
+    (complements=True, NOT canonicalized), soft-masked k-mers dropped
+    (--omit-soft) or uppercased (default), sorted by (left, right) flank.
+
+    Returns (words uint32[W, n], counts uint32[n]); rows with count 0 are
+    sentinel (duplicate or masked) rows.
+    """
+    code_table, valid_table, comp_table = _encoding_tables(bits, omit_soft)
+    ok, fw, mw = kmer_keys_split(buffer, code_table, valid_table, comp_table,
+                                 geom.left, geom.mid, geom.right, bits)
+    n_valid = jnp.sum(ok.astype(jnp.int32))
+    words = [jnp.where(ok, w, SENTINEL) for w in fw + mw]
+    if flank_is_ambiguous(geom.left, geom.right, bits):
+        inval = jnp.where(ok, jnp.uint32(0), jnp.uint32(1))
+        sorted_w, _ = lsd_sort([inval] + words)
+        sorted_w = sorted_w[1:]
+    else:
+        sorted_w, _ = lsd_sort(words)
+    words_out, cnt = dedup_sorted(sorted_w, n_valid)
+    return jnp.stack(words_out), cnt
 
 
 def _cached_tables(paths, geom, bits, omit_soft, workdir):
     """Per-genome unique tables via the TableCache (checkpoint/resume
     path): load hits, compute+store misses.  Returns concatenated
-    (invalid, w_stack, file_id, counts) numpy arrays."""
+    (w_stack, file_id, counts) numpy arrays (sentinel-padded)."""
     from .checkpoint import TableCache
-    from ..metrics import GLOBAL as METRICS
 
     cache = TableCache(workdir)
     parts = []
     for file_idx, path in enumerate(paths):
         hit = cache.load(path, geom, bits, omit_soft)
         if hit is None:
-            with METRICS.stage("extract+sort", items=0):
+            with METRICS.stage("extract+sort"):
                 buf = load_buffer(path)
                 padded = np.zeros(bucket_size(buf.size), np.uint8)
                 padded[:buf.size] = buf
-                u_inv, u_words, counts, n_unique = genome_unique_table(
-                    padded, geom, bits, omit_soft)
-            nu = int(n_unique)
-            words = np.stack([np.asarray(w) for w in u_words])
-            counts = np.asarray(counts)
-            cache.store(path, geom, bits, omit_soft, words, counts, nu)
-            words, counts = words[:, :nu], counts[:nu]
+                words_d, cnt_d = genome_unique_table(padded, geom, bits,
+                                                     omit_soft)
+            words = np.asarray(words_d)
+            counts = np.asarray(cnt_d)
+            mask = counts > 0
+            words, counts = words[:, mask], counts[mask]
+            cache.store(path, geom, bits, omit_soft, words, counts,
+                        int(mask.sum()))
         else:
             words, counts, nu = hit
         parts.append((file_idx, words, counts))
@@ -116,23 +135,22 @@ def _cached_tables(paths, geom, bits, omit_soft, workdir):
     total = sum(p[1].shape[1] for p in parts)
     padded_total = bucket_size(total)
     W = parts[0][1].shape[0]
-    w_stack = np.zeros((W, padded_total), np.uint32)
-    file_id = np.zeros(padded_total, np.uint32)
+    w_stack = np.full((W, padded_total), 0xFFFFFFFF, np.uint32)
+    file_id = np.full(padded_total, 0xFFFFFFFF, np.uint32)
     counts = np.zeros(padded_total, np.uint32)
-    invalid = np.ones(padded_total, np.uint32)
     at = 0
     for file_idx, words, cnts in parts:
         n = words.shape[1]
         w_stack[:, at:at + n] = words
         file_id[at:at + n] = file_idx
         counts[at:at + n] = cnts
-        invalid[at:at + n] = 0
         at += n
-    return invalid, w_stack, file_id, counts
+    return w_stack, file_id, counts
 
 
 def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
-                 ingroup_filter: bool | None = None, workdir: str | None = None):
+                 ingroup_filter: bool | None = None,
+                 workdir: str | None = None):
     """Run the full intersection for ingroup ``files`` + ``outgroup`` files.
 
     Returns a list of FlankGroup in deterministic sorted-key order.
@@ -151,67 +169,86 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
     if ingroup_filter is None:
         ingroup_filter = geom.mid > 0 and has_outgroup
 
-    buffers = [load_buffer(path) for path in all_files]
+    with METRICS.stage("read_fasta"):
+        buffers = [load_buffer(path) for path in all_files]
     bits = detect_bits(buffers)
+    Wf = num_words(geom.left + geom.right, bits)
+    ambiguous = flank_is_ambiguous(geom.left, geom.right, bits)
 
     cap = 1 << 16
     if workdir is not None:
         # Checkpoint/resume path: per-genome tables cached on disk keyed by
         # content+geometry; the global intersection re-runs over them.
-        invalid, w_stack, file_id, counts = _cached_tables(
-            all_files, geom, bits, omit_soft, workdir)
+        w_stack, file_id, counts = _cached_tables(all_files, geom, bits,
+                                                  omit_soft, workdir)
         while True:
-            out_words, fid_d, cnt_d, gid_d, n_keep = intersect_and_compact(
-                invalid, w_stack, file_id, counts, n_files=len(all_files),
-                flank_bases=geom.left + geom.right, bits=bits, cap=cap)
-            n_keep = int(n_keep)
+            with METRICS.stage("intersect"):
+                out_words, fid_d, cnt_d, gid_d, n_keep = global_intersect(
+                    tuple(w_stack[:Wf]), file_id, tuple(w_stack[Wf:]),
+                    counts, n_files=len(all_files), n_flank_words=Wf,
+                    cap=cap, ambiguous=ambiguous)
+                n_keep = int(n_keep)
             if n_keep <= cap:
                 break
             cap = bucket_size(n_keep, quantum=1 << 16)
     else:
-        # One fused device program: per-genome extract/sort/unique (vmapped
-        # over the genome axis) + global sort + intersection + survivor
-        # compaction.  Only ``cap`` compacted survivor rows cross back to
-        # the host; overflow re-runs with a larger cap (deterministic
-        # result, so this is safe).
+        # One fused device program; only ``cap`` compacted survivor rows
+        # cross back to the host.  Overflow re-runs with a larger cap
+        # (deterministic result, so this is safe).
         pad = bucket_size(max(b.size for b in buffers))
         stacked = np.zeros((len(buffers), pad), np.uint8)
         for i, buf in enumerate(buffers):
             stacked[i, :buf.size] = buf
-
-        code_table = dna.CODE2_TABLE if bits == 2 else dna.CODE4_TABLE
-        comp_table = dna.COMP2_TABLE if bits == 2 else dna.COMP4_TABLE
-        valid_table = dna.base_validity_table(bits, disallow="Nn",
-                                              omit_soft=omit_soft)
+        code_table, valid_table, comp_table = _encoding_tables(bits, omit_soft)
         while True:
-            out_words, fid_d, cnt_d, gid_d, n_keep = fused_pipeline(
-                stacked, code_table, valid_table, comp_table, left=geom.left,
-                mid=geom.mid, right=geom.right, bits=bits, cap=cap)
-            n_keep = int(n_keep)
+            with METRICS.stage("device_pipeline",
+                               items=2 * len(buffers) * (pad - geom.total + 1)):
+                out_words, fid_d, cnt_d, gid_d, n_keep = fused_pipeline(
+                    stacked, code_table, valid_table, comp_table,
+                    left=geom.left, mid=geom.mid, right=geom.right,
+                    bits=bits, cap=cap)
+                n_keep = int(n_keep)
             if n_keep <= cap:
                 break
             cap = bucket_size(n_keep, quantum=1 << 16)
 
-    words_h = np.asarray(out_words)[:, :n_keep].T
-    fid_h = np.asarray(fid_d)[:n_keep]
-    cnt_h = np.asarray(cnt_d)[:n_keep]
-    gid_h = np.asarray(gid_d)[:n_keep]
+    with METRICS.stage("decode+group"):
+        words_h = np.asarray(out_words)[:, :n_keep]
+        fid_h = np.asarray(fid_d)[:n_keep]
+        cnt_h = np.asarray(cnt_d)[:n_keep]
+        gid_h = np.asarray(gid_d)[:n_keep]
 
-    decoded = dna.decode_words(words_h, geom.total, bits)
-    render_ingroup = frozenset(ingroup_tags) if has_outgroup else None
+        flank_dec = dna.decode_words(words_h[:Wf].T, geom.left + geom.right,
+                                     bits)
+        if geom.mid > 0:
+            mid_dec = dna.decode_words(words_h[Wf:].T, geom.mid, bits)
+        else:
+            mid_dec = [""] * n_keep
+        render_ingroup = frozenset(ingroup_tags) if has_outgroup else None
 
-    groups: list[FlankGroup] = []
-    current_gid = None
-    for row, g, f, c in zip(decoded, gid_h, fid_h, cnt_h):
-        left = row[:geom.left]
-        right = row[geom.left:geom.left + geom.right]
-        mid = row[geom.left + geom.right:]
-        if current_gid != g:
-            groups.append(FlankGroup(left=left, right=right,
-                                     ingroup=render_ingroup))
-            current_gid = g
-        groups[-1].add(KmerAmplicon(left=left, mid=mid, right=right,
-                                    label_counts={tags[f]: int(c)}))
+        # rows arrive (flank, file, mid-within-file); rebuild each group in
+        # mid order so amplicon insertion order matches the reference's
+        # sorted-file stream
+        groups: list[FlankGroup] = []
+        by_gid: dict[int, list] = {}
+        order: list[int] = []
+        for row_i in range(n_keep):
+            g = int(gid_h[row_i])
+            if g not in by_gid:
+                by_gid[g] = []
+                order.append(g)
+            by_gid[g].append(row_i)
+        for g in order:
+            rows = sorted(by_gid[g], key=lambda i: (mid_dec[i], i))
+            flank = flank_dec[rows[0]]
+            left = flank[:geom.left]
+            right = flank[geom.left:]
+            grp = FlankGroup(left=left, right=right, ingroup=render_ingroup)
+            for i in rows:
+                grp.add(KmerAmplicon(left=left, mid=mid_dec[i], right=right,
+                                     label_counts={tags[int(fid_h[i])]:
+                                                   int(cnt_h[i])}))
+            groups.append(grp)
 
     if ingroup_filter:
         # Diagnostic ingroup-unique-column filter on the survivor set

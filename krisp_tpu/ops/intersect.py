@@ -1,23 +1,28 @@
-"""Device multi-way intersection over one globally sorted k-mer table.
+"""Device multi-way intersection — fully gather/scatter-free.
 
 The reference computes the intersection of F sorted k-mer tables by a
 tournament of pairwise 2-way sorted merges across worker processes
-(/root/reference/src/krisp/krisp_fasta/intersectAmplicons.py:232-310, with the
-merge kernel in shared.py:285-347).  TPU-native design: concatenate every
-genome's unique table, sort once, and evaluate the survivor test with run
-(segment) reductions expressed as cumsum + gather — no scatters, so the whole
-thing is VPU-friendly and deterministic by construction (the nondeterminism
-that forced the reference to disable its parallel merge,
-intersectAmplicons.py:216-218, cannot arise).
+(/root/reference/src/krisp/krisp_fasta/intersectAmplicons.py:232-310, with
+the merge kernel in shared.py:285-347).  TPU-native design, shaped by
+measured v5e primitive costs (fast: stable single-key u32 sort ~390 Mkeys/s,
+1-D scans ~30 ms/8M; catastrophic: random gather/scatter, multi-key sorts):
 
-Survivor test: a flank-pair group survives iff rows from all F genomes are
-present.  That is the fixed point of the reference's pairwise-intersection
-tournament.  Per-group prefix-sum differences of per-file one-hot counts give
-presence without any segment scatter.
+  - multi-word keys sort via LSD passes of the fast single-key sort
+    (ops/sort.py:lsd_sort)
+  - the key layout splits at a word boundary: [flank words | mid words],
+    so the global order (flank, genome, mid) needs only flank words + the
+    genome id as sort keys; mid words ride as payloads
+  - per-genome duplicate collapse marks non-head rows with sentinel keys
+    instead of compacting (no nonzero/gather); the global sort sweeps all
+    sentinels to the tail
+  - the survivor test (flank group contains rows from all F genomes) is
+    computed with adjacent-row flags + 1-D cumsum + two monotone run
+    broadcasts (cummax forward, cummin backward) — zero gathers
+  - survivors compact through a small capped nonzero+take (KBs, not GBs)
 
-The ingroup-unique diagnostic-column filter (Amplicon.py:495-521) runs on the
-host over the compacted survivor set — survivors are tiny compared to the
-input table, so this costs nothing and keeps the device pass scatter-free.
+Deterministic by construction: result order is a pure function of key
+order, never of scheduling (the property whose absence forced the reference
+to disable its parallel merge, intersectAmplicons.py:216-218).
 """
 
 from __future__ import annotations
@@ -27,14 +32,165 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .sort import sort_keys
+from .sort import lsd_sort, sort_keys
+
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+BIG_I32 = jnp.int32(2**31 - 1)
+
+
+def flank_is_ambiguous(left: int, right: int, bits: int) -> bool:
+    """True when a valid all-T flank could equal the sentinel pattern (no
+    zero padding bits in the last flank word) — those geometries carry an
+    explicit validity key word through the sorts."""
+    return ((left + right) * bits) % 32 == 0
+
+
+def _run_heads(words):
+    neq = jnp.zeros(words[0].shape[0] - 1, bool)
+    for w in words:
+        neq = neq | (w[1:] != w[:-1])
+    return jnp.concatenate([jnp.ones(1, bool), neq])
+
+
+def _reverse_cummin(x):
+    return jax.lax.cummin(x[::-1])[::-1]
+
+
+def dedup_sorted(words, n_valid):
+    """Collapse duplicate rows of a sorted table without compaction.
+
+    Returns (words_out, counts): head rows keep their key words and get the
+    run length as count; duplicate and invalid rows become sentinel rows
+    with count 0.  ``n_valid`` = number of non-sentinel rows (they sort to
+    the front).  Semantics of the reference's ``simplifyStream``
+    (shared.py:210-240): adjacent equal rows merge, multiplicities add.
+    """
+    n = words[0].shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < n_valid
+    head = _run_heads(words) & valid
+    rh = jnp.where(head, idx, n)
+    nxt = _reverse_cummin(jnp.concatenate([rh[1:], jnp.full(1, n, jnp.int32)]))
+    cnt = jnp.where(head, jnp.minimum(nxt, n_valid) - idx, 0)
+    words_out = [jnp.where(head, w, SENTINEL) for w in words]
+    return words_out, cnt.astype(jnp.uint32)
+
+
+def mark_survivors(flank_words, file_id, counts, n_files: int):
+    """Per-row intersection-survivor flags over the globally sorted table.
+
+    Table order: (flank, file, ...); valid rows have count > 0.  The
+    distinct-file count per flank group is broadcast to every member row
+    with two monotone scans (prefix sums are nondecreasing, so plain
+    cummax/cummin propagate within runs without segment masking).
+    """
+    valid = counts > 0
+    head = _run_heads(flank_words)
+    prev_file = jnp.concatenate([file_id[:1], file_id[:-1]])
+    first_of_file = head | (file_id != prev_file)
+    x = (first_of_file & valid).astype(jnp.int32)
+    c = jnp.cumsum(x)
+    base = jax.lax.cummax(jnp.where(head, c - x, -1))
+    is_last = jnp.concatenate([head[1:], jnp.ones(1, bool)])
+    endc = _reverse_cummin(jnp.where(is_last, c, BIG_I32))
+    keep = ((endc - base) == n_files) & valid
+    group_id = jnp.cumsum(head.astype(jnp.int32)) - 1
+    return keep, group_id
+
+
+def compact_rows(arrays, keep, cap: int):
+    """Gather ``cap`` surviving rows (tiny) + true survivor count."""
+    n = keep.shape[0]
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    idx = jnp.nonzero(keep, size=cap, fill_value=n - 1)[0]
+    return [jnp.take(a, idx, axis=-1) for a in arrays], n_keep
+
+
+@partial(jax.jit, static_argnames=("n_files", "n_flank_words", "cap",
+                                   "ambiguous"))
+def global_intersect(flank_words, file_id, mid_words, counts, n_files: int,
+                     n_flank_words: int, cap: int, ambiguous: bool):
+    """Global stage over concatenated per-genome tables: LSD sort by
+    (flank, file), survivor marking, capped compaction.
+
+    flank_words: uint32[Wf, n]; mid_words: uint32[Wm, n] (Wm may be 0);
+    counts: uint32[n] with 0 marking sentinel rows.
+    Returns (words [Wf+Wm, cap], file_id[cap], counts[cap], group_id[cap],
+    n_keep).
+    """
+    keys = list(flank_words) + [file_id]
+    if ambiguous:
+        keys = [jnp.where(counts > 0, jnp.uint32(0), jnp.uint32(1))] + keys
+    payloads = list(mid_words) + [counts]
+    ks, ps = lsd_sort(keys, payloads)
+    if ambiguous:
+        ks = ks[1:]
+    fw_s = ks[:n_flank_words]
+    file_s = ks[n_flank_words]
+    mids_s = ps[:-1]
+    cnt_s = ps[-1]
+
+    keep, group_id = mark_survivors(fw_s, file_s, cnt_s, n_files)
+    all_words = jnp.stack(list(fw_s) + list(mids_s)) if (len(fw_s) + len(mids_s)) \
+        else jnp.zeros((0, keep.shape[0]), jnp.uint32)
+    (words_c, file_c, cnt_c, gid_c), n_keep = compact_rows(
+        [all_words, file_s, cnt_s, group_id], keep, cap)
+    return words_c, file_c, cnt_c, gid_c, n_keep
+
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
+                                   "omit_soft"))
+def fused_pipeline(buffers, code_table, valid_table, comp_table, left: int,
+                   mid: int, right: int, bits: int, cap: int,
+                   omit_soft: bool = False):
+    """Whole krisp_fasta compute path as ONE device program.
+
+    buffers: uint8[F, P] sentinel-separated genome buffers.  Per genome
+    (vmapped): split-layout window keys -> LSD sort -> duplicate collapse;
+    then the global stage.  One dispatch up, ~cap rows back.
+    """
+    from .encode import kmer_keys_split, num_words
+
+    F, P = buffers.shape
+    Wf = num_words(left + right, bits)
+    ambiguous = flank_is_ambiguous(left, right, bits)
+
+    def per_file(buf):
+        ok, fw, mw = kmer_keys_split(buf, code_table, valid_table,
+                                     comp_table, left, mid, right, bits)
+        n_valid = jnp.sum(ok.astype(jnp.int32))
+        words = [jnp.where(ok, w, SENTINEL) for w in fw + mw]
+        if ambiguous:
+            inval = jnp.where(ok, jnp.uint32(0), jnp.uint32(1))
+            sorted_w, _ = lsd_sort([inval] + words)
+            sorted_w = sorted_w[1:]
+        else:
+            sorted_w, _ = lsd_sort(words)
+        words_out, cnt = dedup_sorted(sorted_w, n_valid)
+        return jnp.stack(words_out), cnt
+
+    u_words, u_cnt = jax.vmap(per_file)(buffers)   # (F, W, n), (F, n)
+    n_per = u_cnt.shape[1]
+    W = u_words.shape[1]
+    flat_words = jnp.transpose(u_words, (1, 0, 2)).reshape(W, F * n_per)
+    counts = u_cnt.reshape(F * n_per)
+    file_id = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.uint32)[:, None], (F, n_per)).reshape(-1)
+    file_id = jnp.where(counts > 0, file_id, SENTINEL)
+
+    return global_intersect(tuple(flat_words[:Wf]), file_id,
+                            tuple(flat_words[Wf:]), counts, n_files=F,
+                            n_flank_words=Wf, cap=cap, ambiguous=ambiguous)
+
+
+# ---------------------------------------------------------------------------
+# Legacy single-table helpers (kept for the distributed layer and tests)
+# ---------------------------------------------------------------------------
 
 
 def _flank_group_heads(invalid, words, n_flank_bases: int, bits: int):
-    """Head flags for runs of equal (left,right) flank prefix in sorted
-    order.  The flank occupies the leading ``n_flank_bases`` packed bases of
-    the [left|right|mid] layout, so the comparison is whole leading words
-    plus one masked boundary word."""
+    """Head flags for runs of equal (left,right) flank prefix under the
+    *contiguous* [left|right|mid] layout (pre-split legacy path)."""
     per_word = 32 // bits
     full_words = n_flank_bases // per_word
     rem = n_flank_bases % per_word
@@ -49,11 +205,7 @@ def _flank_group_heads(invalid, words, n_flank_bases: int, bits: int):
 
 
 def group_bounds(head):
-    """For each row of a sorted table: [start, end) of its run.
-
-    start = last head index <= i (cumulative max of head positions);
-    end = first head index > i (reverse cumulative min, shifted).
-    """
+    """For each row of a sorted table: [start, end) of its run."""
     n = head.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     start = jax.lax.cummax(jnp.where(head, idx, 0))
@@ -66,12 +218,7 @@ def group_bounds(head):
 @partial(jax.jit, static_argnames=("n_files", "flank_bases", "bits"))
 def intersect_rows(invalid, w_stack, file_id, counts,
                    n_files: int, flank_bases: int, bits: int):
-    """Sort the concatenated unique tables and mark intersection survivors.
-
-    w_stack: uint32[W, n] key words.  Returns (w_stack_sorted, file_id,
-    counts, group_id, row_keep) all length n; ``row_keep`` marks rows whose
-    flank group has at least one row from every genome.
-    """
+    """Legacy contiguous-layout intersection (distributed layer/tests)."""
     words = list(w_stack)
     inv, ws, (fid, cnt) = sort_keys(invalid, words, (file_id, counts))
     valid = inv == 0
@@ -83,7 +230,7 @@ def intersect_rows(invalid, w_stack, file_id, counts,
 
     onehot = ((fid[:, None] == jnp.arange(n_files, dtype=fid.dtype)[None, :])
               & valid[:, None]).astype(jnp.int32)
-    pre = jnp.cumsum(onehot, axis=0)                      # (n, F)
+    pre = jnp.cumsum(onehot, axis=0)
     tot_end = jnp.take(pre, end - 1, axis=0)
     tot_start = jnp.where((start > 0)[:, None],
                           jnp.take(pre, jnp.maximum(start - 1, 0), axis=0), 0)
@@ -92,66 +239,3 @@ def intersect_rows(invalid, w_stack, file_id, counts,
 
     row_keep = (n_present == n_files) & valid
     return jnp.stack(ws), fid, cnt, group_id, row_keep
-
-
-@partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
-                                   "omit_soft"))
-def fused_pipeline(buffers, code_table, valid_table, comp_table, left: int,
-                   mid: int, right: int, bits: int, cap: int,
-                   omit_soft: bool = False):
-    """Whole krisp_fasta compute path as ONE device program.
-
-    buffers: uint8[F, P] sentinel-separated genome buffers (equal padded
-    length).  Per genome (vmapped): window keys -> sort -> unique+count;
-    then flatten, global sort, flank-group intersection, survivor
-    compaction.  A single dispatch and a single small device->host transfer
-    — the shape that makes dispatch/transfer latency irrelevant and lets
-    XLA overlap every stage.
-    """
-    from .encode import kmer_keys
-    from .sort import build_sorted_unique
-
-    F, P = buffers.shape
-
-    def per_file(buf):
-        invalid, words = kmer_keys(buf, code_table, valid_table, comp_table,
-                                   left, mid, right, bits,
-                                   add_revcomp=True)
-        u_inv, u_words, u_cnt, _ = build_sorted_unique(invalid, words, bits)
-        return u_inv, jnp.stack(u_words), u_cnt
-
-    u_inv, u_words, u_cnt = jax.vmap(per_file)(buffers)
-    n_per = u_inv.shape[1]
-    W = u_words.shape[1]
-    invalid = u_inv.reshape(F * n_per)
-    w_stack = jnp.transpose(u_words, (1, 0, 2)).reshape(W, F * n_per)
-    counts = u_cnt.reshape(F * n_per)
-    file_id = jnp.broadcast_to(
-        jnp.arange(F, dtype=jnp.uint32)[:, None], (F, n_per)).reshape(-1)
-
-    return intersect_and_compact(invalid, w_stack, file_id, counts,
-                                 n_files=F, flank_bases=left + right,
-                                 bits=bits, cap=cap)
-
-
-@partial(jax.jit, static_argnames=("n_files", "flank_bases", "bits", "cap"))
-def intersect_and_compact(invalid, w_stack, file_id, counts, n_files: int,
-                          flank_bases: int, bits: int, cap: int):
-    """Fused intersect + on-device survivor compaction.
-
-    Avoids pulling the full sorted table to the host: only ``cap`` compacted
-    survivor rows (plus a true survivor count for overflow detection) leave
-    the device.  Returns (words [W, cap], file_id[cap], counts[cap],
-    group_id[cap], n_survivors).
-    """
-    ws, fid, cnt, gid, keep = intersect_rows(invalid, w_stack, file_id,
-                                             counts, n_files, flank_bases,
-                                             bits)
-    n = fid.shape[0]
-    n_keep = jnp.sum(keep.astype(jnp.int32))
-    idx = jnp.nonzero(keep, size=cap, fill_value=n - 1)[0]
-    k = jnp.arange(cap)
-    valid_out = k < n_keep
-    out_words = jnp.take(ws, idx, axis=1)
-    return (out_words, jnp.take(fid, idx), jnp.take(cnt, idx),
-            jnp.where(valid_out, jnp.take(gid, idx), -1), n_keep)
