@@ -59,6 +59,14 @@ def parse_args(argv):
     return parser.parse_args(argv)
 
 
+def _design_job(task, p3_args):
+    """Pool worker: score one consensus template."""
+    from ..thermo.design import run_primer3
+    template, target_start, target_len = task
+    return run_primer3(template, target_start=target_start,
+                       target_len=target_len, **p3_args)
+
+
 def _open_out(path, default):
     if path is None:
         return default, False
@@ -106,13 +114,35 @@ def main(argv=None):
     out_csv, close_csv = _open_out(args.out_csv, sys.stdout)
     out_align, close_align = _open_out(args.out_align, None)
 
+    if args.primer3:
+        # Primer scoring is the per-candidate hot loop of the render stage
+        # (the reference farms it to render workers, outputAlignments.py:
+        # 79-98); here a process pool scores all candidates up front.
+        from ..thermo.design import design_primers_for_group, run_primer3
+        from ..metrics import GLOBAL as METRICS
+        with METRICS.stage("primer3", items=len(groups)):
+            if args.cores > 1 and len(groups) > 1:
+                import multiprocessing as mp
+                tasks = []
+                for group in groups:
+                    consensus = group.ingroup_consensus()
+                    tasks.append(("".join(consensus.values()),
+                                  len(consensus["forward"]),
+                                  len(consensus["diagnostic"])))
+                with mp.Pool(min(args.cores, len(groups))) as pool:
+                    results = pool.starmap(
+                        _design_job, [(t, p3_args) for t in tasks])
+                for group, p3 in zip(groups, results):
+                    group.p3 = p3
+            else:
+                for group in groups:
+                    design_primers_for_group(group, **p3_args)
+        groups = [g for g in groups
+                  if g.p3["PRIMER_PAIR_NUM_RETURNED"] != 0]
+
     print(render.csv_header(primer3=bool(args.primer3)), file=out_csv)
     found = 0
     for group in groups:
-        if args.primer3:
-            from ..thermo.design import design_primers_for_group
-            if not design_primers_for_group(group, **p3_args):
-                continue
         print(render.render_csv(group), file=out_csv)
         if out_align is not None:
             print(render.render_alignment(group, enable_dot=args.dot_alignment),
@@ -126,6 +156,9 @@ def main(argv=None):
 
     if args.verbose:
         dt = time.time() - start_t
+        from ..metrics import GLOBAL as METRICS
+        print("Stage timings:", file=sys.stderr)
+        METRICS.report()
         print(f"=> Found {found:,} regions in {dt:.2f} seconds", file=sys.stderr)
     return 0
 
