@@ -224,10 +224,14 @@ def run_primer3(template, target_start, target_len, options=None, tm=(53, 68),
              'SEQUENCE_TARGET': [target_start, target_len]},
             global_options)
     except ImportError:
+        kwargs = dict(tm=tm, gc=gc, amp_size=amp_size,
+                      primer_size=primer_size, max_sec_tm=max_sec_tm,
+                      gc_clamp=gc_clamp, max_end_gc=max_end_gc)
+        if options is not None:
+            kwargs.update(engine_params_from_settings(
+                parse_primer3_settings(options)))
         return design_primers("".join(template), target_start, target_len,
-                              tm=tm, gc=gc, amp_size=amp_size,
-                              primer_size=primer_size, max_sec_tm=max_sec_tm,
-                              gc_clamp=gc_clamp, max_end_gc=max_end_gc)
+                              **kwargs)
 
 
 def design_primers_for_group(group, **p3_args):
@@ -240,3 +244,61 @@ def design_primers_for_group(group, **p3_args):
                            target_len=len(consensus["diagnostic"]),
                            **p3_args)
     return group.p3["PRIMER_PAIR_NUM_RETURNED"] != 0
+
+
+def parse_primer3_settings(file_path):
+    """BoulderIO global-settings parser (parity: Amplicon.py:69-97 /
+    krisp_vcf.py:497-525): number coercion, space/semicolon lists, and
+    comma/dash ranges."""
+    import re
+
+    def to_number_if_can(x):
+        try:
+            if int(float(x)) == float(x) and "." not in x:
+                return int(x)
+            return float(x)
+        except ValueError:
+            return x
+
+    with open(file_path) as handle:
+        options = dict(tuple(l.strip().split("="))
+                       for l in handle.readlines())
+    for opt, val in options.items():
+        if " " in val or ";" in val:
+            val = re.split("[ ;]+", val)
+            val = [to_number_if_can(v) for v in val]
+            if "," in val or "-" in val[0]:
+                val = [[to_number_if_can(x) for x in re.split("[,\\-]+", v)]
+                       for v in val]
+        elif "," in val or "-" in val:
+            val = re.split("[,\\-]+", val)
+            val = [to_number_if_can(v) for v in val]
+        else:
+            val = to_number_if_can(val)
+        options[opt] = val
+    return options
+
+
+def engine_params_from_settings(options):
+    """Map a parsed BoulderIO settings dict onto the native engine's
+    parameters (used when the real primer3-py is unavailable)."""
+    params = {}
+    if "PRIMER_MIN_TM" in options and "PRIMER_MAX_TM" in options:
+        params["tm"] = (options["PRIMER_MIN_TM"], options["PRIMER_MAX_TM"])
+    if "PRIMER_MIN_GC" in options and "PRIMER_MAX_GC" in options:
+        params["gc"] = (options["PRIMER_MIN_GC"], options["PRIMER_MAX_GC"])
+    if "PRIMER_MIN_SIZE" in options and "PRIMER_MAX_SIZE" in options:
+        params["primer_size"] = (options["PRIMER_MIN_SIZE"],
+                                 options["PRIMER_MAX_SIZE"])
+    if "PRIMER_PRODUCT_SIZE_RANGE" in options:
+        rng = options["PRIMER_PRODUCT_SIZE_RANGE"]
+        if isinstance(rng, list) and rng and isinstance(rng[0], list):
+            rng = rng[0]
+        params["amp_size"] = tuple(rng[:2])
+    if "PRIMER_MAX_SELF_ANY_TH" in options:
+        params["max_sec_tm"] = options["PRIMER_MAX_SELF_ANY_TH"]
+    if "PRIMER_GC_CLAMP" in options:
+        params["gc_clamp"] = options["PRIMER_GC_CLAMP"]
+    if "PRIMER_MAX_END_GC" in options:
+        params["max_end_gc"] = options["PRIMER_MAX_END_GC"]
+    return params

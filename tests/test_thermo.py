@@ -83,3 +83,18 @@ def test_run_primer3_accepts_list_template():
              "GACCAAGCTGCGAGAGTATCTTGTCGATGGGAACGATAG")
     out = run_primer3(t, target_start=30, target_len=40, amp_size=(70, 150))
     assert out["PRIMER_PAIR_NUM_RETURNED"] == 1
+
+
+def test_boulderio_settings_parser(tmp_path):
+    from krisp_tpu.thermo.design import (parse_primer3_settings,
+                                         engine_params_from_settings)
+    f = tmp_path / "settings.txt"
+    f.write_text("PRIMER_MIN_TM=50\nPRIMER_MAX_TM=65\n"
+                 "PRIMER_PRODUCT_SIZE_RANGE=70-150\nPRIMER_GC_CLAMP=2\n")
+    opts = parse_primer3_settings(str(f))
+    assert opts["PRIMER_MIN_TM"] == 50
+    assert opts["PRIMER_PRODUCT_SIZE_RANGE"] == [70, 150]
+    params = engine_params_from_settings(opts)
+    assert params["tm"] == (50, 65)
+    assert params["amp_size"] == (70, 150)
+    assert params["gc_clamp"] == 2
