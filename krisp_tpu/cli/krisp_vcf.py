@@ -125,19 +125,29 @@ SEARCH_ARG_NAMES = ("min_samples", "min_reads", "min_geno_qual",
                     "gc_clamp", "max_end_gc", "force")
 
 
-def _worker(result_queue, failure_event, vcf_path, chunk, groups, reference,
-            want_alignment, search_args):
+def _worker(result_queue, log_queue, failure_event, vcf_path, chunk, groups,
+            reference, want_alignment, search_args):
+    from logging.handlers import QueueHandler
     from ..vcf.report import report_diag_region
+
+    # route worker logs through the parent's single-writer drain
+    # (parity: configure_subprocess_logger, krisp_vcf.py:91-98)
+    log = logging.getLogger("krisp_tpu.krisp_vcf")
+    log.handlers.clear()
+    log.addHandler(QueueHandler(log_queue))
+    log.setLevel(logging.DEBUG)
     try:
+        log.info(f"Starting scan of chunk {chunk}")
         for result in report_diag_region(vcf_path, chunk, groups, reference,
                                          want_alignment, **search_args):
             if failure_event.is_set():
+                log.critical("Error detected in other worker process. "
+                             "Ending this process too.")
                 return
             result_queue.put(result)
         result_queue.put("chunk_done")
     except BaseException:
-        logging.getLogger("krisp_tpu.krisp_vcf").exception(
-            f"Error scanning chunk {chunk}")
+        log.exception(f"Error scanning chunk {chunk}")
         failure_event.set()
         result_queue.put("chunk_done")
         raise
@@ -181,7 +191,16 @@ def run_all(args):
         manager = ctx.Manager()
         failure_event = manager.Event()
         result_queue = manager.Queue()
-        procs = []
+        log_queue = manager.Queue()
+
+        def drain_logs():
+            while True:
+                try:
+                    record = log_queue.get(block=False)
+                    logger.handle(record)
+                except queue_mod.Empty:
+                    return
+
         with stream_writer(args.out_csv, sys.stdout) as out_stream:
             writer = ResultWriter(out_stream, group_names,
                                   align_path=args.out_align)
@@ -193,10 +212,12 @@ def run_all(args):
                     chunk = pending.pop(0)
                     proc = ctx.Process(
                         target=_worker,
-                        args=(result_queue, failure_event, args.vcf, chunk,
-                              groups, reference, want_alignment, search_args))
+                        args=(result_queue, log_queue, failure_event,
+                              args.vcf, chunk, groups, reference,
+                              want_alignment, search_args))
                     proc.start()
                     active.append(proc)
+                drain_logs()
                 try:
                     item = result_queue.get(timeout=0.2)
                 except queue_mod.Empty:
@@ -209,6 +230,7 @@ def run_all(args):
                     writer.write(item)
             for proc in active:
                 proc.join()
+            drain_logs()
             writer.finish()
         logger.info("Total variants scanned: " + str(writer.total_variants()))
     else:

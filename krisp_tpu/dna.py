@@ -156,6 +156,31 @@ def choose_bits(data: np.ndarray) -> int:
     return 2 if not present[~ok2].any() else 4
 
 
+def decode_bits(words: np.ndarray, offsets, bits: int) -> list[str]:
+    """Decode base fields at explicit bit offsets from packed key words.
+
+    ``words``: (n, W) uint32; ``offsets``: absolute bit offset per base
+    (each field guaranteed word-aligned by KeyLayout).  Vectorized host
+    decode of the compacted survivor rows.
+    """
+    n = words.shape[0]
+    table = DECODE2 if bits == 2 else DECODE4
+    mask = (1 << bits) - 1
+    chars = np.empty((n, len(offsets)), np.uint8)
+    for i, off in enumerate(offsets):
+        w, bit = off // 32, off % 32
+        sh = 32 - bit - bits
+        chars[:, i] = table[(words[:, w] >> np.uint32(sh)) & np.uint32(mask)]
+    return [bytes(row).decode() for row in chars]
+
+
+def extract_bit_field(words: np.ndarray, off: int, width: int) -> np.ndarray:
+    """Extract an integer field (e.g. the genome id) from packed keys."""
+    w, bit = off // 32, off % 32
+    sh = 32 - bit - width
+    return (words[:, w] >> np.uint32(sh)) & np.uint32((1 << width) - 1)
+
+
 def decode_words(words: np.ndarray, length: int, bits: int) -> list[str]:
     """Decode packed key words back to strings (host, vectorized).
 

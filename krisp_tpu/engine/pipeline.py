@@ -26,7 +26,7 @@ from ..metrics import GLOBAL as METRICS
 from ..ops.encode import kmer_keys_split, num_words
 from ..ops.sort import lsd_sort
 from ..ops.intersect import (SENTINEL, dedup_sorted, flank_is_ambiguous,
-                             fused_pipeline, global_intersect)
+                             global_intersect)
 from .groups import FlankGroup, KmerAmplicon
 
 
@@ -191,10 +191,25 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
             if n_keep <= cap:
                 break
             cap = bucket_size(n_keep, quantum=1 << 16)
+        fid_h = np.asarray(fid_d)[:n_keep]
+        words_h = np.asarray(out_words)[:, :n_keep]
+        cnt_h = np.asarray(cnt_d)[:n_keep]
+        gid_h = np.asarray(gid_d)[:n_keep]
+        flank_dec = dna.decode_words(words_h[:Wf].T, geom.left + geom.right,
+                                     bits)
+        if geom.mid > 0:
+            mid_dec = dna.decode_words(words_h[Wf:].T, geom.mid, bits)
+        else:
+            mid_dec = [""] * n_keep
     else:
-        # One fused device program; only ``cap`` compacted survivor rows
-        # cross back to the host.  Overflow re-runs with a larger cap
-        # (deterministic result, so this is safe).
+        # One fused device program over minimal bit-packed keys; only
+        # ``cap`` compacted survivor rows cross back.  Overflow re-runs
+        # with a larger cap (deterministic result, so this is safe).
+        from ..ops.encode import KeyLayout
+        from ..ops.intersect import fused_pipeline_bits
+
+        layout = KeyLayout(geom.left, geom.mid, geom.right, bits,
+                           len(all_files))
         pad = bucket_size(max(b.size for b in buffers))
         stacked = np.zeros((len(buffers), pad), np.uint8)
         for i, buf in enumerate(buffers):
@@ -203,27 +218,25 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
         while True:
             with METRICS.stage("device_pipeline",
                                items=2 * len(buffers) * (pad - geom.total + 1)):
-                out_words, fid_d, cnt_d, gid_d, n_keep = fused_pipeline(
+                out_words, cnt_d, gid_d, n_keep = fused_pipeline_bits(
                     stacked, code_table, valid_table, comp_table,
                     left=geom.left, mid=geom.mid, right=geom.right,
-                    bits=bits, cap=cap)
+                    bits=bits, n_files=len(all_files), cap=cap)
                 n_keep = int(n_keep)
             if n_keep <= cap:
                 break
             cap = bucket_size(n_keep, quantum=1 << 16)
-
-    with METRICS.stage("decode+group"):
-        words_h = np.asarray(out_words)[:, :n_keep]
-        fid_h = np.asarray(fid_d)[:n_keep]
+        words_h = np.asarray(out_words)[:, :n_keep].T
         cnt_h = np.asarray(cnt_d)[:n_keep]
         gid_h = np.asarray(gid_d)[:n_keep]
+        off_flank, off_mid = layout.base_offsets()
+        flank_dec = dna.decode_bits(words_h, off_flank, bits)
+        mid_dec = (dna.decode_bits(words_h, off_mid, bits) if geom.mid > 0
+                   else [""] * n_keep)
+        fid_h = dna.extract_bit_field(words_h, layout.file_off,
+                                      layout.file_bits)
 
-        flank_dec = dna.decode_words(words_h[:Wf].T, geom.left + geom.right,
-                                     bits)
-        if geom.mid > 0:
-            mid_dec = dna.decode_words(words_h[Wf:].T, geom.mid, bits)
-        else:
-            mid_dec = [""] * n_keep
+    with METRICS.stage("decode+group"):
         render_ingroup = frozenset(ingroup_tags) if has_outgroup else None
 
         # rows arrive (flank, file, mid-within-file); rebuild each group in

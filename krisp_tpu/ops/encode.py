@@ -72,6 +72,103 @@ def pack_windows(codes, perm: tuple[int, ...], bits: int, n_win: int):
     return words
 
 
+class KeyLayout:
+    """Bit-level plan for the packed [flank | genome-id | mid] sort key.
+
+    Every row's entire identity — flank pair, source genome, and mid
+    sequence — lives in one minimal multi-word integer key, so the global
+    (flank, genome, mid) order needs ONLY key words as sort operands: the
+    fewest possible LSD passes with nothing carried.  The genome-id field
+    doubles as the validity marker (all-ones = sentinel), which also makes
+    sentinel rows unambiguous for every geometry.
+
+    Field placement never straddles a word: the genome field is padded to
+    fit inside one word, and base fields are bits-aligned by construction
+    (32 % bits == 0).
+    """
+
+    def __init__(self, left: int, mid: int, right: int, bits: int,
+                 n_files: int):
+        self.left, self.mid, self.right, self.bits = left, mid, right, bits
+        self.flank_bits = (left + right) * bits
+        fb = max(bits, (max(n_files, 1)).bit_length())  # sentinel > any id
+        fb = -(-fb // bits) * bits                      # bits-aligned
+        self.file_bits = fb
+        fo = self.flank_bits
+        if fo % 32 + fb > 32:
+            fo = (fo // 32 + 1) * 32
+        self.file_off = fo
+        self.mid_off = fo + fb
+        self.total_bits = self.mid_off + mid * bits
+        self.n_words = -(-self.total_bits // 32)
+        self.file_sentinel = (1 << fb) - 1
+
+    def base_offsets(self):
+        """(flank base bit-offsets, mid base bit-offsets) in layout order:
+        left bases, right bases | mid bases."""
+        b = self.bits
+        flank = [i * b for i in range(self.left + self.right)]
+        mid = [self.mid_off + i * b for i in range(self.mid)]
+        return flank, mid
+
+    def file_word_shift(self):
+        w = self.file_off // 32
+        sh = 32 - (self.file_off % 32) - self.file_bits
+        return w, sh
+
+
+def pack_windows_at(codes, perm, offsets, bits: int, n_win: int,
+                    n_words: int):
+    """Pack window bases into key words at explicit bit offsets.
+
+    codes: uint32[N]; perm: base index within the window per field slot;
+    offsets: absolute bit offset per slot.  Returns n_words uint32 arrays.
+    """
+    import collections
+    per_word = collections.defaultdict(list)
+    for p, off in zip(perm, offsets):
+        per_word[off // 32].append((p, off % 32))
+    words = []
+    for w in range(n_words):
+        acc = jnp.zeros((n_win,), jnp.uint32)
+        for p, bit in per_word.get(w, []):
+            sh = np.uint32(32 - bit - bits)
+            acc = acc | (jax.lax.dynamic_slice(codes, (p,), (n_win,)) << sh)
+        words.append(acc)
+    return words
+
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits",
+                                   "n_files"))
+def window_keys_bits(ascii_u8, code_table, valid_table, comp_table,
+                     left: int, mid: int, right: int, bits: int,
+                     n_files: int):
+    """Window extraction directly into the bit-packed KeyLayout.
+
+    Returns (ok bool[n], words list) with forward strand rows first, then
+    reverse complements (n = 2 * n_win).  The genome-id field is left zero;
+    the caller ORs it in.
+    """
+    L = left + mid + right
+    layout = KeyLayout(left, mid, right, bits, n_files)
+    codes, valid = encode_ascii(ascii_u8, code_table, valid_table)
+    ok = window_validity(valid, L)
+    n_win = ok.shape[0]
+
+    perm_flank = tuple(range(left)) + tuple(range(left + mid, L))
+    perm_mid = tuple(range(left, left + mid))
+    off_flank, off_mid = layout.base_offsets()
+    perm = perm_flank + tuple(perm_mid)
+    offs = off_flank + off_mid
+
+    comp_codes = jnp.take(jnp.asarray(comp_table), codes).astype(jnp.uint32)
+    fwd = pack_windows_at(codes, perm, offs, bits, n_win, layout.n_words)
+    rc = pack_windows_at(comp_codes, tuple(L - 1 - p for p in perm), offs,
+                         bits, n_win, layout.n_words)
+    words = [jnp.concatenate([a, b]) for a, b in zip(fwd, rc)]
+    return jnp.concatenate([ok, ok]), words
+
+
 def split_perms(left: int, mid: int, right: int):
     """Base-index permutations for the split key layout: flank part
     (left then right bases, zero-padded to a word boundary at pack time)

@@ -138,49 +138,92 @@ def global_intersect(flank_words, file_id, mid_words, counts, n_files: int,
     return words_c, file_c, cnt_c, gid_c, n_keep
 
 
-@partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
-                                   "omit_soft"))
-def fused_pipeline(buffers, code_table, valid_table, comp_table, left: int,
-                   mid: int, right: int, bits: int, cap: int,
-                   omit_soft: bool = False):
-    """Whole krisp_fasta compute path as ONE device program.
+def _masked_head(words, n_bits: int):
+    """Head flags for runs equal in the leading ``n_bits`` of the packed
+    key (word-wise compares + one masked boundary word)."""
+    full_words = n_bits // 32
+    rem = n_bits % 32
+    n = words[0].shape[0]
+    neq = jnp.zeros(n - 1, bool)
+    for w in range(full_words):
+        neq = neq | (words[w][1:] != words[w][:-1])
+    if rem:
+        mask = jnp.uint32(((1 << rem) - 1) << (32 - rem))
+        bw = words[full_words] & mask
+        neq = neq | (bw[1:] != bw[:-1])
+    return jnp.concatenate([jnp.ones(1, bool), neq])
 
-    buffers: uint8[F, P] sentinel-separated genome buffers.  Per genome
-    (vmapped): split-layout window keys -> LSD sort -> duplicate collapse;
-    then the global stage.  One dispatch up, ~cap rows back.
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
+                                   "n_files"))
+def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
+                        left: int, mid: int, right: int, bits: int,
+                        n_files: int, cap: int):
+    """Whole krisp_fasta compute path as ONE device program over minimal
+    bit-packed keys.
+
+    buffers: uint8[F, P] sentinel-separated genome buffers.  Window keys
+    carry flank, genome id, and mid in one packed integer (KeyLayout), so
+    the single global LSD sort uses ONLY key words as operands — the
+    minimum possible sort traffic.  Duplicate multiplicities fall out of
+    run lengths; the survivor test is three 1-D scans; compaction returns
+    ``cap`` rows.
     """
-    from .encode import kmer_keys_split, num_words
+    from .encode import window_keys_bits, KeyLayout
 
     F, P = buffers.shape
-    Wf = num_words(left + right, bits)
-    ambiguous = flank_is_ambiguous(left, right, bits)
+    layout = KeyLayout(left, mid, right, bits, n_files)
+    fword, fshift = layout.file_word_shift()
 
-    def per_file(buf):
-        ok, fw, mw = kmer_keys_split(buf, code_table, valid_table,
-                                     comp_table, left, mid, right, bits)
-        n_valid = jnp.sum(ok.astype(jnp.int32))
-        words = [jnp.where(ok, w, SENTINEL) for w in fw + mw]
-        if ambiguous:
-            inval = jnp.where(ok, jnp.uint32(0), jnp.uint32(1))
-            sorted_w, _ = lsd_sort([inval] + words)
-            sorted_w = sorted_w[1:]
-        else:
-            sorted_w, _ = lsd_sort(words)
-        words_out, cnt = dedup_sorted(sorted_w, n_valid)
-        return jnp.stack(words_out), cnt
+    def per_file(buf, file_idx):
+        ok, words = window_keys_bits(buf, code_table, valid_table,
+                                     comp_table, left, mid, right, bits,
+                                     n_files)
+        words[fword] = words[fword] | (file_idx << jnp.uint32(fshift))
+        return ok, jnp.stack(words)
 
-    u_words, u_cnt = jax.vmap(per_file)(buffers)   # (F, W, n), (F, n)
-    n_per = u_cnt.shape[1]
-    W = u_words.shape[1]
-    flat_words = jnp.transpose(u_words, (1, 0, 2)).reshape(W, F * n_per)
-    counts = u_cnt.reshape(F * n_per)
-    file_id = jnp.broadcast_to(
-        jnp.arange(F, dtype=jnp.uint32)[:, None], (F, n_per)).reshape(-1)
-    file_id = jnp.where(counts > 0, file_id, SENTINEL)
+    ok, words = jax.vmap(per_file)(buffers,
+                                   jnp.arange(F, dtype=jnp.uint32))
+    n_per = ok.shape[1]
+    n = F * n_per
+    W = layout.n_words
+    okf = ok.reshape(n)
+    flat = [jnp.where(okf, w, SENTINEL)
+            for w in jnp.transpose(words, (1, 0, 2)).reshape(W, n)]
 
-    return global_intersect(tuple(flat_words[:Wf]), file_id,
-                            tuple(flat_words[Wf:]), counts, n_files=F,
-                            n_flank_words=Wf, cap=cap, ambiguous=ambiguous)
+    keys_sorted, _ = lsd_sort(flat)
+
+    # run boundaries at three granularities of the same sorted table
+    head_full = _run_heads(keys_sorted)                       # full key
+    head_ff = _masked_head(keys_sorted,
+                           layout.file_off + layout.file_bits)  # flank+file
+    head_flank = _masked_head(keys_sorted, layout.flank_bits)  # flank group
+
+    fw, fsh = layout.file_word_shift()
+    file_field = ((keys_sorted[fw] >> jnp.uint32(fsh))
+                  & jnp.uint32(layout.file_sentinel))
+    valid = file_field != layout.file_sentinel
+
+    # duplicate multiplicities: run length of full-key runs
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rh = jnp.where(head_full, idx, n)
+    nxt = _reverse_cummin(jnp.concatenate([rh[1:],
+                                           jnp.full(1, n, jnp.int32)]))
+    counts = jnp.where(head_full & valid, nxt - idx, 0).astype(jnp.uint32)
+
+    # survivor test: distinct genomes per flank group == n_files
+    x = (head_ff & valid).astype(jnp.int32)
+    c = jnp.cumsum(x)
+    base = jax.lax.cummax(jnp.where(head_flank, c - x, -1))
+    is_last = jnp.concatenate([head_flank[1:], jnp.ones(1, bool)])
+    endc = _reverse_cummin(jnp.where(is_last, c, BIG_I32))
+    survive = ((endc - base) == n_files) & valid
+    group_id = jnp.cumsum(head_flank.astype(jnp.int32)) - 1
+
+    keep = survive & head_full
+    (words_c, cnt_c, gid_c), n_keep = compact_rows(
+        [jnp.stack(keys_sorted), counts, group_id], keep, cap)
+    return words_c, cnt_c, gid_c, n_keep
 
 
 # ---------------------------------------------------------------------------

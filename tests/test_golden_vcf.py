@@ -38,3 +38,28 @@ def test_vcf_golden_parity(tmp_path):
     assert align.read_text() == (GOLD / "vcf_pos150k_260k.align.txt").read_text()
     # the live status line shows rejection-reason counts on stderr
     assert "Undiagnostic" in proc.stderr
+
+
+def test_vcf_multicore_matches_serial(tmp_path):
+    """--cores N must produce the same CSV result set as serial (worker
+    logs routed through the parent; failure propagation wired)."""
+    def run(cores):
+        csv = tmp_path / f"out{cores}.csv"
+        log = tmp_path / f"log{cores}.txt"
+        proc = subprocess.run(
+            [sys.executable, "-m", "krisp_tpu.cli.krisp_vcf", META, REF_FASTA,
+             "--vcf", VCF, "--groups", "NA1", "NA2", "EU1",
+             "--pos", "150000", "220000", "--cores", str(cores),
+             "--log", str(log), "--out_csv", str(csv)],
+            capture_output=True, text=True, timeout=600,
+            env={"PYTHONHASHSEED": "0", "PYTHONPATH": "/root/repo",
+                 "PATH": "/usr/bin:/bin", "COLUMNS": "80"})
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        lines = csv.read_text().splitlines()
+        return lines[0], sorted(lines[1:]), log.read_text()
+
+    h1, serial, _ = run(1)
+    h2, parallel, log_text = run(2)
+    assert h1 == h2
+    assert serial == parallel
+    assert "Starting scan of chunk" in log_text  # worker logs reached parent
