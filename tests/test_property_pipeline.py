@@ -61,16 +61,23 @@ def oracle_pipeline(seqs_per_file, left, mid, right, ingroup_count):
     return groups
 
 
-@pytest.mark.parametrize("seed,geom", [(0, (4, 2, 3)), (1, (5, 0, 5)),
-                                       (2, (3, 1, 3)), (3, (17, 3, 2))])
-def test_pipeline_matches_oracle(tmp_path, seed, geom):
+@pytest.mark.parametrize("seed,geom,alphabet", [
+    (0, (4, 2, 3), "ACGTN"), (1, (5, 0, 5), "ACGTN"),
+    (2, (3, 1, 3), "ACGTN"), (3, (17, 3, 2), "ACGTN"),
+    # IUPAC letters force the 4-bit encoding path (reference keeps non-N
+    # ambiguity codes in k-mers: disallow is only "Nn", kstream.py:715-732)
+    (4, (4, 1, 3), "ACGTRYN"), (5, (9, 2, 6), "ACGTWSN")])
+def test_pipeline_matches_oracle(tmp_path, seed, geom, alphabet):
     rng = np.random.default_rng(seed)
     left, mid, right = geom
     n_files, in_count = 3, 2
     paths, seqs_per_file = [], []
+    probs = [0.04] * (len(alphabet) - 4)
+    p_main = (1 - sum(probs)) / 4
     for f in range(n_files):
-        seqs = ["".join(rng.choice(list("ACGTN"), size=rng.integers(30, 90),
-                                   p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        seqs = ["".join(rng.choice(list(alphabet),
+                                   size=rng.integers(30, 90),
+                                   p=[p_main] * 4 + probs))
                 for _ in range(3)]
         # plant a couple of shared regions so the intersection is non-empty
         shared = "".join(rng.choice(list("ACGT"), size=left + mid + right))
