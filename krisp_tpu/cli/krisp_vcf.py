@@ -61,6 +61,11 @@ def parse_args(argv):
     p.add_argument("--gc_clamp", type=int, default=1, metavar="INT")
     p.add_argument("--max_end_gc", type=int, default=4, metavar="INT")
     p.add_argument("--force", action="store_true", default=False)
+    p.add_argument("--engine", type=str, choices=["host", "device"],
+                   default="host",
+                   help="Variant classification engine: exact host path or "
+                        "TPU-batched kernel with on-demand exact "
+                        "rehydration. (default: %(default)s)")
     return p.parse_args(argv)
 
 
@@ -122,7 +127,7 @@ SEARCH_ARG_NAMES = ("min_samples", "min_reads", "min_geno_qual",
                     "min_map_qual", "min_var_qual", "min_freq",
                     "min_samp_prop", "var_location", "crrna_len", "tm", "gc",
                     "primer_size", "amp_size", "max_sec_tm", "min_bases",
-                    "gc_clamp", "max_end_gc", "force")
+                    "gc_clamp", "max_end_gc", "force", "engine")
 
 
 def _worker(result_queue, log_queue, failure_event, vcf_path, chunk, groups,

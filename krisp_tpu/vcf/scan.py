@@ -34,7 +34,7 @@ def find_diag_region(variants, groups, reference=None, nontarget=None,
                      min_freq=0.1, crrna_len=28, tm=(53, 68), gc=(40, 70),
                      amp_size=(80, 300), primer_size=(25, 35), max_sec_tm=40,
                      gc_clamp=1, max_end_gc=4, var_location=(4, 16),
-                     force=False):
+                     force=False, engine="host"):
     """Yield every window, tagged with .type; survivors are
     DiagnosticRegion instances (type == 'Diagnostic')."""
     from ..thermo.design import run_primer3
@@ -43,11 +43,17 @@ def find_diag_region(variants, groups, reference=None, nontarget=None,
     offset_right = crrna_len - var_location[1]
     window_width = crrna_len - offset_right - offset_left
 
-    reader = ClassifiedVariant.from_vcf(
-        variants, groups, min_samp_prop=min_samp_prop,
-        min_samples=min_samples, min_reads=min_reads,
-        min_geno_qual=min_geno_qual, min_freq=min_freq,
-        min_map_qual=min_map_qual, min_var_qual=min_var_qual, force=force)
+    classify_kwargs = dict(min_samp_prop=min_samp_prop,
+                           min_samples=min_samples, min_reads=min_reads,
+                           min_geno_qual=min_geno_qual, min_freq=min_freq,
+                           min_map_qual=min_map_qual,
+                           min_var_qual=min_var_qual, force=force)
+    if engine == "device" and min_reads >= 1:
+        from .device_classify import classify_stream_device
+        reader = classify_stream_device(variants, groups, **classify_kwargs)
+    else:
+        reader = ClassifiedVariant.from_vcf(variants, groups,
+                                            **classify_kwargs)
     windower = VariantWindow.sliding_window(
         reader, groups=list(groups.keys()), reference=reference,
         span=window_width, flank=amp_size[1])

@@ -63,3 +63,27 @@ def test_vcf_multicore_matches_serial(tmp_path):
     assert h1 == h2
     assert serial == parallel
     assert "Starting scan of chunk" in log_text  # worker logs reached parent
+
+
+def test_vcf_device_engine_matches_host(tmp_path):
+    """--engine device (TPU-batched classification) must reproduce the host
+    path byte-for-byte, including rendered alignments."""
+    def run(engine):
+        csv = tmp_path / f"{engine}.csv"
+        align = tmp_path / f"{engine}.align.txt"
+        proc = subprocess.run(
+            [sys.executable, "-m", "krisp_tpu.cli.krisp_vcf", META, REF_FASTA,
+             "--vcf", VCF, "--groups", "NA1", "NA2", "EU1",
+             "--pos", "150000", "220000", "--engine", engine,
+             "--out_csv", str(csv), "--out_align", str(align)],
+            capture_output=True, text=True, timeout=600,
+            env={"PYTHONHASHSEED": "0", "PYTHONPATH": "/root/repo",
+                 "PATH": "/usr/bin:/bin", "COLUMNS": "80",
+                 "JAX_PLATFORMS": "cpu"})
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return csv.read_text(), align.read_text()
+
+    host_csv, host_align = run("host")
+    dev_csv, dev_align = run("device")
+    assert dev_csv == host_csv
+    assert dev_align == host_align
