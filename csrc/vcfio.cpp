@@ -1,0 +1,236 @@
+// Native VCF tokenizer: file/gz -> columnar arrays.
+//
+// Replaces the htslib/pysam layer of the reference
+// (/root/reference/src/krisp/krisp_vcf/krisp_vcf.py:1185-1189) and the
+// Python line parser fallback: one byte scan (zlib inflate for .gz)
+// producing struct-of-arrays ready for the vectorized classification
+// kernel — DP/GQ int32 per (record, sample), AD int32 per (record, sample,
+// allele<=MAX_ALLELES), QUAL/MQ per record, allele strings in a shared
+// blob with offsets.
+//
+// Exposed via ctypes (layout must stay in sync with io/native_vcf.py):
+//   KVcf* kvcf_read(const char* path, int max_alleles)
+//   void  kvcf_free(KVcf*)
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" {
+
+struct KVcf {
+    // header
+    char* sample_blob;        // sample names, NUL separated
+    size_t sample_blob_len;
+    int32_t n_samples;
+    // records
+    int64_t n_records;
+    int32_t max_alleles;
+    int64_t* pos;             // [n_records] 1-based POS
+    double* qual;             // [n_records]; NaN for '.'
+    double* mq;               // [n_records]; NaN when absent
+    int32_t* n_alleles;       // [n_records]
+    int32_t* chrom_id;        // [n_records] index into chrom_blob order
+    char* chrom_blob;         // distinct chrom names, NUL separated
+    size_t chrom_blob_len;
+    char* allele_blob;        // allele strings, NUL separated, in record order
+    size_t allele_blob_len;
+    int64_t* allele_off;      // [n_records] first allele index of record
+    int64_t n_allele_strings;
+    int32_t* dp;              // [n_records * n_samples]; -1 missing
+    int32_t* gq;              // [n_records * n_samples]; -1 missing
+    int32_t* ad;              // [n_records * n_samples * max_alleles]; 0 missing
+};
+
+struct KVcfImpl {
+    KVcf pub;
+    std::string sample_blob, chrom_blob, allele_blob;
+    std::vector<int64_t> pos, allele_off;
+    std::vector<double> qual, mq;
+    std::vector<int32_t> n_alleles, chrom_id, dp, gq, ad;
+};
+
+static bool read_line(gzFile f, std::string& line) {
+    line.clear();
+    char buf[1 << 16];
+    while (gzgets(f, buf, sizeof buf)) {
+        line += buf;
+        if (!line.empty() && line.back() == '\n') {
+            line.pop_back();
+            if (!line.empty() && line.back() == '\r') line.pop_back();
+            return true;
+        }
+    }
+    return !line.empty();
+}
+
+static void split(const std::string& s, char sep,
+                  std::vector<std::string>& out) {
+    out.clear();
+    size_t start = 0;
+    while (true) {
+        size_t p = s.find(sep, start);
+        if (p == std::string::npos) {
+            out.push_back(s.substr(start));
+            return;
+        }
+        out.push_back(s.substr(start, p - start));
+        start = p + 1;
+    }
+}
+
+static int32_t to_i32(const std::string& t) {
+    if (t.empty() || t == ".") return -1;
+    return (int32_t)strtol(t.c_str(), nullptr, 10);
+}
+
+KVcf* kvcf_read(const char* path, int max_alleles) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return nullptr;
+    gzbuffer(f, 1 << 20);
+
+    auto* impl = new KVcfImpl();
+    std::string line;
+    std::vector<std::string> fields, fmt, toks, adtoks, alts;
+    std::vector<std::string> chroms;
+    int n_samples = 0;
+    bool header_done = false;
+
+    while (read_line(f, line)) {
+        if (line.empty()) continue;
+        if (line[0] == '#') {
+            if (line.rfind("#CHROM", 0) == 0) {
+                split(line, '\t', fields);
+                for (size_t i = 9; i < fields.size(); ++i) {
+                    impl->sample_blob += fields[i];
+                    impl->sample_blob += '\0';
+                    ++n_samples;
+                }
+                header_done = true;
+            }
+            continue;
+        }
+        if (!header_done) { gzclose(f); delete impl; return nullptr; }
+
+        split(line, '\t', fields);
+        if (fields.size() < 8) continue;
+
+        // CHROM interning
+        int32_t cid = -1;
+        for (size_t i = 0; i < chroms.size(); ++i)
+            if (chroms[i] == fields[0]) { cid = (int32_t)i; break; }
+        if (cid < 0) {
+            cid = (int32_t)chroms.size();
+            chroms.push_back(fields[0]);
+            impl->chrom_blob += fields[0];
+            impl->chrom_blob += '\0';
+        }
+        impl->chrom_id.push_back(cid);
+        impl->pos.push_back(strtoll(fields[1].c_str(), nullptr, 10));
+
+        // alleles: REF + ALTs
+        impl->allele_off.push_back(
+            (int64_t)impl->n_alleles.size() == 0
+                ? 0
+                : impl->allele_off.back() + impl->n_alleles.back());
+        int32_t na = 1;
+        impl->allele_blob += fields[3];
+        impl->allele_blob += '\0';
+        if (fields[4] != "." && !fields[4].empty()) {
+            split(fields[4], ',', alts);
+            for (auto& a : alts) {
+                impl->allele_blob += a;
+                impl->allele_blob += '\0';
+                ++na;
+            }
+        }
+        impl->n_alleles.push_back(na);
+
+        impl->qual.push_back(fields[5] == "." ? NAN
+                             : strtod(fields[5].c_str(), nullptr));
+        double mqv = NAN;
+        const std::string& info = fields[7];
+        size_t mp = 0;
+        while (true) {
+            mp = info.find("MQ=", mp);
+            if (mp == std::string::npos) break;
+            if (mp == 0 || info[mp - 1] == ';') {
+                mqv = strtod(info.c_str() + mp + 3, nullptr);
+                break;
+            }
+            ++mp;
+        }
+        impl->mq.push_back(mqv);
+
+        // FORMAT indices
+        int dpi = -1, gqi = -1, adi = -1;
+        if (fields.size() > 8) {
+            split(fields[8], ':', fmt);
+            for (size_t i = 0; i < fmt.size(); ++i) {
+                if (fmt[i] == "DP") dpi = (int)i;
+                else if (fmt[i] == "GQ") gqi = (int)i;
+                else if (fmt[i] == "AD") adi = (int)i;
+            }
+        }
+        for (int s = 0; s < n_samples; ++s) {
+            int32_t dv = -1, gv = -1;
+            size_t col = 9 + s;
+            if (col < fields.size()) {
+                split(fields[col], ':', toks);
+                if (dpi >= 0 && dpi < (int)toks.size()) dv = to_i32(toks[dpi]);
+                if (gqi >= 0 && gqi < (int)toks.size()) gv = to_i32(toks[gqi]);
+                size_t ad_base = impl->ad.size();
+                impl->ad.resize(ad_base + max_alleles, 0);
+                if (adi >= 0 && adi < (int)toks.size() && toks[adi] != ".") {
+                    split(toks[adi], ',', adtoks);
+                    for (int a = 0; a < (int)adtoks.size() && a < max_alleles;
+                         ++a) {
+                        int32_t v = to_i32(adtoks[a]);
+                        impl->ad[ad_base + a] = v < 0 ? 0 : v;
+                    }
+                }
+            } else {
+                impl->ad.resize(impl->ad.size() + max_alleles, 0);
+            }
+            impl->dp.push_back(dv);
+            impl->gq.push_back(gv);
+        }
+    }
+    gzclose(f);
+
+    KVcf& p = impl->pub;
+    p.sample_blob = impl->sample_blob.data();
+    p.sample_blob_len = impl->sample_blob.size();
+    p.n_samples = n_samples;
+    p.n_records = (int64_t)impl->pos.size();
+    p.max_alleles = max_alleles;
+    p.pos = impl->pos.data();
+    p.qual = impl->qual.data();
+    p.mq = impl->mq.data();
+    p.n_alleles = impl->n_alleles.data();
+    p.chrom_id = impl->chrom_id.data();
+    p.chrom_blob = impl->chrom_blob.data();
+    p.chrom_blob_len = impl->chrom_blob.size();
+    p.allele_blob = impl->allele_blob.data();
+    p.allele_blob_len = impl->allele_blob.size();
+    p.allele_off = impl->allele_off.data();
+    int64_t total = 0;
+    for (int32_t na : impl->n_alleles) total += na;
+    p.n_allele_strings = total;
+    p.dp = impl->dp.data();
+    p.gq = impl->gq.data();
+    p.ad = impl->ad.data();
+    return &p;
+}
+
+void kvcf_free(KVcf* v) {
+    if (!v) return;
+    delete reinterpret_cast<KVcfImpl*>(v);
+}
+
+}  // extern "C"

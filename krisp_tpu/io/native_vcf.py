@@ -1,0 +1,140 @@
+"""ctypes bridge to the native VCF tokenizer (csrc/vcfio.cpp).
+
+Produces columnar arrays directly consumable by ops/vcfclass.classify_batch,
+plus lightweight record views compatible with the host engine — the
+GB-scale input path for whole-genome VCF scans.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_REPO = Path(__file__).resolve().parent.parent.parent
+_SRC = _REPO / "csrc" / "vcfio.cpp"
+_LIB_DIR = Path(__file__).resolve().parent / "_native"
+_LIB = _LIB_DIR / "libkrispvcf.so"
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+class _KVcf(ctypes.Structure):
+    _fields_ = [
+        ("sample_blob", ctypes.POINTER(ctypes.c_char)),
+        ("sample_blob_len", ctypes.c_size_t),
+        ("n_samples", ctypes.c_int32),
+        ("n_records", ctypes.c_int64),
+        ("max_alleles", ctypes.c_int32),
+        ("pos", ctypes.POINTER(ctypes.c_int64)),
+        ("qual", ctypes.POINTER(ctypes.c_double)),
+        ("mq", ctypes.POINTER(ctypes.c_double)),
+        ("n_alleles", ctypes.POINTER(ctypes.c_int32)),
+        ("chrom_id", ctypes.POINTER(ctypes.c_int32)),
+        ("chrom_blob", ctypes.POINTER(ctypes.c_char)),
+        ("chrom_blob_len", ctypes.c_size_t),
+        ("allele_blob", ctypes.POINTER(ctypes.c_char)),
+        ("allele_blob_len", ctypes.c_size_t),
+        ("allele_off", ctypes.POINTER(ctypes.c_int64)),
+        ("n_allele_strings", ctypes.c_int64),
+        ("dp", ctypes.POINTER(ctypes.c_int32)),
+        ("gq", ctypes.POINTER(ctypes.c_int32)),
+        ("ad", ctypes.POINTER(ctypes.c_int32)),
+    ]
+
+
+def _build() -> bool:
+    _LIB_DIR.mkdir(exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC),
+           "-lz", "-o", str(_LIB)]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, timeout=120)
+        return proc.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def get_lib():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.kvcf_read.restype = ctypes.POINTER(_KVcf)
+        lib.kvcf_read.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.kvcf_free.argtypes = [ctypes.POINTER(_KVcf)]
+        _lib = lib
+        return lib
+
+
+class ColumnarVcf:
+    """Whole-file columnar VCF (native parse); None when unavailable."""
+
+    def __init__(self, samples, chroms, chrom_id, pos, qual, mq, n_alleles,
+                 alleles, dp, gq, ad):
+        self.samples = samples
+        self.chroms = chroms
+        self.chrom_id = chrom_id
+        self.pos = pos
+        self.qual = qual
+        self.mq = mq
+        self.n_alleles = n_alleles
+        self.alleles = alleles      # list of tuples per record
+        self.dp = dp                # (V, S) int32, -1 missing
+        self.gq = gq
+        self.ad = ad                # (V, S, A) int32
+
+    @property
+    def n_records(self):
+        return len(self.pos)
+
+
+def read_columnar(path, max_alleles=8):
+    lib = get_lib()
+    if lib is None:
+        return None
+    ptr = lib.kvcf_read(str(path).encode(), max_alleles)
+    if not ptr:
+        return None
+    try:
+        c = ptr.contents
+        V, S, A = int(c.n_records), int(c.n_samples), int(c.max_alleles)
+        samples = (ctypes.string_at(c.sample_blob, c.sample_blob_len)
+                   .decode().split("\0")[:-1] if c.sample_blob_len else [])
+        chroms = (ctypes.string_at(c.chrom_blob, c.chrom_blob_len)
+                  .decode().split("\0")[:-1] if c.chrom_blob_len else [])
+        pos = np.ctypeslib.as_array(c.pos, (V,)).copy()
+        qual = np.ctypeslib.as_array(c.qual, (V,)).copy()
+        mq = np.ctypeslib.as_array(c.mq, (V,)).copy()
+        n_alleles = np.ctypeslib.as_array(c.n_alleles, (V,)).copy()
+        chrom_id = np.ctypeslib.as_array(c.chrom_id, (V,)).copy()
+        blob = ctypes.string_at(c.allele_blob, c.allele_blob_len)
+        allele_strings = blob.decode().split("\0")[:-1]
+        allele_off = np.ctypeslib.as_array(c.allele_off, (V,)).copy()
+        alleles = [tuple(allele_strings[allele_off[v]:
+                                        allele_off[v] + n_alleles[v]])
+                   for v in range(V)]
+        dp = np.ctypeslib.as_array(c.dp, (V, S)).copy() if V else \
+            np.zeros((0, S), np.int32)
+        gq = np.ctypeslib.as_array(c.gq, (V, S)).copy() if V else \
+            np.zeros((0, S), np.int32)
+        ad = np.ctypeslib.as_array(c.ad, (V, S, A)).copy() if V else \
+            np.zeros((0, S, A), np.int32)
+    finally:
+        lib.kvcf_free(ptr)
+    return ColumnarVcf(samples, chroms, chrom_id, pos, qual, mq, n_alleles,
+                       alleles, dp, gq, ad)
