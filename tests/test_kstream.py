@@ -91,3 +91,26 @@ def test_sort_cols_matches_gnu_sort():
     want = proc.stdout.splitlines()
     got = sorted(lines, key=sort_key_for_cols([0, 2]))
     assert got == want
+
+
+def test_write_matches_reference(tmp_path):
+    """KStream.write: file contents + returned count parity."""
+    fasta = tmp_path / "in.fa"
+    fasta.write_text(FASTA)
+    ours = tmp_path / "ours.txt"
+    ks = KStream(kmers=6, disallow="Nn", sort=True, complements=True)
+    count = ks.write(str(ours), str(fasta))
+
+    import subprocess, sys
+    script = (
+        "import sys; sys.path.insert(0, '/root/reference/src')\n"
+        "from krisp.kstream.kstream import kstream\n"
+        f"ks = kstream({str(fasta)!r}, kmers=6, disallow='Nn', sort=True,"
+        " complements=True)\n"
+        f"print(ks.write({str(tmp_path / 'ref.txt')!r}))\n")
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True,
+                          env={"PATH": "/usr/bin:/bin"})
+    assert proc.returncode == 0, proc.stderr
+    assert count == int(proc.stdout.strip())
+    assert ours.read_text() == (tmp_path / "ref.txt").read_text()
