@@ -218,10 +218,14 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
         while True:
             with METRICS.stage("device_pipeline",
                                items=2 * len(buffers) * (pad - geom.total + 1)):
+                import os as _os
+                use_pallas = (_os.environ.get("KRISP_TPU_PALLAS_PACK", "0")
+                              == "1" and bits == 2)
                 out_words, cnt_d, gid_d, n_keep = fused_pipeline_bits(
                     stacked, code_table, valid_table, comp_table,
                     left=geom.left, mid=geom.mid, right=geom.right,
-                    bits=bits, n_files=len(all_files), cap=cap)
+                    bits=bits, n_files=len(all_files), cap=cap,
+                    use_pallas=use_pallas, omit_soft=omit_soft)
                 n_keep = int(n_keep)
             if n_keep <= cap:
                 break

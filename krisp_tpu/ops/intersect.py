@@ -155,10 +155,11 @@ def _masked_head(words, n_bits: int):
 
 
 @partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
-                                   "n_files"))
+                                   "n_files", "use_pallas", "omit_soft"))
 def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
                         left: int, mid: int, right: int, bits: int,
-                        n_files: int, cap: int):
+                        n_files: int, cap: int, use_pallas: bool = False,
+                        omit_soft: bool = False):
     """Whole krisp_fasta compute path as ONE device program over minimal
     bit-packed keys.
 
@@ -176,14 +177,41 @@ def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
     fword, fshift = layout.file_word_shift()
 
     def per_file(buf, file_idx):
-        ok, words = window_keys_bits(buf, code_table, valid_table,
-                                     comp_table, left, mid, right, bits,
-                                     n_files)
+        if use_pallas and bits == 2:
+            # explicit fused encode+stencil+pack kernel (2-bit fast path);
+            # output is padded to the kernel tile — trim to the XLA shape
+            from .pallas_pack import pallas_window_keys
+            L = left + mid + right
+            n_win = buf.shape[0] - L + 1
+            ok_f, w_f = pallas_window_keys(buf, left, mid, right, bits,
+                                           n_files, revcomp=False,
+                                           omit_soft=omit_soft)
+            ok_r, w_r = pallas_window_keys(buf, left, mid, right, bits,
+                                           n_files, revcomp=True,
+                                           omit_soft=omit_soft)
+            ok = jnp.concatenate([ok_f[:n_win], ok_r[:n_win]])
+            words = [jnp.concatenate([a[:n_win], b[:n_win]])
+                     for a, b in zip(w_f, w_r)]
+        else:
+            ok, words = window_keys_bits(buf, code_table, valid_table,
+                                         comp_table, left, mid, right, bits,
+                                         n_files)
         words[fword] = words[fword] | (file_idx << jnp.uint32(fshift))
         return ok, jnp.stack(words)
 
-    ok, words = jax.vmap(per_file)(buffers,
-                                   jnp.arange(F, dtype=jnp.uint32))
+    if use_pallas and bits == 2:
+        # pallas_call + manual DMA doesn't batch under vmap; F is small and
+        # static, so unroll the genome loop instead
+        oks, wds = [], []
+        for f in range(F):
+            o, w = per_file(buffers[f], jnp.uint32(f))
+            oks.append(o)
+            wds.append(w)
+        ok = jnp.stack(oks)
+        words = jnp.stack(wds)
+    else:
+        ok, words = jax.vmap(per_file)(buffers,
+                                       jnp.arange(F, dtype=jnp.uint32))
     n_per = ok.shape[1]
     n = F * n_per
     W = layout.n_words
