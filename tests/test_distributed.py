@@ -71,3 +71,11 @@ def test_shard_ownership_is_partition():
     keys = np.random.default_rng(1).integers(0, 2**32, 1000, dtype=np.uint64)
     buckets = (keys >> shift).astype(int)
     assert buckets.min() >= 0 and buckets.max() < n_shards
+
+
+def test_pod_mesh_structure():
+    from krisp_tpu.parallel.multihost import pod_mesh, init_runtime
+    assert init_runtime() in (True, False)  # no-op on single process
+    mesh = pod_mesh()
+    assert set(mesh.axis_names) == {"host", "chip"}
+    assert mesh.devices.size == len(jax.devices())
