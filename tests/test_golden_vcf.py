@@ -87,3 +87,23 @@ def test_vcf_device_engine_matches_host(tmp_path):
     dev_csv, dev_align = run("device")
     assert dev_csv == host_csv
     assert dev_align == host_align
+
+
+def test_vcf_custom_knobs_golden(tmp_path):
+    """Non-default geometry/quality knobs (README.md:414-417 style) —
+    byte parity against the reference oracle."""
+    csv = tmp_path / "out.csv"
+    align = tmp_path / "out.align.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "krisp_tpu.cli.krisp_vcf", META, REF_FASTA,
+         "--vcf", VCF, "--groups", "NA1", "NA2", "EU1",
+         "--pos", "150000", "260000", "--amp_size", "50", "100",
+         "--gc_clamp", "3", "--min_samples", "4", "--crrna_len", "30",
+         "--var_location", "5", "16",
+         "--out_csv", str(csv), "--out_align", str(align)],
+        capture_output=True, text=True, timeout=600,
+        env={"PYTHONHASHSEED": "0", "PYTHONPATH": "/root/repo",
+             "PATH": "/usr/bin:/bin", "COLUMNS": "80"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert csv.read_text() == (GOLD / "vcf_custom_knobs.csv").read_text()
+    assert align.read_text() == (GOLD / "vcf_custom_knobs.align.txt").read_text()
