@@ -38,12 +38,20 @@ def run(cmd, env_extra=None):
 
 
 def main():
+    import shutil
     import tempfile
     with tempfile.TemporaryDirectory() as td:
+        # the reference's tabix bookkeeping needs a writable VCF dir with a
+        # pre-existing index marker (see tests/golden/README.md)
+        vcf_copy = f"{td}/variants.vcf.gz"
+        shutil.copy(VCF, vcf_copy)
+        open(vcf_copy + ".tbi", "w").close()
         args = [META, REF_FASTA, "--vcf", VCF,
                 "--groups", "NA1", "NA2", "EU1"]
+        ref_args = [META, REF_FASTA, "--vcf", vcf_copy,
+                    "--groups", "NA1", "NA2", "EU1"]
         t_ref = run([sys.executable, "-m", "krisp.krisp_vcf.krisp_vcf",
-                     *args, "--out_csv", f"{td}/ref.csv"],
+                     *ref_args, "--out_csv", f"{td}/ref.csv"],
                     {"PYTHONPATH":
                      f"{REPO}/tools/refstubs:/root/reference/src:{REPO}"})
         t_host = run([sys.executable, "-m", "krisp_tpu.cli.krisp_vcf",
