@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .sort import lsd_sort, sort_keys
+from .sort import lsd_sort
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 BIG_I32 = jnp.int32(2**31 - 1)
@@ -252,61 +252,3 @@ def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
     (words_c, cnt_c, gid_c), n_keep = compact_rows(
         [jnp.stack(keys_sorted), counts, group_id], keep, cap)
     return words_c, cnt_c, gid_c, n_keep
-
-
-# ---------------------------------------------------------------------------
-# Legacy single-table helpers (kept for the distributed layer and tests)
-# ---------------------------------------------------------------------------
-
-
-def _flank_group_heads(invalid, words, n_flank_bases: int, bits: int):
-    """Head flags for runs of equal (left,right) flank prefix under the
-    *contiguous* [left|right|mid] layout (pre-split legacy path)."""
-    per_word = 32 // bits
-    full_words = n_flank_bases // per_word
-    rem = n_flank_bases % per_word
-    neq = invalid[1:] != invalid[:-1]
-    for w in range(full_words):
-        neq = neq | (words[w][1:] != words[w][:-1])
-    if rem:
-        mask = jnp.uint32(((1 << (bits * rem)) - 1) << (32 - bits * rem))
-        bw = words[full_words] & mask
-        neq = neq | (bw[1:] != bw[:-1])
-    return jnp.concatenate([jnp.ones(1, bool), neq])
-
-
-def group_bounds(head):
-    """For each row of a sorted table: [start, end) of its run."""
-    n = head.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    start = jax.lax.cummax(jnp.where(head, idx, 0))
-    head_next = jnp.concatenate([head[1:], jnp.ones(1, bool)])
-    nxt = jnp.where(head_next, idx + 1, n)
-    end = jax.lax.cummin(nxt[::-1])[::-1]
-    return start, end
-
-
-@partial(jax.jit, static_argnames=("n_files", "flank_bases", "bits"))
-def intersect_rows(invalid, w_stack, file_id, counts,
-                   n_files: int, flank_bases: int, bits: int):
-    """Legacy contiguous-layout intersection (distributed layer/tests)."""
-    words = list(w_stack)
-    inv, ws, (fid, cnt) = sort_keys(invalid, words, (file_id, counts))
-    valid = inv == 0
-    n = inv.shape[0]
-
-    head = _flank_group_heads(inv, ws, flank_bases, bits)
-    group_id = jnp.cumsum(head.astype(jnp.int32)) - 1
-    start, end = group_bounds(head)
-
-    onehot = ((fid[:, None] == jnp.arange(n_files, dtype=fid.dtype)[None, :])
-              & valid[:, None]).astype(jnp.int32)
-    pre = jnp.cumsum(onehot, axis=0)
-    tot_end = jnp.take(pre, end - 1, axis=0)
-    tot_start = jnp.where((start > 0)[:, None],
-                          jnp.take(pre, jnp.maximum(start - 1, 0), axis=0), 0)
-    present = (tot_end - tot_start) > 0
-    n_present = jnp.sum(present.astype(jnp.int32), axis=1)
-
-    row_keep = (n_present == n_files) & valid
-    return jnp.stack(ws), fid, cnt, group_id, row_keep
