@@ -1,0 +1,87 @@
+"""Multi-contig krisp_vcf end-to-end: synthetic two-contig VCF + reference,
+byte parity against the reference implementation run live (oracle via
+tools/refstubs).  The bundled fixture is single-contig, so this covers the
+contig iteration/chunking paths."""
+
+import gzip
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+GROUPS = {"EU1": ["e1", "e2", "e3"], "NA1": ["n1", "n2", "n3"],
+          "NA2": ["m1", "m2", "m3"]}
+SAMPLES = [s for ss in GROUPS.values() for s in ss]
+
+
+def synth_inputs(tmp_path):
+    rng = np.random.default_rng(5)
+    meta = tmp_path / "meta.csv"
+    meta.write_text("sample_id,group\n" + "".join(
+        f"{s},{g}\n" for g, ss in GROUPS.items() for s in ss))
+
+    contig_len = 8000
+    ref_path = tmp_path / "ref.fasta"
+    vcf_path = tmp_path / "vars.vcf.gz"
+    ref_chunks = []
+    records = []
+    for chrom in ["ctgA", "ctgB"]:
+        seq = rng.choice(list("ACGT"), size=contig_len)
+        ref_chunks.append((chrom, "".join(seq)))
+        for i, pos in enumerate(range(100, contig_len - 100, 60)):
+            ref_base = seq[pos - 1]
+            alt = {"A": "G", "G": "A", "C": "T", "T": "C"}[ref_base]
+            diag_group = "EU1" if (i % 10 == 4) else None
+            cols = []
+            for g, ss in GROUPS.items():
+                for _ in ss:
+                    if diag_group == g:
+                        cols.append(f"1/1:0,50:50:99")
+                    else:
+                        cols.append(f"0/0:50,0:50:99")
+            records.append((chrom, pos, ref_base, alt, cols))
+    with open(ref_path, "w") as fh:
+        for chrom, seq in ref_chunks:
+            fh.write(f">{chrom}\n")
+            for i in range(0, len(seq), 70):
+                fh.write(seq[i:i + 70] + "\n")
+    with gzip.open(vcf_path, "wt") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                 + "\t".join(SAMPLES) + "\n")
+        for chrom, pos, ref, alt, cols in records:
+            fh.write(f"{chrom}\t{pos}\t.\t{ref}\t{alt}\t900\tPASS\tMQ=60\t"
+                     "GT:AD:DP:GQ\t" + "\t".join(cols) + "\n")
+    return str(meta), str(ref_path), str(vcf_path)
+
+
+def run_cli(module_env, meta, ref, vcf, out_dir, tag):
+    csv = f"{out_dir}/{tag}.csv"
+    align = f"{out_dir}/{tag}.align.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", module_env[0], meta, ref, "--vcf", vcf,
+         "--groups", "EU1", "NA1", "NA2", "--out_csv", csv,
+         "--out_align", align],
+        capture_output=True, text=True, timeout=600,
+        env={"PYTHONHASHSEED": "0", "PYTHONPATH": module_env[1],
+             "PATH": "/usr/bin:/bin", "COLUMNS": "80"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return open(csv).read(), open(align).read()
+
+
+def test_multicontig_parity(tmp_path):
+    meta, ref, vcf = synth_inputs(tmp_path)
+    # reference needs a writable dir + index marker (tests/golden/README.md)
+    open(vcf + ".tbi", "w").close()
+    ref_csv, ref_align = run_cli(
+        ("krisp.krisp_vcf.krisp_vcf",
+         "/root/repo/tools/refstubs:/root/reference/src:/root/repo"),
+        meta, ref, vcf, str(tmp_path), "ref")
+    our_csv, our_align = run_cli(
+        ("krisp_tpu.cli.krisp_vcf", "/root/repo"),
+        meta, ref, vcf, str(tmp_path), "ours")
+    assert our_csv == ref_csv
+    assert our_align == ref_align
+    # sanity: results found on both contigs
+    assert "ctgA:" in our_csv and "ctgB:" in our_csv
