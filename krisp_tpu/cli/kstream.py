@@ -57,6 +57,35 @@ def main(argv=None):
     from ..kstream import KStream
 
     args = parse_args(sys.argv[1:] if argv is None else argv)
+
+    # Device fast path: eligible extract+sort configurations run on the
+    # packed-key TPU pipeline (identical output bytes; content probe falls
+    # back to the host pipeline for IUPAC/RNA/case cases).  Stdin cannot be
+    # re-read after a probe, so it always takes the host path.
+    if args.file != "-":
+        from ..kstream_device import device_plan, run_device_kstream
+        plan = device_plan(kmers=args.kmers, complements=args.complements,
+                           canonicals=args.canonicals, allow=args.allow,
+                           disallow=args.disallow,
+                           omitsoft=args.omit_softmask,
+                           mapsoft=args.map_softmask,
+                           expandiupac=args.expand_iupac, split=args.split,
+                           sort=args.sort, sortcols=args.sort_cols)
+        if plan is not None:
+            from ..runtime import setup as _setup_runtime
+            _setup_runtime()
+            try:
+                if args.output is not None:
+                    with open(args.output, "wb") as fout:
+                        done = run_device_kstream(args.file, plan, fout)
+                else:
+                    done = run_device_kstream(args.file, plan,
+                                              sys.stdout.buffer)
+                    sys.stdout.buffer.flush()
+                if done is not None:
+                    return 0
+            except BrokenPipeError:
+                return 0
     streamer = KStream(kmers=args.kmers,
                        complements=args.complements,
                        canonicals=args.canonicals,

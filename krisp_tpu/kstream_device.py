@@ -1,0 +1,139 @@
+"""Device-accelerated kstream fast path.
+
+The reference's published kstream workloads (README.md:294-312) are
+"extract all k-mers, filter, sort" over large FASTA — the exact shape of
+the device engine.  This module routes eligible configurations through the
+packed-key pipeline: windows -> (optional revcomp/canonical) -> device LSD
+sort -> run-length counts -> vectorized text decode, emitting the identical
+byte stream the string pipeline produces.
+
+Eligibility (``device_plan`` + a content probe in ``run_device_kstream``):
+one k-mer length; plain, complements, or canonicals; ``--disallow Nn``;
+softmask policies; sort without custom columns; DNA input whose residues
+are ACGT/N (lowercase only under a softmask policy).  Everything else
+returns None and the caller falls back to the exact host pipeline
+(krisp_tpu.kstream).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import dna
+from .io.fasta import load_buffer, bucket_size
+
+
+@dataclass
+class DevicePlan:
+    k: int
+    mode: str            # "plain" | "complements" | "canonicals"
+    omit_soft: bool
+    map_soft: bool
+
+
+def device_plan(kmers=None, complements=False, canonicals=False, allow=None,
+                disallow=None, omitsoft=False, mapsoft=False,
+                expandiupac=False, split=None, sort=False, sortcols=None):
+    """Return a DevicePlan when the configuration is device-eligible."""
+    if not sort or sortcols or split or expandiupac or allow is not None:
+        return None
+    if disallow is None or set(disallow) != {"N", "n"}:
+        return None
+    if kmers is None:
+        return None
+    klist = kmers if isinstance(kmers, (list, tuple)) else [kmers]
+    if len(klist) != 1 or klist[0] > 512 or klist[0] < 1:
+        return None
+    mode = ("canonicals" if canonicals
+            else "complements" if complements else "plain")
+    return DevicePlan(k=klist[0], mode=mode, omit_soft=omitsoft,
+                      map_soft=mapsoft)
+
+
+def run_device_kstream(path, plan: DevicePlan, out_stream):
+    """Execute the plan; writes sorted k-mer lines to ``out_stream``
+    (binary).  Returns line count, or None when the input content forces a
+    fallback to the host pipeline (IUPAC residues, RNA, lowercase without a
+    softmask policy)."""
+    import jax
+    import jax.numpy as jnp
+    from .ops.encode import window_keys_bits, KeyLayout
+    from .ops.sort import lsd_sort
+    from .ops.intersect import SENTINEL, dedup_sorted
+
+    k = plan.k
+    buf = load_buffer(path)
+
+    # content probe: device path covers ACGT/N (case per softmask policy)
+    present = np.zeros(256, bool)
+    present[buf] = True
+    allowed = np.zeros(256, bool)
+    for b in "ACGTN":
+        allowed[ord(b)] = True
+    allowed[0] = True
+    if plan.omit_soft or plan.map_soft:
+        for b in "acgtn":
+            allowed[ord(b)] = True
+    if present[~allowed].any():
+        return None
+
+    padded = np.zeros(bucket_size(buf.size), np.uint8)
+    padded[:buf.size] = buf
+
+    bits = 2
+    code_table = dna.CODE2_TABLE
+    comp_table = dna.COMP2_TABLE
+    valid_table = dna.base_validity_table(bits, disallow="Nn",
+                                          omit_soft=plan.omit_soft)
+    layout = KeyLayout(k, 0, 0, bits, 1)
+    mode = plan.mode
+
+    @jax.jit
+    def stage(buffer):
+        ok, words = window_keys_bits(buffer, code_table, valid_table,
+                                     comp_table, k, 0, 0, bits, 1)
+        n_win = ok.shape[0] // 2
+        fwd = [w[:n_win] for w in words]
+        rc = [w[n_win:] for w in words]
+        okw = ok[:n_win]
+        if mode == "plain":
+            use, okk = fwd, okw
+        elif mode == "complements":
+            use = [jnp.concatenate([a, b]) for a, b in zip(fwd, rc)]
+            okk = jnp.concatenate([okw, okw])
+        else:  # canonicals: lexicographic min of fwd/rc keys
+            less = jnp.zeros(n_win, bool)
+            decided = jnp.zeros(n_win, bool)
+            for a, b in zip(fwd, rc):
+                less = jnp.where(~decided & (a != b), a < b, less)
+                decided = decided | (a != b)
+            use = [jnp.where(less | ~decided, a, b) for a, b in zip(fwd, rc)]
+            okk = okw
+        use = [jnp.where(okk, w, SENTINEL) for w in use]
+        sorted_w, _ = lsd_sort(use)
+        words_out, cnt = dedup_sorted(sorted_w,
+                                      jnp.sum(okk.astype(jnp.int32)))
+        return jnp.stack(words_out), cnt
+
+    uniq_words, counts = stage(padded)
+    counts = np.asarray(counts)
+    uniq = np.asarray(uniq_words)
+    mask = counts > 0
+    uniq = uniq[:, mask].T
+    reps = counts[mask].astype(np.int64)
+
+    # decode unique rows, then expand duplicate runs
+    off_flank, _ = layout.base_offsets()
+    n_rows = uniq.shape[0]
+    chars = np.empty((n_rows, k + 1), np.uint8)
+    chars[:, k] = ord("\n")
+    for i, off in enumerate(off_flank):
+        w, bit = off // 32, off % 32
+        sh = 32 - bit - bits
+        chars[:, i] = dna.DECODE2[(uniq[:, w] >> np.uint32(sh))
+                                  & np.uint32(3)]
+    expanded = np.repeat(chars, reps, axis=0)
+    out_stream.write(expanded.tobytes())
+    return int(reps.sum())

@@ -21,6 +21,15 @@ def setup(cache_dir: str | None = None) -> None:
     _DONE = True
     import jax
 
+    # honor JAX_PLATFORMS even where a site plugin (e.g. the axon TPU
+    # terminal) overrides the environment variable during interpreter start
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:
+            pass
+
     if cache_dir is None:
         cache_dir = os.environ.get(
             "KRISP_TPU_CACHE",

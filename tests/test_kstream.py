@@ -114,3 +114,42 @@ def test_write_matches_reference(tmp_path):
     assert proc.returncode == 0, proc.stderr
     assert count == int(proc.stdout.strip())
     assert ours.read_text() == (tmp_path / "ref.txt").read_text()
+
+
+@pytest.mark.parametrize("flags", [
+    ["--kmers", "9", "--disallow", "Nn", "--sort"],
+    ["--kmers", "9", "--disallow", "Nn", "--sort", "--complements"],
+    ["--kmers", "9", "--disallow", "Nn", "--sort", "--canonicals"],
+    ["--kmers", "6", "--disallow", "Nn", "--sort", "--map-softmask"],
+    ["--kmers", "6", "--disallow", "Nn", "--sort", "--omit-softmask"],
+])
+def test_device_fast_path_matches_reference(flags, tmp_path):
+    """The TPU fast path in the kstream CLI emits byte-identical output."""
+    fasta = tmp_path / "in.fa"
+    fasta.write_text(">a\nACGTNACGGTTACA\nacgtACGT\n>b\nGGGTTTACACGTN\n")
+    out = tmp_path / "ours.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "krisp_tpu.cli.kstream", str(fasta), *flags,
+         "--output", str(out)],
+        capture_output=True, text=True,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 0, proc.stderr
+    want = run_reference(flags, fasta.read_text())
+    assert out.read_text().splitlines() == want
+
+
+def test_device_path_falls_back_on_iupac(tmp_path):
+    fasta = tmp_path / "in.fa"
+    fasta.write_text(">a\nACGTRACGGTTACA\n")  # R forces the host path
+    out = tmp_path / "ours.txt"
+    flags = ["--kmers", "5", "--disallow", "Nn", "--sort"]
+    proc = subprocess.run(
+        [sys.executable, "-m", "krisp_tpu.cli.kstream", str(fasta), *flags,
+         "--output", str(out)],
+        capture_output=True, text=True,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 0, proc.stderr
+    want = run_reference(flags, fasta.read_text())
+    assert out.read_text().splitlines() == want
