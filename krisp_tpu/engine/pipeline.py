@@ -220,19 +220,22 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
             with METRICS.stage("device_pipeline",
                                items=2 * len(buffers) * (pad - geom.total + 1)):
                 import os as _os
-                flag = _os.environ.get("KRISP_TPU_PALLAS_PACK")
-                if flag is None:
-                    # default: use the Pallas kernel wherever a real TPU
-                    # backs the computation (+25% measured end-to-end)
-                    on_tpu = "TPU" in jax.devices()[0].device_kind
-                    use_pallas = bits == 2 and on_tpu
-                else:
-                    use_pallas = flag == "1" and bits == 2
+                on_tpu = "TPU" in jax.devices()[0].device_kind
+
+                def _flag(name):
+                    # default: Pallas kernels wherever a real TPU backs the
+                    # computation (measured end-to-end wins); env overrides
+                    v = _os.environ.get(name)
+                    return on_tpu if v is None else v == "1"
+
+                use_pallas = bits == 2 and _flag("KRISP_TPU_PALLAS_PACK")
+                use_pallas_scan = _flag("KRISP_TPU_PALLAS_SCAN")
                 out_words, cnt_d, gid_d, n_keep = fused_pipeline_bits(
                     stacked, code_table, valid_table, comp_table,
                     left=geom.left, mid=geom.mid, right=geom.right,
                     bits=bits, n_files=len(all_files), cap=cap,
-                    use_pallas=use_pallas, omit_soft=omit_soft)
+                    use_pallas=use_pallas, omit_soft=omit_soft,
+                    use_pallas_scan=use_pallas_scan)
                 n_keep = int(n_keep)
             if n_keep <= cap:
                 break

@@ -155,11 +155,13 @@ def _masked_head(words, n_bits: int):
 
 
 @partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
-                                   "n_files", "use_pallas", "omit_soft"))
+                                   "n_files", "use_pallas", "omit_soft",
+                                   "use_pallas_scan"))
 def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
                         left: int, mid: int, right: int, bits: int,
                         n_files: int, cap: int, use_pallas: bool = False,
-                        omit_soft: bool = False):
+                        omit_soft: bool = False,
+                        use_pallas_scan: bool = False):
     """Whole krisp_fasta compute path as ONE device program over minimal
     bit-packed keys.
 
@@ -221,13 +223,36 @@ def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
 
     keys_sorted, _ = lsd_sort(flat)
 
+    fw, fsh = layout.file_word_shift()
+
+    if use_pallas_scan:
+        # fused Pallas scans: heads at three granularities, counts, and the
+        # survivor prefix/suffix scans in two HBM sweeps (element-exact vs
+        # the XLA path, tests/test_pallas_scan.py)
+        from .pallas_scan import pallas_survivor_scan, TILE as SCAN_TILE
+
+        n_pad = -(-n // SCAN_TILE) * SCAN_TILE
+        if n_pad != n:
+            pad = n_pad - n
+            keys_sorted = [jnp.concatenate(
+                [w, jnp.full(pad, SENTINEL, jnp.uint32)])
+                for w in keys_sorted]
+        file_field = ((keys_sorted[fw] >> jnp.uint32(fsh))
+                      & jnp.uint32(layout.file_sentinel))
+        valid_u32 = (file_field != layout.file_sentinel).astype(jnp.uint32)
+        keep, counts, group_id = pallas_survivor_scan(
+            jnp.stack(keys_sorted), valid_u32, layout.flank_bits,
+            layout.file_off + layout.file_bits, n_files)
+        (words_c, cnt_c, gid_c), n_keep = compact_rows(
+            [jnp.stack(keys_sorted), counts, group_id], keep, cap)
+        return words_c, cnt_c, gid_c, n_keep
+
     # run boundaries at three granularities of the same sorted table
     head_full = _run_heads(keys_sorted)                       # full key
     head_ff = _masked_head(keys_sorted,
                            layout.file_off + layout.file_bits)  # flank+file
     head_flank = _masked_head(keys_sorted, layout.flank_bits)  # flank group
 
-    fw, fsh = layout.file_word_shift()
     file_field = ((keys_sorted[fw] >> jnp.uint32(fsh))
                   & jnp.uint32(layout.file_sentinel))
     valid = file_field != layout.file_sentinel
