@@ -153,3 +153,13 @@ def test_device_path_falls_back_on_iupac(tmp_path):
     assert proc.returncode == 0, proc.stderr
     want = run_reference(flags, fasta.read_text())
     assert out.read_text().splitlines() == want
+
+
+def test_parallel_mode_matches_reference(tmp_path):
+    """--parallel 2 output parity (ordered imap; reference converges after
+    sort, and unsorted parallel output is order-insensitive as a multiset)."""
+    args = ["--kmers", "6", "--disallow", "Nn", "--sort", "--parallel", "2"]
+    assert run_ours(args, FASTA, tmp_path) == run_reference(args, FASTA)
+    args2 = ["--kmers", "5", "--parallel", "2"]
+    assert sorted(run_ours(args2, FASTA, tmp_path)) == \
+        sorted(run_reference(args2, FASTA))

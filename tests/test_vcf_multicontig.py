@@ -85,3 +85,29 @@ def test_multicontig_parity(tmp_path):
     assert our_align == ref_align
     # sanity: results found on both contigs
     assert "ctgA:" in our_csv and "ctgB:" in our_csv
+
+
+def test_chroms_subset_parity(tmp_path):
+    """--chroms restricts the scan to named contigs (parity with the
+    reference's contig_subset path)."""
+    meta, ref, vcf = synth_inputs(tmp_path)
+    open(vcf + ".tbi", "w").close()
+
+    def run_with_chroms(module, pythonpath, tag):
+        csv = f"{tmp_path}/{tag}.csv"
+        proc = subprocess.run(
+            [sys.executable, "-m", module, meta, ref, "--vcf", vcf,
+             "--groups", "EU1", "NA1", "NA2", "--chroms", "ctgB",
+             "--out_csv", csv],
+            capture_output=True, text=True, timeout=600,
+            env={"PYTHONHASHSEED": "0", "PYTHONPATH": pythonpath,
+                 "PATH": "/usr/bin:/bin", "COLUMNS": "80"})
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return open(csv).read()
+
+    ref_csv = run_with_chroms(
+        "krisp.krisp_vcf.krisp_vcf",
+        "/root/repo/tools/refstubs:/root/reference/src:/root/repo", "refc")
+    our_csv = run_with_chroms("krisp_tpu.cli.krisp_vcf", "/root/repo", "ourc")
+    assert our_csv == ref_csv
+    assert "ctgB" in our_csv and "ctgA" not in our_csv
