@@ -176,6 +176,19 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
     Wf = num_words(geom.left + geom.right, bits)
     ambiguous = flank_is_ambiguous(geom.left, geom.right, bits)
 
+    # HBM budget guard: the fused one-shot program materializes every
+    # genome's window table at once (~56 bytes/window during the sort).
+    # Past the budget, fall back to the per-genome staged path (one genome's
+    # table on device at a time, cached in a temp workdir) — the same
+    # results at reduced peak memory.  True out-of-core chunking is the
+    # round-2 roadmap item (PARITY.md).
+    import os as _os
+    budget = int(_os.environ.get("KRISP_TPU_HBM_BUDGET", 8 << 30))
+    est = 56 * 2 * sum(bucket_size(b.size) for b in buffers)
+    if workdir is None and est > budget:
+        import tempfile
+        workdir = tempfile.mkdtemp(prefix="krisp_tpu_tables_")
+
     cap = 1 << 16
     if workdir is not None:
         # Checkpoint/resume path: per-genome tables cached on disk keyed by
