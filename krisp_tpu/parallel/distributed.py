@@ -12,16 +12,18 @@ latter disabled for nondeterminism).  The TPU-native equivalent:
     overlap, krisp_vcf.py:1036-1040).
   - **local sort + unique** per device (same kernels as single-chip).
   - **key-range ownership**: shard s owns keys whose leading bits bucket to
-    s; tables are all_gathered and each shard filters to its range, so the
+    s; rows move to their owner once via a padded all_to_all, so the
     concatenation over shards is the globally sorted table.  Deterministic by
     construction — result order is a pure function of key order, never of
     scheduling (the property whose absence forced the reference to disable
     its parallel merge, intersectAmplicons.py:216-218).
-  - **stats reduction**: per-shard survivor counts psum over the mesh.
+  - **stats reduction**: per-shard valid-key totals and exchange-overflow
+    flags psum over the mesh.
 
-all_gather suffices while per-shard unique tables fit in HBM; the range
-partition makes an all_to_all drop-in when they don't (each shard then sends
-only the slice each peer owns).
+The exchange is a padded all_to_all: each shard slices its (locally sorted,
+hence bucket-contiguous) table into per-destination runs, pads them to a
+2x-mean capacity, and ships each run once; an overflow counter reports when
+a skewed key distribution needs a larger capacity.
 """
 
 from __future__ import annotations
@@ -99,8 +101,11 @@ def sharded_kmer_step(mesh: Mesh, left: int, mid: int, right: int, bits: int,
             u_inv, u_words, u_cnt, _ = unique_counts(inv_s, words_s)
             tables.append((u_inv, u_words, u_cnt))
 
-        # Exchange: gather all shards' tables, keep this shard's key range.
-        my_bucket = jax.lax.axis_index(axis)
+        # Key-range exchange: every row moves exactly once to the shard that
+        # owns its bucket (top key bits), via all_to_all with per-destination
+        # padding and an overflow flag (the production transport; the
+        # reference's analog — byte-range sharding — was abandoned as
+        # nondeterministic, intersectAmplicons.py:216-218).
         inv = jnp.concatenate([t[0] for t in tables])
         words = [jnp.concatenate([t[1][w] for t in tables])
                  for w in range(num_words(L, bits))]
@@ -108,26 +113,55 @@ def sharded_kmer_step(mesh: Mesh, left: int, mid: int, right: int, bits: int,
         fids = jnp.concatenate([jnp.full(tables[f][0].shape[0], f, jnp.uint32)
                                 for f in range(n_files)])
 
-        g_inv = jax.lax.all_gather(inv, axis, tiled=True)
-        g_words = [jax.lax.all_gather(w, axis, tiled=True) for w in words]
-        g_cnts = jax.lax.all_gather(cnts, axis, tiled=True)
-        g_fids = jax.lax.all_gather(fids, axis, tiled=True)
+        # sort locally so bucket runs are contiguous and ascending
+        inv, words, (fids, cnts) = sort_keys(inv, words, (fids, cnts))
+        m = inv.shape[0]
+        valid = inv == 0
+        bucket = jnp.where(valid,
+                           (words[0] >> jnp.uint32(shift)).astype(jnp.int32),
+                           n_shards)
+        # per-destination run starts/counts in the sorted local table
+        count_d = jnp.stack([jnp.sum((bucket == d).astype(jnp.int32))
+                             for d in range(n_shards)])
+        start_d = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(count_d)[:-1].astype(jnp.int32)])
 
-        bucket = (g_words[0] >> jnp.uint32(shift)).astype(jnp.uint32)
-        if n_shards == 1:
-            mine = g_inv == 0
-        else:
-            mine = (bucket == my_bucket.astype(jnp.uint32)) & (g_inv == 0)
-        l_inv = jnp.where(mine, jnp.uint32(0), jnp.uint32(1))
+        cap = max(2 * (m // max(n_shards, 1)) + 64, 64)
+        overflow = jnp.sum((count_d > cap).astype(jnp.int32))
+
+        def send_matrix(x, fill):
+            xp = jnp.concatenate([x, jnp.full(cap, fill, x.dtype)])
+            rows = []
+            for d in range(n_shards):
+                row = jax.lax.dynamic_slice(xp, (start_d[d],), (cap,))
+                j = jnp.arange(cap, dtype=jnp.int32)
+                rows.append(jnp.where(j < count_d[d], row, fill))
+            return jnp.stack(rows)
+
+        def exchange(x):
+            return jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0,
+                                      tiled=False)
+
+        r_words = [exchange(send_matrix(w, jnp.uint32(0xFFFFFFFF)))
+                   .reshape(n_shards * cap) for w in words]
+        r_fids = exchange(send_matrix(fids, jnp.uint32(0))) \
+            .reshape(n_shards * cap)
+        r_cnts = exchange(send_matrix(cnts, jnp.uint32(0))) \
+            .reshape(n_shards * cap)
+        r_inv = exchange(send_matrix(inv, jnp.uint32(1))) \
+            .reshape(n_shards * cap)
+
         # local sort of the owned range: global order = shard order + local
         l_inv, l_words, (l_fids, l_cnts) = sort_keys(
-            l_inv, g_words, (g_fids, g_cnts))
+            r_inv, r_words, (r_fids, r_cnts))
         total_valid = jax.lax.psum(jnp.sum((l_inv == 0).astype(jnp.int32)),
                                    axis)
-        return l_inv, jnp.stack(l_words), l_fids, l_cnts, total_valid
+        overflow = jax.lax.psum(overflow, axis)
+        return (l_inv, jnp.stack(l_words), l_fids, l_cnts, total_valid,
+                overflow)
 
     spec = P(None, axis)
-    out_specs = (P(axis), P(None, axis), P(axis), P(axis), P())
+    out_specs = (P(axis), P(None, axis), P(axis), P(axis), P(), P())
     fn = shard_map(per_shard, mesh=mesh, in_specs=(spec,),
                    out_specs=out_specs, check_vma=False)
     return jax.jit(fn)

@@ -46,7 +46,8 @@ def test_sharded_matches_single_chip(n_dev):
 
     mesh = make_mesh(n_dev)
     step = sharded_kmer_step(mesh, left, mid, right, 2, n_files)
-    l_inv, l_words, l_fids, l_cnts, total_valid = step(buffers)
+    l_inv, l_words, l_fids, l_cnts, total_valid, overflow = step(buffers)
+    assert int(overflow) == 0
 
     inv = np.asarray(l_inv)
     ws = np.asarray(l_words)
