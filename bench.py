@@ -26,8 +26,8 @@ from pathlib import Path
 import numpy as np
 
 REPO = Path(__file__).parent
-N_FILES = 5
-GENOME_SIZE = 2_000_000
+N_FILES = int(os.environ.get("KRISP_BENCH_FILES", 5))
+GENOME_SIZE = int(os.environ.get("KRISP_BENCH_GENOME_SIZE", 2_000_000))
 BASE_GENOME_SIZE = 100_000    # for the CPU reference measurement
 LEFT, MID, RIGHT = 25, 1, 2
 L = LEFT + MID + RIGHT

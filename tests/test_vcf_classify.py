@@ -133,3 +133,14 @@ def test_parse_group_data(tmp_path):
 
 def test_read_contigs(vcf_path):
     assert read_contigs(vcf_path) == [("chr1", 400)]
+
+
+def test_sample_mismatch_raises_and_force(tmp_path, vcf_path):
+    """Metadata samples missing from the VCF: hard error, or proceed with
+    the intersection under --force (parity: find_diag_var.py:141-149)."""
+    groups = {"g1": ["s1", "ghost"], "g2": ["s3", "s4"]}
+    recs = list(VcfReader(vcf_path))
+    with pytest.raises(ValueError, match="cannot be found in the VCF"):
+        ClassifiedVariant(recs[0], groups, check_groups=True)
+    cv = ClassifiedVariant(recs[0], groups, check_groups=True, force=True)
+    assert cv.groups["g1"] == ["s1"]
