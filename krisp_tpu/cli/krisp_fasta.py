@@ -123,13 +123,14 @@ def main(argv=None):
         with METRICS.stage("primer3", items=len(groups)):
             if args.cores > 1 and len(groups) > 1:
                 import multiprocessing as mp
+                ctx = mp.get_context("spawn")  # fork after JAX init deadlocks
                 tasks = []
                 for group in groups:
                     consensus = group.ingroup_consensus()
                     tasks.append(("".join(consensus.values()),
                                   len(consensus["forward"]),
                                   len(consensus["diagnostic"])))
-                with mp.Pool(min(args.cores, len(groups))) as pool:
+                with ctx.Pool(min(args.cores, len(groups))) as pool:
                     results = pool.starmap(
                         _design_job, [(t, p3_args) for t in tasks])
                 for group, p3 in zip(groups, results):

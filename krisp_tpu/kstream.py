@@ -243,7 +243,9 @@ class KStream:
             out = self._transform(seqs)
         else:
             def parallel_stream():
-                with multiprocessing.Pool(self.parallel) as pool:
+                # spawn: fork is unsafe once JAX (multithreaded) loaded
+                ctx = multiprocessing.get_context("spawn")
+                with ctx.Pool(self.parallel) as pool:
                     for chunk in pool.imap(self._one_seq, seqs, chunksize=4):
                         yield from chunk
             out = parallel_stream()
