@@ -106,7 +106,42 @@ def genome_unique_table(buffer: np.ndarray, geom: KmerGeometry, bits: int,
     return jnp.stack(words_out), cnt
 
 
-def _cached_tables(paths, geom, bits, omit_soft, workdir):
+def _genome_table_chunked(path, geom, bits, omit_soft, chunk_size):
+    """Per-genome table computed in bounded device chunks (out-of-core
+    path for genomes larger than the HBM budget).
+
+    Chunk i owns window starts [i*C, (i+1)*C) and reads the buffer slice
+    [i*C, (i+1)*C + L - 1) — exact coverage, no double counting (the same
+    halo-overlap scheme as the device mesh, parallel/distributed.py).
+    Duplicate k-mers recurring across chunks stay as separate rows with
+    partial counts; the global intersection's label merge sums them.
+    """
+    buf = load_buffer(path)
+    L = geom.total
+    word_parts, cnt_parts = [], []
+    start = 0
+    while start < buf.size:
+        end = min(start + chunk_size, buf.size)
+        piece = buf[start:min(end + L - 1, buf.size)]
+        if piece.size < L:
+            break  # no window can start in this tail
+        padded = np.zeros(bucket_size(piece.size), np.uint8)
+        padded[:piece.size] = piece
+        words_d, cnt_d = genome_unique_table(padded, geom, bits, omit_soft)
+        words = np.asarray(words_d)
+        counts = np.asarray(cnt_d)
+        # drop rows whose window start falls beyond this chunk's range (the
+        # padding past `piece` is sentinel, so only real dups remain)
+        mask = counts > 0
+        word_parts.append(words[:, mask])
+        cnt_parts.append(counts[mask])
+        start = end
+    return (np.concatenate(word_parts, axis=1),
+            np.concatenate(cnt_parts))
+
+
+def _cached_tables(paths, geom, bits, omit_soft, workdir,
+                   chunk_size=64 << 20):
     """Per-genome unique tables via the TableCache (checkpoint/resume
     path): load hits, compute+store misses.  Returns concatenated
     (w_stack, file_id, counts) numpy arrays (sentinel-padded)."""
@@ -118,17 +153,10 @@ def _cached_tables(paths, geom, bits, omit_soft, workdir):
         hit = cache.load(path, geom, bits, omit_soft)
         if hit is None:
             with METRICS.stage("extract+sort"):
-                buf = load_buffer(path)
-                padded = np.zeros(bucket_size(buf.size), np.uint8)
-                padded[:buf.size] = buf
-                words_d, cnt_d = genome_unique_table(padded, geom, bits,
-                                                     omit_soft)
-            words = np.asarray(words_d)
-            counts = np.asarray(cnt_d)
-            mask = counts > 0
-            words, counts = words[:, mask], counts[mask]
+                words, counts = _genome_table_chunked(path, geom, bits,
+                                                      omit_soft, chunk_size)
             cache.store(path, geom, bits, omit_soft, words, counts,
-                        int(mask.sum()))
+                        words.shape[1])
         else:
             words, counts, nu = hit
         parts.append((file_idx, words, counts))

@@ -27,3 +27,24 @@ def test_workdir_checkpoint_roundtrip(tmp_path):
               for g in run_pipeline(INGROUP, OUTGROUP, geom,
                                     workdir=str(tmp_path))]
     assert second == fused
+
+
+def test_chunked_out_of_core_matches_fused(tmp_path, monkeypatch):
+    """Tiny chunk size forces many device chunks per genome; results must
+    match the one-shot fused path exactly."""
+    from krisp_tpu.engine import pipeline as P
+
+    geom = KmerGeometry(25, 1, 2)
+    fused = [render.render_csv(g)
+             for g in run_pipeline(INGROUP, OUTGROUP, geom)]
+
+    orig = P._cached_tables
+
+    def chunked(paths, geom, bits, omit_soft, workdir):
+        return orig(paths, geom, bits, omit_soft, workdir,
+                    chunk_size=17_000)  # ~6 chunks per 101kb genome
+    monkeypatch.setattr(P, "_cached_tables", chunked)
+    got = [render.render_csv(g)
+           for g in run_pipeline(INGROUP, OUTGROUP, geom,
+                                 workdir=str(tmp_path))]
+    assert got == fused
