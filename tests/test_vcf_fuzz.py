@@ -111,3 +111,61 @@ def test_fuzz_vcf_parity(tmp_path, seed):
         meta, ref, vcf, str(tmp_path), "ours")
     assert our_csv == ref_csv
     assert our_align == ref_align
+
+
+def synth_dense_inputs(tmp_path, seed):
+    """Densely packed variants with overlapping reference spans — exercises
+    the alignment renderer's overlapping-indel fallback path
+    (krisp_vcf.py:1174-1176)."""
+    rng = np.random.default_rng(seed)
+    meta = tmp_path / "meta.csv"
+    meta.write_text("sample_id,group\n" + "".join(
+        f"{s},{g}\n" for g, ss in GROUPS.items() for s in ss))
+    contig_len = 2500
+    seq = "".join(rng.choice(list("ACGT"), size=contig_len))
+    (tmp_path / "ref.fasta").write_text(
+        ">ctg1\n" + "\n".join(seq[i:i + 70]
+                              for i in range(0, contig_len, 70)) + "\n")
+    records = []
+    pos = 50
+    while pos < contig_len - 150:
+        ref_len = int(rng.choice([1, 2, 3, 4]))
+        ref_allele = seq[pos - 1:pos - 1 + ref_len]
+        alt = "".join(rng.choice(list("ACGT"),
+                                 size=int(rng.choice([1, 2, ref_len + 2]))))
+        if alt == ref_allele:
+            alt = alt + "A"
+        scenario = rng.random()
+        cols = []
+        for g, ss in GROUPS.items():
+            for _ in ss:
+                if scenario < 0.4 and g == "EU1":
+                    cols.append("1/1:0,48:48:99")
+                else:
+                    cols.append("0/0:50,0:50:99")
+        records.append(("ctg1", pos, ref_allele, alt, cols))
+        pos += int(rng.integers(2, 14))
+    vcf_path = tmp_path / "vars.vcf.gz"
+    with gzip.open(vcf_path, "wt") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                 + "\t".join(SAMPLES) + "\n")
+        for chrom, p, ref, alt, cols in records:
+            fh.write(f"{chrom}\t{p}\t.\t{ref}\t{alt}\t900\tPASS\tMQ=60\t"
+                     "GT:AD:DP:GQ\t" + "\t".join(cols) + "\n")
+    return str(meta), str(tmp_path / "ref.fasta"), str(vcf_path)
+
+
+@pytest.mark.parametrize("seed", [700, 701])
+def test_dense_overlapping_indels_parity(tmp_path, seed):
+    meta, ref, vcf = synth_dense_inputs(tmp_path, seed)
+    open(vcf + ".tbi", "w").close()
+    ref_csv, ref_align, _ = run_cli(
+        "krisp.krisp_vcf.krisp_vcf",
+        "/root/repo/tools/refstubs:/root/reference/src:/root/repo",
+        meta, ref, vcf, str(tmp_path), "ref")
+    our_csv, our_align, _ = run_cli(
+        "krisp_tpu.cli.krisp_vcf", "/root/repo",
+        meta, ref, vcf, str(tmp_path), "ours")
+    assert our_csv == ref_csv
+    assert our_align == ref_align
