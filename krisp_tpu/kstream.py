@@ -27,7 +27,6 @@ from __future__ import annotations
 import heapq
 import itertools
 import multiprocessing
-import sys
 import tempfile
 
 from .dna import COMPLEMENT, IUPAC_EXPAND

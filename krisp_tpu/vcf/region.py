@@ -22,7 +22,6 @@ from __future__ import annotations
 from collections import deque
 
 from ..dna import collapse_to_iupac
-from .classify import count_genotypes, subset_sample_counts
 
 
 class VariantWindow:

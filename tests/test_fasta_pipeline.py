@@ -6,8 +6,7 @@ import glob
 
 import pytest
 
-from krisp_tpu.engine.pipeline import KmerGeometry, run_pipeline, solve_geometry
-from krisp_tpu.engine import render
+from krisp_tpu.engine.pipeline import solve_geometry
 
 DATA = "/root/reference/test_data/krisp_fasta"
 INGROUP = sorted(glob.glob(f"{DATA}/ingroup*.fasta.gz"))

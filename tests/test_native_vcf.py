@@ -1,6 +1,5 @@
 """Native VCF tokenizer vs. the Python parser — identical columnar data."""
 
-import numpy as np
 import pytest
 
 from krisp_tpu.io.native_vcf import read_columnar, get_lib

@@ -5,7 +5,7 @@ has no equivalent)."""
 import numpy as np
 import pytest
 
-from krisp_tpu.dna import revcomp, collapse_to_iupac
+from krisp_tpu.dna import revcomp
 from krisp_tpu.engine.pipeline import KmerGeometry, run_pipeline
 
 

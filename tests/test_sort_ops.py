@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from krisp_tpu.ops.sort import lsd_sort, sort_keys, unique_counts
+from krisp_tpu.ops.sort import lsd_sort, unique_counts
 
 
 def test_lsd_sort_matches_lexsort():

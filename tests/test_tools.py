@@ -1,7 +1,5 @@
 """Tests for the auxiliary CLI tools (misc_scripts parity, SURVEY C43)."""
 
-import gzip
-
 from krisp_tpu.cli.tools import find_in_fasta, annotate_main
 
 

@@ -8,8 +8,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
-
 GROUPS = {"EU1": ["e1", "e2", "e3"], "NA1": ["n1", "n2", "n3"],
           "NA2": ["m1", "m2", "m3"]}
 SAMPLES = [s for ss in GROUPS.values() for s in ss]

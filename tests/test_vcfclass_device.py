@@ -4,8 +4,6 @@
 import itertools
 
 import numpy as np
-import pytest
-
 from krisp_tpu.ops.vcfclass import classify_batch
 from krisp_tpu.vcf.batch import build_batch
 from krisp_tpu.vcf.classify import ClassifiedVariant, parse_group_data
