@@ -37,6 +37,9 @@ def parse_args(argv):
                         help="Omit softmasked nucleotides")
     parser.add_argument("--cores", type=int, default=1, metavar="INT",
                         help="Total number of processors to utilize. (default: %(default)s)")
+    parser.add_argument("--devices", type=int, default=None, metavar="INT",
+                        help="Number of accelerator devices to shard the"
+                             " intersection over (default: all available)")
     parser.add_argument("--dot-alignment", action="store_true",
                         help="Output as dot-based alignments")
     parser.add_argument("-o", "--out_align", type=str, metavar="PATH",
@@ -103,7 +106,8 @@ def main(argv=None):
         print(file=sys.stderr)
 
     groups = run_pipeline(args.files, args.outgroup, geom,
-                          omit_soft=args.omit_soft, workdir=args.workdir)
+                          omit_soft=args.omit_soft, workdir=args.workdir,
+                          n_devices=args.devices)
 
     p3_args = dict(tm=tuple(args.tm), gc=tuple(args.gc),
                    amp_size=tuple(args.amp_size),

@@ -177,9 +177,29 @@ def _cached_tables(paths, geom, bits, omit_soft, workdir,
     return w_stack, file_id, counts
 
 
+def _mesh_for_run(layout, n_devices):
+    """Pick a device mesh for the fused path: explicit request via
+    ``n_devices`` or the KRISP_TPU_DEVICES env var, else every available
+    device.  Returns None (single-device fused program) when only one
+    device is usable or the flank is too short to key-range partition."""
+    import os
+    devs = jax.devices()
+    if n_devices is None:
+        env = os.environ.get("KRISP_TPU_DEVICES")
+        n_devices = int(env) if env else len(devs)
+    n = min(int(n_devices), len(devs))
+    if n <= 1:
+        return None
+    bbits = max((n - 1).bit_length(), 1)
+    if layout.flank_bits < bbits:
+        return None
+    from ..parallel.distributed import make_mesh
+    return make_mesh(n)
+
+
 def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
                  ingroup_filter: bool | None = None,
-                 workdir: str | None = None):
+                 workdir: str | None = None, n_devices: int | None = None):
     """Run the full intersection for ingroup ``files`` + ``outgroup`` files.
 
     Returns a list of FlankGroup in deterministic sorted-key order.
@@ -252,6 +272,35 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
 
         layout = KeyLayout(geom.left, geom.mid, geom.right, bits,
                            len(all_files))
+        mesh = _mesh_for_run(layout, n_devices)
+        if mesh is not None:
+            # Full distributed intersection over the device mesh:
+            # sequence-parallel slices + halo, key-range all_to_all, local
+            # survivor scan per owned range — identical rows to the fused
+            # single-device program (tests/test_distributed.py pins 1/2/4/8
+            # device equality down to the rendered CSV bytes).
+            from ..parallel.distributed import sharded_intersect_pipeline
+            n_sh = mesh.devices.size
+            chunk = max(-(-max(b.size for b in buffers) // n_sh), geom.total)
+            chunk = -(-chunk // 1024) * 1024
+            stacked = np.zeros((len(buffers), n_sh * chunk), np.uint8)
+            for i, buf in enumerate(buffers):
+                stacked[i, :buf.size] = buf
+            with METRICS.stage("device_pipeline_sharded",
+                               items=2 * len(buffers) * n_sh * chunk):
+                words_h, cnt_h, gid_h = sharded_intersect_pipeline(
+                    mesh, stacked, geom.left, geom.mid, geom.right, bits,
+                    omit_soft=omit_soft)
+            n_keep = words_h.shape[0]
+            off_flank, off_mid = layout.base_offsets()
+            flank_dec = dna.decode_bits(words_h, off_flank, bits)
+            mid_dec = (dna.decode_bits(words_h, off_mid, bits)
+                       if geom.mid > 0 else [""] * n_keep)
+            fid_h = dna.extract_bit_field(words_h, layout.file_off,
+                                          layout.file_bits)
+            return _group_epilogue(n_keep, gid_h, mid_dec, flank_dec, fid_h,
+                                   cnt_h, geom, tags, ingroup_tags,
+                                   has_outgroup, ingroup_filter)
         pad = bucket_size(max(b.size for b in buffers))
         stacked = np.zeros((len(buffers), pad), np.uint8)
         for i, buf in enumerate(buffers):
@@ -291,6 +340,15 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
         fid_h = dna.extract_bit_field(words_h, layout.file_off,
                                       layout.file_bits)
 
+    return _group_epilogue(n_keep, gid_h, mid_dec, flank_dec, fid_h, cnt_h,
+                           geom, tags, ingroup_tags, has_outgroup,
+                           ingroup_filter)
+
+
+def _group_epilogue(n_keep, gid_h, mid_dec, flank_dec, fid_h, cnt_h, geom,
+                    tags, ingroup_tags, has_outgroup, ingroup_filter):
+    """Host epilogue shared by the fused, checkpoint, and sharded paths:
+    decode survivor rows into FlankGroup objects + the ingroup filter."""
     with METRICS.stage("decode+group"):
         render_ingroup = frozenset(ingroup_tags) if has_outgroup else None
 

@@ -154,6 +154,54 @@ def _masked_head(words, n_bits: int):
     return jnp.concatenate([jnp.ones(1, bool), neq])
 
 
+def survivor_mark_bits(keys_sorted, layout, n_files: int):
+    """Survivor marking over a sorted bit-packed-key table (KeyLayout).
+
+    Returns (keep, counts, group_id): ``keep`` flags the head row of each
+    distinct (flank, file, mid) key whose flank group spans all ``n_files``
+    genomes; ``counts`` holds the duplicate multiplicity at head rows;
+    ``group_id`` numbers flank runs.  Pure function of the sorted key
+    order, so it is identical whether the table is the whole problem
+    (fused single-chip path) or one shard's owned key range (the
+    distributed path — key-range ownership by flank prefix guarantees
+    every flank run is complete within its shard).
+
+    Replaces the reference's 2-way merge survivor logic
+    (/root/reference/src/krisp/krisp_fasta/shared.py:285-347) with three
+    1-D scans over the globally sorted table.
+    """
+    n = keys_sorted[0].shape[0]
+    fw, fsh = layout.file_word_shift()
+
+    # run boundaries at three granularities of the same sorted table
+    head_full = _run_heads(keys_sorted)                       # full key
+    head_ff = _masked_head(keys_sorted,
+                           layout.file_off + layout.file_bits)  # flank+file
+    head_flank = _masked_head(keys_sorted, layout.flank_bits)  # flank group
+
+    file_field = ((keys_sorted[fw] >> jnp.uint32(fsh))
+                  & jnp.uint32(layout.file_sentinel))
+    valid = file_field != layout.file_sentinel
+
+    # duplicate multiplicities: run length of full-key runs
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rh = jnp.where(head_full, idx, n)
+    nxt = _reverse_cummin(jnp.concatenate([rh[1:],
+                                           jnp.full(1, n, jnp.int32)]))
+    counts = jnp.where(head_full & valid, nxt - idx, 0).astype(jnp.uint32)
+
+    # survivor test: distinct genomes per flank group == n_files
+    x = (head_ff & valid).astype(jnp.int32)
+    c = jnp.cumsum(x)
+    base = jax.lax.cummax(jnp.where(head_flank, c - x, -1))
+    is_last = jnp.concatenate([head_flank[1:], jnp.ones(1, bool)])
+    endc = _reverse_cummin(jnp.where(is_last, c, BIG_I32))
+    survive = ((endc - base) == n_files) & valid
+    group_id = jnp.cumsum(head_flank.astype(jnp.int32)) - 1
+
+    return survive & head_full, counts, group_id
+
+
 @partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
                                    "n_files", "use_pallas", "omit_soft",
                                    "use_pallas_scan"))
@@ -247,33 +295,7 @@ def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
             [jnp.stack(keys_sorted), counts, group_id], keep, cap)
         return words_c, cnt_c, gid_c, n_keep
 
-    # run boundaries at three granularities of the same sorted table
-    head_full = _run_heads(keys_sorted)                       # full key
-    head_ff = _masked_head(keys_sorted,
-                           layout.file_off + layout.file_bits)  # flank+file
-    head_flank = _masked_head(keys_sorted, layout.flank_bits)  # flank group
-
-    file_field = ((keys_sorted[fw] >> jnp.uint32(fsh))
-                  & jnp.uint32(layout.file_sentinel))
-    valid = file_field != layout.file_sentinel
-
-    # duplicate multiplicities: run length of full-key runs
-    idx = jnp.arange(n, dtype=jnp.int32)
-    rh = jnp.where(head_full, idx, n)
-    nxt = _reverse_cummin(jnp.concatenate([rh[1:],
-                                           jnp.full(1, n, jnp.int32)]))
-    counts = jnp.where(head_full & valid, nxt - idx, 0).astype(jnp.uint32)
-
-    # survivor test: distinct genomes per flank group == n_files
-    x = (head_ff & valid).astype(jnp.int32)
-    c = jnp.cumsum(x)
-    base = jax.lax.cummax(jnp.where(head_flank, c - x, -1))
-    is_last = jnp.concatenate([head_flank[1:], jnp.ones(1, bool)])
-    endc = _reverse_cummin(jnp.where(is_last, c, BIG_I32))
-    survive = ((endc - base) == n_files) & valid
-    group_id = jnp.cumsum(head_flank.astype(jnp.int32)) - 1
-
-    keep = survive & head_full
+    keep, counts, group_id = survivor_mark_bits(keys_sorted, layout, n_files)
     (words_c, cnt_c, gid_c), n_keep = compact_rows(
         [jnp.stack(keys_sorted), counts, group_id], keep, cap)
     return words_c, cnt_c, gid_c, n_keep

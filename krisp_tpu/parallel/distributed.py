@@ -165,3 +165,189 @@ def sharded_kmer_step(mesh: Mesh, left: int, mid: int, right: int, bits: int,
     fn = shard_map(per_shard, mesh=mesh, in_specs=(spec,),
                    out_specs=out_specs, check_vma=False)
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Full distributed intersection (krisp_fasta across the whole mesh)
+# ---------------------------------------------------------------------------
+#
+# Key-range ownership does the heavy lifting: a row's owner shard is chosen
+# by the TOP BITS OF KEY WORD 0, which are the leading bases of the flank.
+# Rows with the same flank therefore always map to the same owner, so every
+# flank run — and every full-key duplicate run inside it — is COMPLETE within
+# one shard after the exchange.  Survivor marking, duplicate counting, and
+# compaction need no cross-shard communication at all; the per-shard scan is
+# byte-identical to the single-chip fused path over its owned key range.
+# This is the deterministic replacement for the reference's tournament of
+# pairwise file merges (intersectAmplicons.py:232-310) whose parallel variant
+# was disabled for nondeterminism (intersectAmplicons.py:216-218).
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def sharded_intersect_step(mesh: Mesh, left: int, mid: int, right: int,
+                           bits: int, n_files: int, cap: int, exch_cap: int,
+                           omit_soft: bool = False):
+    """Build the jitted full-pipeline multi-device step.
+
+    Input: uint8[n_files, n_shards * chunk] ASCII buffers, sharded along
+    the sequence axis.  Per shard: halo exchange -> window keys in the
+    bit-packed KeyLayout (genome id inside the key) -> bucket-contiguity
+    sort -> padded all_to_all key-range exchange -> local LSD sort ->
+    survivor marking -> capped compaction.
+
+    Returns per call: (words [W, n_shards*cap], counts, group_ids,
+    n_keep[n_shards], overflow_total, needed_capacity).  ``overflow_total``
+    > 0 means some destination run exceeded ``exch_cap`` and rows were
+    dropped — the caller must retry with ``exch_cap >= needed_capacity``.
+    """
+    from ..ops.encode import window_keys_bits, KeyLayout
+    from ..ops.intersect import (SENTINEL, survivor_mark_bits, compact_rows)
+    from ..ops.sort import lsd_sort
+
+    L = left + mid + right
+    axis = mesh.axis_names[0]
+    n_shards = mesh.devices.size
+    layout = KeyLayout(left, mid, right, bits, n_files)
+    W = layout.n_words
+    fword, fshift = layout.file_word_shift()
+    bbits = max((n_shards - 1).bit_length(), 1)
+    assert layout.flank_bits >= bbits or n_shards == 1, (
+        "flank too short to key-range partition across this many devices")
+    shift = 32 - bbits
+
+    code_table = dna.CODE2_TABLE if bits == 2 else dna.CODE4_TABLE
+    comp_table = dna.COMP2_TABLE if bits == 2 else dna.COMP4_TABLE
+    valid_table = dna.base_validity_table(bits, disallow="Nn",
+                                          omit_soft=omit_soft)
+
+    def per_shard(buffers):
+        # 1. window keys for this shard's slice (+ halo), both strands
+        oks, wordl = [], []
+        for f in range(n_files):
+            block = _halo_exchange(buffers[f], L - 1, axis)
+            ok, words = window_keys_bits(block, code_table, valid_table,
+                                         comp_table, left, mid, right, bits,
+                                         n_files)
+            words[fword] = words[fword] | (jnp.uint32(f)
+                                           << jnp.uint32(fshift))
+            oks.append(ok)
+            wordl.append(words)
+        ok = jnp.concatenate(oks)
+        words = [jnp.concatenate([wl[w] for wl in wordl]) for w in range(W)]
+        flat = [jnp.where(ok, w, SENTINEL) for w in words]
+        inv = (~ok).astype(jnp.uint32)
+
+        # 2. bucket-contiguity sort: stable by (validity, word0) so each
+        # destination's rows form one contiguous run (invalid rows last,
+        # never shipped)
+        ks, ps = lsd_sort([inv, flat[0]], flat[1:])
+        inv_s, w0 = ks
+        words_s = [w0] + list(ps)
+        valid = inv_s == 0
+        bucket = jnp.where(valid,
+                           (w0 >> jnp.uint32(shift)).astype(jnp.int32),
+                           n_shards)
+        count_d = jnp.stack([jnp.sum((bucket == d).astype(jnp.int32))
+                             for d in range(n_shards)])
+        start_d = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(count_d)[:-1].astype(jnp.int32)])
+        overflow = jnp.sum((count_d > exch_cap).astype(jnp.int32))
+        needed = jnp.max(count_d)
+
+        # 3. padded all_to_all: every row moves once to its owner
+        def send_matrix(x):
+            xp = jnp.concatenate([x, jnp.full(exch_cap, SENTINEL, x.dtype)])
+            rows = []
+            j = jnp.arange(exch_cap, dtype=jnp.int32)
+            for d in range(n_shards):
+                row = jax.lax.dynamic_slice(xp, (start_d[d],), (exch_cap,))
+                rows.append(jnp.where(
+                    j < jnp.minimum(count_d[d], exch_cap), row, SENTINEL))
+            return jnp.stack(rows)
+
+        def exchange(x):
+            return jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0,
+                                      tiled=False)
+
+        r_words = [exchange(send_matrix(w)).reshape(n_shards * exch_cap)
+                   for w in words_s]
+
+        # 4. owner-local sort + the identical single-chip survivor scan
+        keys_sorted, _ = lsd_sort(r_words)
+        keep, counts, group_id = survivor_mark_bits(keys_sorted, layout,
+                                                    n_files)
+        (words_c, cnt_c, gid_c), n_keep = compact_rows(
+            [jnp.stack(keys_sorted), counts, group_id], keep, cap)
+
+        overflow = jax.lax.psum(overflow, axis)
+        needed = jax.lax.pmax(needed, axis)
+        return (words_c, cnt_c, gid_c, n_keep[None].astype(jnp.int32),
+                overflow, needed)
+
+    spec = P(None, axis)
+    out_specs = (P(None, axis), P(axis), P(axis), P(axis), P(), P())
+    fn = shard_map(per_shard, mesh=mesh, in_specs=(spec,),
+                   out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_intersect_pipeline(mesh: Mesh, stacked: np.ndarray, left: int,
+                               mid: int, right: int, bits: int,
+                               omit_soft: bool = False, cap: int = 1 << 16):
+    """Host driver for the full distributed intersection with auto-retry.
+
+    stacked: uint8[n_files, P] genome buffers; P must be a multiple of the
+    mesh size (caller pads).  Retries with a larger exchange capacity when
+    a skewed key distribution overflows the padded all_to_all (the analog
+    of the single-chip compaction-cap retry loop, engine/pipeline.py), and
+    with a larger compaction cap when a shard's survivor set overflows.
+
+    Returns (words_h uint32[n_keep, W], cnt_h, gid_h) — the same row set,
+    order, and encoding as the single-chip ``fused_pipeline_bits`` output,
+    with globally unique group ids.
+    """
+    n_files, P = stacked.shape
+    n_shards = mesh.devices.size
+    assert P % n_shards == 0
+    chunk = P // n_shards
+    L = left + mid + right
+    assert chunk >= L, "per-shard slice shorter than the window length"
+    m = 2 * chunk * n_files
+    exch_cap = max(2 * (m // n_shards) + 64, 64)
+
+    while True:
+        step = sharded_intersect_step(mesh, left, mid, right, bits, n_files,
+                                      cap, exch_cap, omit_soft)
+        words, cnts, gids, nkeeps, overflow, needed = step(stacked)
+        if int(overflow) > 0:
+            exch_cap = -(-(int(needed) + 64) // 64) * 64
+            continue
+        nk = np.asarray(nkeeps)
+        if nk.max(initial=0) > cap:
+            cap = -(-int(nk.max()) // (1 << 12)) * (1 << 12)
+            continue
+        break
+
+    words = np.asarray(words)
+    cnts = np.asarray(cnts)
+    gids = np.asarray(gids)
+    rows_w, rows_c, rows_g = [], [], []
+    gid_off = 0
+    for s in range(n_shards):
+        k = int(nk[s])
+        if k == 0:
+            continue
+        sl = slice(s * cap, s * cap + k)
+        rows_w.append(words[:, sl])
+        rows_c.append(cnts[sl])
+        g = gids[sl].astype(np.int64) + gid_off
+        gid_off = int(g[-1]) + 1
+        rows_g.append(g)
+    if not rows_w:
+        W = words.shape[0]
+        return (np.zeros((0, W), np.uint32), np.zeros(0, np.uint32),
+                np.zeros(0, np.int64))
+    return (np.concatenate(rows_w, axis=1).T, np.concatenate(rows_c),
+            np.concatenate(rows_g))
