@@ -160,7 +160,6 @@ def _worker(result_queue, log_queue, failure_event, vcf_path, chunk, groups,
 
 def run_all(args):
     from ..vcf.classify import parse_group_data
-    from ..vcf.parser import read_contigs
     from ..vcf.report import ResultWriter, make_chunks, report_diag_region
 
     global logger
@@ -183,13 +182,33 @@ def run_all(args):
     group_names = args.groups if args.groups else list(groups.keys())
     want_alignment = args.out_align is not None
 
+    vcf_source = args.vcf
+    vcf_index = None
     if args.vcf == "-":
         chunks = [None]
     else:
-        contigs = [c for c, _ in read_contigs(args.vcf)]
+        # one streaming pass: decompress (if gzip) + byte-offset index;
+        # contig discovery falls out of the same pass and every chunk fetch
+        # afterwards is a seek (replaces tabix, krisp_vcf.py:1016-1042)
+        from ..vcf.parser import VcfOffsetIndex
+        vcf_index = VcfOffsetIndex(args.vcf)
+        vcf_source = vcf_index
+        contigs = [c for c, _ in vcf_index.contigs]
         chunks = make_chunks(reference, contigs, chunk_size=100000,
                              flank_size=1000, contig_subset=args.chroms,
                              pos_subset=args.pos)
+
+    try:
+        _scan_chunks(args, chunks, vcf_source, groups, reference,
+                     group_names, want_alignment, search_args)
+    finally:
+        if vcf_index is not None:
+            vcf_index.cleanup()
+
+
+def _scan_chunks(args, chunks, vcf_source, groups, reference, group_names,
+                 want_alignment, search_args):
+    from ..vcf.report import ResultWriter, report_diag_region
 
     if args.vcf != "-" and args.cores > 1:
         ctx = mp.get_context("spawn")
@@ -218,7 +237,7 @@ def run_all(args):
                     proc = ctx.Process(
                         target=_worker,
                         args=(result_queue, log_queue, failure_event,
-                              args.vcf, chunk, groups, reference,
+                              vcf_source, chunk, groups, reference,
                               want_alignment, search_args))
                     proc.start()
                     active.append(proc)
@@ -243,7 +262,7 @@ def run_all(args):
             writer = ResultWriter(out_stream, group_names,
                                   align_path=args.out_align)
             for chunk in chunks:
-                for result in report_diag_region(args.vcf, chunk, groups,
+                for result in report_diag_region(vcf_source, chunk, groups,
                                                  reference, want_alignment,
                                                  **search_args):
                     writer.write(result)

@@ -125,50 +125,55 @@ class VcfReader:
             yield var
 
     def _parse_record(self, line):
-        fields = line.rstrip("\n").split("\t")
-        chrom, pos, vid, ref, alt, qual, _filt, info = fields[:8]
-        alts = tuple(alt.split(",")) if alt != "." else ()
-        n_alleles = 1 + len(alts)
+        return parse_record(line, self.samples)
 
-        mq = None
-        for item in info.split(";"):
-            if item.startswith("MQ="):
-                v = item[3:]
-                mq = float(v) if "." in v or "e" in v else int(v)
-                break
 
-        fmt = fields[8].split(":") if len(fields) > 8 else []
-        try:
-            dp_i = fmt.index("DP")
-        except ValueError:
-            dp_i = None
-        try:
-            gq_i = fmt.index("GQ")
-        except ValueError:
-            gq_i = None
-        try:
-            ad_i = fmt.index("AD")
-        except ValueError:
-            ad_i = None
+def parse_record(line, sample_names):
+    """Parse one VCF data line into a VcfVariant (pysam-shaped)."""
+    fields = line.rstrip("\n").split("\t")
+    chrom, pos, vid, ref, alt, qual, _filt, info = fields[:8]
+    alts = tuple(alt.split(",")) if alt != "." else ()
+    n_alleles = 1 + len(alts)
 
-        samples = {}
-        for name, raw in zip(self.samples, fields[9:]):
-            toks = raw.split(":")
-            dp = _to_int(toks[dp_i]) if dp_i is not None and dp_i < len(toks) else None
-            gq = _to_int(toks[gq_i]) if gq_i is not None and gq_i < len(toks) else None
-            if ad_i is not None and ad_i < len(toks) and toks[ad_i] != ".":
-                ad = tuple(_to_int(t) for t in toks[ad_i].split(","))
-                if len(ad) < n_alleles:
-                    ad = ad + (None,) * (n_alleles - len(ad))
-            else:
-                ad = (None,) * n_alleles
-            samples[name] = SampleData(dp=dp, gq=gq, ad=ad)
+    mq = None
+    for item in info.split(";"):
+        if item.startswith("MQ="):
+            v = item[3:]
+            mq = float(v) if "." in v or "e" in v else int(v)
+            break
 
-        return VcfVariant(chrom=chrom, pos=int(pos), vid=vid, ref=ref,
-                          alts=alts,
-                          qual=None if qual == "." else float(qual),
-                          mq=mq, samples=samples,
-                          sample_names=self.samples)
+    fmt = fields[8].split(":") if len(fields) > 8 else []
+    try:
+        dp_i = fmt.index("DP")
+    except ValueError:
+        dp_i = None
+    try:
+        gq_i = fmt.index("GQ")
+    except ValueError:
+        gq_i = None
+    try:
+        ad_i = fmt.index("AD")
+    except ValueError:
+        ad_i = None
+
+    samples = {}
+    for name, raw in zip(sample_names, fields[9:]):
+        toks = raw.split(":")
+        dp = _to_int(toks[dp_i]) if dp_i is not None and dp_i < len(toks) else None
+        gq = _to_int(toks[gq_i]) if gq_i is not None and gq_i < len(toks) else None
+        if ad_i is not None and ad_i < len(toks) and toks[ad_i] != ".":
+            ad = tuple(_to_int(t) for t in toks[ad_i].split(","))
+            if len(ad) < n_alleles:
+                ad = ad + (None,) * (n_alleles - len(ad))
+        else:
+            ad = (None,) * n_alleles
+        samples[name] = SampleData(dp=dp, gq=gq, ad=ad)
+
+    return VcfVariant(chrom=chrom, pos=int(pos), vid=vid, ref=ref,
+                      alts=alts,
+                      qual=None if qual == "." else float(qual),
+                      mq=mq, samples=samples,
+                      sample_names=sample_names)
 
 
 def read_contigs(path):
@@ -183,3 +188,157 @@ def read_contigs(path):
         if end > prev:
             seen[var.chrom] = end
     return list(seen.items())
+
+
+class VcfOffsetIndex:
+    """One-pass byte-offset index: the tabix replacement
+    (/root/reference/src/krisp/krisp_vcf/krisp_vcf.py:1016-1042, 1185-1189).
+
+    Built by streaming the VCF exactly once, recording for every record its
+    (contig, POS, byte offset).  Gzip inputs are decompressed to a plain
+    temp file during the same pass so offsets are seekable.  A chunk fetch
+    is then a binary search + seek + O(chunk) parse — total I/O across any
+    number of workers/chunks is O(file) + O(total fetched), replacing the
+    round-1 design's O(chunks x filesize) full re-stream per fetch.
+
+    Picklable (numpy arrays + a path), so spawn-mode scan workers receive
+    the index instead of re-reading the file.
+    """
+
+    def __init__(self, path, workdir=None):
+        import numpy as np
+
+        self.source = path
+        raw = open(path, "rb")
+        magic = raw.read(2)
+        raw.seek(0)
+        if magic == b"\x1f\x8b":
+            import tempfile
+            tmp = tempfile.NamedTemporaryFile(
+                mode="wb", suffix=".vcf", dir=workdir, delete=False,
+                prefix="krisp_tpu_idx_")
+            with gzip.open(raw) as zin:
+                while True:
+                    block = zin.read(1 << 24)
+                    if not block:
+                        break
+                    tmp.write(block)
+            tmp.close()
+            raw.close()
+            self.path = tmp.name
+            self._owns_file = True
+        else:
+            raw.close()
+            self.path = path
+            self._owns_file = False
+
+        self.samples: list[str] = []
+        by_contig: dict[str, list] = {}
+        order: list[str] = []
+        max_rlen: dict[str, int] = {}
+        max_end: dict[str, int] = {}
+        grouped: dict[str, bool] = {}
+        prev_chrom = None
+        with open(self.path, "rb") as fh:
+            offset = 0
+            for line in fh:
+                ll = len(line)
+                if line.startswith(b"#"):
+                    if line.startswith(b"#CHROM"):
+                        cols = line.decode().rstrip("\n").split("\t")
+                        self.samples = cols[9:]
+                    offset += ll
+                    continue
+                if line.strip():
+                    chrom, pos, _vid, ref, _ = line.split(b"\t", 4)
+                    chrom = chrom.decode()
+                    p = int(pos)
+                    if chrom not in by_contig:
+                        by_contig[chrom] = []
+                        order.append(chrom)
+                        max_rlen[chrom] = 0
+                        max_end[chrom] = 0
+                        grouped[chrom] = True
+                    elif chrom != prev_chrom:
+                        # contig reappears after a switch: not contiguous
+                        grouped[chrom] = False
+                    prev_chrom = chrom
+                    by_contig[chrom].append((p, offset))
+                    max_rlen[chrom] = max(max_rlen[chrom], len(ref))
+                    max_end[chrom] = max(max_end[chrom], p - 1 + len(ref))
+                offset += ll
+        self._grouped = grouped
+        self._contig_order = order
+        self._pos = {}
+        self._off = {}
+        self._sorted = {}
+        self._max_rlen = max_rlen
+        self._max_end = max_end
+        for c in order:
+            arr = np.asarray(by_contig[c], np.int64).reshape(-1, 2)
+            self._pos[c] = arr[:, 0]
+            self._off[c] = arr[:, 1]
+            self._sorted[c] = bool((arr[1:, 0] >= arr[:-1, 0]).all())
+
+    @property
+    def contigs(self):
+        """[(contig, max reference end)] in first-seen order."""
+        return [(c, self._max_end[c]) for c in self._contig_order]
+
+    def n_records(self, contig=None):
+        if contig is not None:
+            return int(self._pos[contig].shape[0]) if contig in self._pos else 0
+        return sum(int(p.shape[0]) for p in self._pos.values())
+
+    def fetch(self, contig, start=None, end=None):
+        """Yield records overlapping [start, end) (pysam convention), via
+        seek — no full-file re-scan."""
+        import numpy as np
+
+        if contig not in self._pos:
+            return
+        pos = self._pos[contig]
+        off = self._off[contig]
+        start = 0 if start is None else start
+        # fast seek + early break only when this contig's records are both
+        # position-sorted and contiguous in the file (tabix's own
+        # requirement); pathological inputs fall back to a filtered suffix
+        # scan, which is still seek-based and correct
+        fast = self._sorted[contig] and self._grouped[contig]
+        if fast:
+            # first record whose span could reach ``start``
+            lo = int(np.searchsorted(
+                pos, start + 1 - self._max_rlen[contig], side="left"))
+            if lo >= pos.shape[0]:
+                return
+            seek_to = int(off[lo])
+        else:
+            seek_to = int(off.min())
+        with open(self.path, "rt") as fh:
+            fh.seek(seek_to)
+            for line in fh:
+                if not line.strip() or line.startswith("#"):
+                    continue
+                var = parse_record(line, self.samples)
+                if var.chrom != contig:
+                    if fast:
+                        break
+                    continue
+                rec_start = var.pos - 1
+                if end is not None and rec_start >= end:
+                    if fast:
+                        break
+                    continue
+                if rec_start + var.rlen <= start:
+                    continue
+                yield var
+
+    def cleanup(self):
+        """Remove the decompressed temp file (call once per run)."""
+        if self._owns_file:
+            import os
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
+            self._owns_file = False

@@ -167,15 +167,22 @@ class ResultWriter:
 def report_diag_region(vcf_path, chunk, groups, reference, want_alignment,
                        **kwargs):
     """Scan one chunk, yielding result/stats dicts (krisp_vcf.py:1182-1212)."""
-    from .parser import VcfReader
+    from .parser import VcfReader, VcfOffsetIndex
     from .scan import find_diag_region
 
-    reader = VcfReader(vcf_path)
-    if chunk is None:
-        variants = iter(reader)
+    if isinstance(vcf_path, VcfOffsetIndex):
+        # seek-based chunk access: O(chunk) per fetch, O(file) total across
+        # all workers (the tabix-equivalent fast path)
+        variants = (vcf_path.fetch(chunk["contig"], start=chunk["start"],
+                                   end=chunk["end"])
+                    if chunk is not None else
+                    vcf_path.fetch(vcf_path.contigs[0][0]))
+    elif chunk is None:
+        variants = iter(VcfReader(vcf_path))
     else:
-        variants = reader.fetch(chunk["contig"], start=chunk["start"],
-                                end=chunk["end"])
+        variants = VcfReader(vcf_path).fetch(chunk["contig"],
+                                             start=chunk["start"],
+                                             end=chunk["end"])
     stats = defaultdict(int)
     undiag = 0
     update_interval = 1000
