@@ -102,6 +102,27 @@ class ColumnarVcf:
     def n_records(self):
         return len(self.pos)
 
+    @property
+    def rlen(self):
+        """REF-allele length per record (int32[V])."""
+        if not hasattr(self, "_rlen"):
+            self._rlen = np.fromiter((len(a[0]) for a in self.alleles),
+                                     np.int32, len(self.alleles))
+        return self._rlen
+
+    @property
+    def alen(self):
+        """Allele nucleotide length per (record, allele index), int32[V, A];
+        '*' counts as 0 (find_diag_var.py allele_lens semantics), padding -1."""
+        if not hasattr(self, "_alen"):
+            V, A = self.ad.shape[0], self.ad.shape[2]
+            out = np.full((V, A), -1, np.int32)
+            for v, alls in enumerate(self.alleles):
+                for a, s in enumerate(alls[:A]):
+                    out[v, a] = 0 if s == "*" else len(s)
+            self._alen = out
+        return self._alen
+
 
 def read_columnar(path, max_alleles=8):
     lib = get_lib()

@@ -1,0 +1,329 @@
+"""Vectorized krisp_vcf scan: device classification + bulk window prefilter.
+
+The reference scans one window at a time through a Python cascade
+(/root/reference/src/krisp/krisp_vcf/krisp_vcf.py:680-916) over per-variant
+Python dict classification (find_diag_var.py:203-411).  The TPU-shaped
+redesign (SURVEY §7.2.6):
+
+  1. the whole chunk arrives as columnar arrays (native C++ tokenizer,
+     csrc/vcfio.cpp) — no per-record Python objects;
+  2. classification runs as one batched device kernel over
+     [variants x samples x alleles] (ops/vcfclass.py);
+  3. the sliding window's composition is replayed exactly with a
+     two-pointer over position/indel-delta arrays, and cascade steps 1-3
+     (diagnostic count, all-conserved, misplaced) become prefix-sum
+     lookups — O(1) per window, typed EXACTLY (the stats counters match
+     the host path's, not just the survivor set);
+  4. only the rare candidates that pass steps 1-3 materialize window
+     objects (device-classified variants with on-demand exact rehydration)
+     and run the shared host cascade tail (scan.cascade_tail): conserved
+     borders, crRNA edit distance, primer design.
+
+Byte parity with the host engine is pinned by tests/test_fastscan.py and
+the golden engine-mode comparison; throughput is measured by
+tools/bench_vcf.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .classify import ClassifiedVariant
+from .device_classify import DeviceClassifiedVariant
+from .parser import VcfVariant, SampleData
+from .region import VariantWindow
+from .scan import cascade_tail
+
+# flyweight rejected-window markers: the report layer only reads .type
+_TYPE_NAMES = {1: "Undiagnostic", 2: "Unconserved", 3: "Misplaced"}
+
+
+class _Rejected:
+    __slots__ = ("type",)
+
+    def __init__(self, t):
+        self.type = t
+
+
+_REJ = {code: _Rejected(name) for code, name in _TYPE_NAMES.items()}
+
+
+def _variant_from_columnar(col, v):
+    """Reconstruct a parser.VcfVariant from columnar row ``v`` (only done
+    for the few variants near candidate windows)."""
+    alleles = col.alleles[v]
+    n_all = len(alleles)
+    A = col.ad.shape[2]
+    samples = {}
+    dp_row, gq_row, ad_row = col.dp[v], col.gq[v], col.ad[v]
+    for si, name in enumerate(col.samples):
+        dp = int(dp_row[si])
+        gq = int(gq_row[si])
+        ad = tuple(int(x) for x in ad_row[si, :min(n_all, A)])
+        if n_all > A:
+            ad = ad + (0,) * (n_all - A)
+        samples[name] = SampleData(dp=None if dp < 0 else dp,
+                                   gq=None if gq < 0 else gq, ad=ad)
+    qual = float(col.qual[v])
+    mq = float(col.mq[v])
+    return VcfVariant(chrom=col.chroms[int(col.chrom_id[v])],
+                      pos=int(col.pos[v]), vid=".", ref=alleles[0],
+                      alts=tuple(alleles[1:]),
+                      qual=None if np.isnan(qual) else qual,
+                      mq=None if np.isnan(mq) else mq,
+                      samples=samples, sample_names=list(col.samples))
+
+
+def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
+    """Device classification of the selected rows, in padded batches
+    (stable shapes -> one compile per batch size)."""
+    from ..ops.vcfclass import classify_batch
+
+    S = len(col.samples)
+    A = col.ad.shape[2]
+    G = len(group_names)
+    s_index = {s: i for i, s in enumerate(col.samples)}
+    group_id = np.full(S, -1, np.int32)
+    for gi, g in enumerate(group_names):
+        for m in groups[g]:
+            if m in s_index:
+                group_id[s_index[m]] = gi
+    group_sizes = np.array([len(groups[g]) for g in group_names], np.int32)
+
+    Vr = rows.shape[0]
+    sc = np.empty((Vr, G), np.int32)
+    ac = np.empty((Vr, G, A), np.int32)
+    consv = np.empty((Vr, G), np.int32)
+    diag = np.empty((Vr, G), np.int32)
+    for i in range(0, Vr, batch):
+        sel = rows[i:i + batch]
+        n = sel.shape[0]
+        pad = batch - n if Vr > batch else 0
+        dp = col.dp[sel]
+        gq = col.gq[sel]
+        ad = col.ad[sel]
+        n_alleles = col.n_alleles[sel]
+        mq = np.nan_to_num(col.mq[sel], nan=-1.0).astype(np.float32)
+        qual = np.nan_to_num(col.qual[sel], nan=-1.0).astype(np.float32)
+        if pad:
+            dp = np.concatenate([dp, np.full((pad, S), -1, np.int32)])
+            gq = np.concatenate([gq, np.full((pad, S), -1, np.int32)])
+            ad = np.concatenate([ad, np.zeros((pad, S, A), np.int32)])
+            n_alleles = np.concatenate([n_alleles, np.zeros(pad, np.int32)])
+            mq = np.concatenate([mq, np.full(pad, -1, np.float32)])
+            qual = np.concatenate([qual, np.full(pad, -1, np.float32)])
+        out = classify_batch(
+            dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
+            n_groups=G, min_samples=kw["min_samples"],
+            min_reads=kw["min_reads"], min_geno_qual=kw["min_geno_qual"],
+            min_freq=kw["min_freq"], min_map_qual=kw["min_map_qual"],
+            min_var_qual=kw["min_var_qual"], min_samp_prop=kw["min_samp_prop"])
+        sc[i:i + n] = np.asarray(out["sample_counts"])[:n]
+        ac[i:i + n] = np.asarray(out["allele_counts"])[:n]
+        consv[i:i + n] = np.asarray(out["conserved"])[:n]
+        diag[i:i + n] = np.asarray(out["diagnostic"])[:n]
+    return sc, ac, consv, diag
+
+
+def _window_types(starts, ends, delta, is_diag, is_consv, span, min_vars):
+    """Replay the sliding window exactly and type every (end, step) window.
+
+    starts/ends: python lists of ints (ref coords); delta: list of the
+    group's indel length deltas; returns (types int8 list, jstart list):
+    0 = empty window (no yield), 1/2/3 = Undiagnostic/Unconserved/Misplaced
+    (cascade steps 1-3, exact), 4 = candidate for the host cascade tail.
+
+    The two-pointer IS the reference's deque semantics
+    (krisp_vcf.py:171-218): append the new variant, then pop from the front
+    while the group-coordinate span exceeds ``span``; j only advances.
+    """
+    V = len(starts)
+    dpre = [0] * (V + 1)
+    dsum = [0] * (V + 1)
+    usum = [0] * (V + 1)
+    for i in range(V):
+        dpre[i + 1] = dpre[i] + delta[i]
+        dsum[i + 1] = dsum[i] + (1 if is_diag[i] else 0)
+        usum[i + 1] = usum[i] + (0 if is_consv[i] else 1)
+
+    types = [0] * V
+    jstart = [0] * V
+    j = 0
+    curmax = None  # max(ends[j..e]); None -> recompute
+    curmin = None  # min(starts[j..e])
+    for e in range(V):
+        if j > e or curmax is None:  # empty window; restart extrema
+            curmax = ends[e]
+            curmin = starts[e]
+        else:
+            if ends[e] > curmax:
+                curmax = ends[e]
+            if starts[e] < curmin:
+                curmin = starts[e]
+        while j <= e:
+            length = curmax - curmin + 1 + dpre[e + 1] - dpre[j]
+            if length <= span:
+                break
+            j += 1
+            if j <= e:
+                curmax = max(ends[j:e + 1])
+                curmin = min(starts[j:e + 1])
+            else:
+                curmax = curmin = None  # emptied; restart at next append
+        jstart[e] = j
+        if j > e:
+            types[e] = 0
+            continue
+        nd = dsum[e + 1] - dsum[j]
+        if nd < min_vars:
+            types[e] = 1
+        elif usum[e + 1] - usum[j] > 0:
+            types[e] = 2
+        elif nd == 1 and not is_diag[e]:
+            types[e] = 3
+        else:
+            types[e] = 4
+    return types, jstart
+
+
+def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
+                          primer3=False, min_vars=1, min_bases=1,
+                          min_samp_prop=0.9, min_samples=5, min_reads=5,
+                          min_geno_qual=30, min_map_qual=40, min_var_qual=10,
+                          min_freq=0.1, crrna_len=28, tm=(53, 68),
+                          gc=(40, 70), amp_size=(80, 300),
+                          primer_size=(25, 35), max_sec_tm=40, gc_clamp=1,
+                          max_end_gc=4, var_location=(4, 16), force=False,
+                          engine="device"):
+    """Drop-in fast equivalent of scan.find_diag_region over columnar rows.
+
+    Yields the identical sequence of typed windows (flyweights for
+    rejections, full regions for candidates/survivors) in the same
+    (variant step x group) order as the host scan.
+    """
+    rows = np.asarray(rows, np.int64)
+    if rows.size == 0:
+        return
+
+    offset_left = var_location[0] - 1
+    offset_right = crrna_len - var_location[1]
+    span = crrna_len - offset_right - offset_left
+    flank = amp_size[1]
+
+    classify_kwargs = dict(min_samp_prop=min_samp_prop,
+                           min_samples=min_samples, min_reads=min_reads,
+                           min_geno_qual=min_geno_qual, min_freq=min_freq,
+                           min_map_qual=min_map_qual,
+                           min_var_qual=min_var_qual, force=force)
+
+    # group-membership validation on the first record, once
+    # (parity: find_diag_var.py:187-201)
+    probe = ClassifiedVariant(_variant_from_columnar(col, int(rows[0])),
+                              groups, check_groups=True, **classify_kwargs)
+    groups = probe.groups
+    group_names = list(groups.keys())
+    G = len(group_names)
+
+    sc, ac, consv, diag = _classify_columnar(col, rows, group_names, groups,
+                                             classify_kwargs)
+
+    pos = col.pos[rows]
+    rlen = col.rlen[rows].astype(np.int64)
+    starts_np = pos - 1
+    ends_np = starts_np + rlen - 1
+    alen = col.alen[rows]                          # (Vr, A)
+    present = ac > 0                               # (Vr, G, A)
+    gl = np.where(present, alen[:, None, :], -1).max(axis=2)
+    group_len = np.where(gl < 0, rlen[:, None], gl)
+    delta_np = group_len - rlen[:, None]           # (Vr, G)
+
+    starts = starts_np.tolist()
+    ends = ends_np.tolist()
+    is_diag_np = diag >= 0
+    is_consv_np = consv >= 0
+
+    types_g = []
+    jstart_g = []
+    for gi in range(G):
+        t, j = _window_types(starts, ends, delta_np[:, gi].tolist(),
+                             is_diag_np[:, gi].tolist(),
+                             is_consv_np[:, gi].tolist(), span, min_vars)
+        types_g.append(t)
+        jstart_g.append(j)
+
+    # lazy per-row device-classified variant objects (only candidates'
+    # context windows materialize)
+    alleles_cache = col.alleles
+    dcv_cache: dict[int, DeviceClassifiedVariant] = {}
+
+    def dcv(i: int) -> DeviceClassifiedVariant:
+        hit = dcv_cache.get(i)
+        if hit is None:
+            var = _variant_from_columnar(col, int(rows[i]))
+            alleles = alleles_cache[int(rows[i])]
+            sample_counts = {g: int(sc[i, gi])
+                             for gi, g in enumerate(group_names)}
+            allele_counts = {
+                g: {alleles[ai]: int(c)
+                    for ai, c in enumerate(ac[i, gi]) if c > 0}
+                for gi, g in enumerate(group_names)}
+            conserved = {g: (None if consv[i, gi] < 0
+                             else alleles[consv[i, gi]])
+                         for gi, g in enumerate(group_names)}
+            diagnostic = {g: (None if diag[i, gi] < 0
+                              else alleles[diag[i, gi]])
+                          for gi, g in enumerate(group_names)}
+            hit = DeviceClassifiedVariant(var, groups, classify_kwargs,
+                                          sample_counts, allele_counts,
+                                          conserved, diagnostic)
+            dcv_cache[i] = hit
+        return hit
+
+    from collections import deque
+    Vr = rows.shape[0]
+    for e in range(Vr):
+        for gi, g in enumerate(group_names):
+            t = types_g[gi][e]
+            if t == 0:
+                continue
+            if t != 4:
+                yield _REJ[t]
+                continue
+            j = jstart_g[gi][e]
+            window = VariantWindow(
+                variants=deque(dcv(i) for i in range(j, e + 1)),
+                group=g, reference=reference,
+                upstream=deque(dcv(i)
+                               for i in range(e + 1, min(e + flank, Vr))),
+                downstream=deque(dcv(i)
+                                 for i in range(j - 1,
+                                                max(j - flank, 0) - 1, -1)))
+            yield cascade_tail(window, groups, reference,
+                               crrna_len=crrna_len,
+                               var_location=var_location,
+                               min_bases=min_bases, amp_size=amp_size,
+                               tm=tm, gc=gc, primer_size=primer_size,
+                               max_sec_tm=max_sec_tm, gc_clamp=gc_clamp,
+                               max_end_gc=max_end_gc)
+
+
+def chunk_rows(col, chunk):
+    """Row indices (file order) of records overlapping the chunk window —
+    the same overlap rule as VcfReader.fetch/pysam."""
+    if chunk is None:
+        return np.arange(col.n_records, dtype=np.int64)
+    cid = None
+    for i, c in enumerate(col.chroms):
+        if c == chunk["contig"]:
+            cid = i
+            break
+    if cid is None:
+        return np.zeros(0, np.int64)
+    rec_start = col.pos - 1
+    rec_end = rec_start + col.rlen
+    mask = col.chrom_id == cid
+    if chunk.get("start") is not None:
+        mask &= rec_end > chunk["start"]
+    if chunk.get("end") is not None:
+        mask &= rec_start < chunk["end"]
+    return np.nonzero(mask)[0].astype(np.int64)

@@ -333,6 +333,33 @@ class VcfOffsetIndex:
                     continue
                 yield var
 
+    def columnar(self):
+        """Whole-file columnar arrays via the native C++ tokenizer
+        (csrc/vcfio.cpp) — the array-native input for the device scan
+        pipeline.  Cached; returns None when the native library is
+        unavailable or the file needs >32 alleles (the device kernel's
+        bitmask width), in which case callers fall back to the streaming
+        host path."""
+        cached = getattr(self, "_columnar", None)
+        if cached is not None:
+            return cached or None
+        from ..io.native_vcf import read_columnar
+
+        col = read_columnar(self.path, 8)
+        if col is not None and col.n_records:
+            amax = int(col.n_alleles.max())
+            if amax > 32:
+                col = None
+            elif amax > 8:
+                col = read_columnar(self.path, amax)
+        self._columnar = col if col is not None else False
+        return col
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_columnar", None)  # workers re-parse natively (fast)
+        return state
+
     def cleanup(self):
         """Remove the decompressed temp file (call once per run)."""
         if self._owns_file:

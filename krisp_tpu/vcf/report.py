@@ -170,6 +170,21 @@ def report_diag_region(vcf_path, chunk, groups, reference, want_alignment,
     from .parser import VcfReader, VcfOffsetIndex
     from .scan import find_diag_region
 
+    if (isinstance(vcf_path, VcfOffsetIndex)
+            and kwargs.get("engine") == "device"
+            and kwargs.get("min_reads", 10) >= 1):
+        # array-native fast path: columnar load -> batched device
+        # classification -> vectorized window prefilter; identical typed-
+        # window stream to the host scan (tests/test_fastscan.py)
+        col = vcf_path.columnar()
+        if col is not None:
+            from .fastscan import find_diag_region_fast, chunk_rows
+            regions = find_diag_region_fast(col, chunk_rows(col, chunk),
+                                            groups, reference, **kwargs)
+            yield from _drain_regions(regions, reference, groups,
+                                      want_alignment)
+            return
+
     if isinstance(vcf_path, VcfOffsetIndex):
         # seek-based chunk access: O(chunk) per fetch, O(file) total across
         # all workers (the tabix-equivalent fast path)
@@ -183,10 +198,18 @@ def report_diag_region(vcf_path, chunk, groups, reference, want_alignment,
         variants = VcfReader(vcf_path).fetch(chunk["contig"],
                                              start=chunk["start"],
                                              end=chunk["end"])
+    yield from _drain_regions(
+        find_diag_region(variants, groups, reference, **kwargs),
+        reference, groups, want_alignment)
+
+
+def _drain_regions(regions, reference, groups, want_alignment):
+    """Typed-window stream -> result/stats batch dicts (shared by the host
+    and fast scan paths)."""
     stats = defaultdict(int)
     undiag = 0
     update_interval = 1000
-    for region in find_diag_region(variants, groups, reference, **kwargs):
+    for region in regions:
         stats[region.type] += 1
         if region.type == "Diagnostic":
             result = format_for_csv(region, reference, groups)

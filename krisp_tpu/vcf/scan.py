@@ -76,81 +76,97 @@ def find_diag_region(variants, groups, reference=None, nontarget=None,
             yield region
             continue
 
-        overhang_left = crrna_len - region.region_length() - offset_right
-        overhang_right = offset_right
-        overhang_up = consv_border_n(group=region.group,
-                                     border_var=region.variants[-1],
-                                     nearby_vars=region.upstream,
-                                     max_offset=overhang_right)
-        overhang_dn = consv_border_n(group=region.group,
-                                     border_var=region.variants[0],
-                                     nearby_vars=region.downstream,
-                                     max_offset=overhang_left)
-        if (overhang_up["group"] < offset_right
-                or overhang_dn["group"] < overhang_left):
-            region.type = "Unconserved"
-            yield region
-            continue
+        yield cascade_tail(region, groups, reference, crrna_len=crrna_len,
+                           var_location=var_location, min_bases=min_bases,
+                           amp_size=amp_size, tm=tm, gc=gc,
+                           primer_size=primer_size, max_sec_tm=max_sec_tm,
+                           gc_clamp=gc_clamp, max_end_gc=max_end_gc)
 
-        consv_up = consv_border_n(group=region.group,
-                                  border_var=region.variants[-1],
-                                  nearby_vars=region.upstream,
-                                  max_offset=amp_size[1])
-        consv_dn = consv_border_n(group=region.group,
-                                  border_var=region.variants[0],
-                                  nearby_vars=region.downstream,
-                                  max_offset=amp_size[1])
-        if consv_up["group"] - overhang_up["group"] < 30:
-            region.type = "Unconserved"
-            yield region
-            continue
-        if consv_dn["group"] - overhang_dn["group"] < 30:
-            region.type = "Unconserved"
-            yield region
-            continue
 
-        start_crrna_ref = region.variants[0].variant.pos - 1 - overhang_dn["ref"]
-        end_crrna_ref = region.variants[-1].variant.pos - 1 + overhang_up["ref"]
-        crrna_seq = region.sequence(reference=reference, start=start_crrna_ref,
-                                    end=end_crrna_ref, group=region.group)
-        nontarget_seqs = [
-            region.sequence(reference=reference, start=start_crrna_ref,
-                            end=end_crrna_ref, group=g)
-            for g in groups if g is not region.group]
-        dists = [edit_distance("".join(crrna_seq), "".join(s))
-                 for s in nontarget_seqs]
-        min_dist = min(dists)
-        if min_dist < min_bases:
-            region.type = "Undiagnostic"
-            yield region
-            continue
+def cascade_tail(region, groups, reference, *, crrna_len, var_location,
+                 min_bases, amp_size, tm, gc, primer_size, max_sec_tm,
+                 gc_clamp, max_end_gc):
+    """Cascade steps 4-7 (conserved overhangs/flanks, crRNA edit distance,
+    primer design) for a window that passed the count/conserved/misplaced
+    gates.  Returns the region with .type set; survivors come back as
+    DiagnosticRegion.  Shared by the host scan and the vectorized
+    prefilter (fastscan.py), which computes steps 1-3 in bulk and calls
+    this only for the rare candidates.
+    Parity: krisp_vcf.py:795-916."""
+    from ..thermo.design import run_primer3
 
-        start_tmp_ref = region.variants[0].variant.pos - 1 - consv_dn["ref"]
-        end_tmp_ref = region.variants[-1].variant.pos - 1 + consv_up["ref"]
+    offset_right = crrna_len - var_location[1]
 
-        downstream_seq = region.sequence(reference=reference,
-                                         start=start_tmp_ref,
-                                         end=start_crrna_ref - 1,
-                                         group=region.group)
-        upstream_seq = region.sequence(reference=reference,
-                                       start=end_crrna_ref + 1,
-                                       end=end_tmp_ref, group=region.group)
-        template_seq = downstream_seq + crrna_seq + upstream_seq
-        start_crrna_tmp = len(downstream_seq)
+    overhang_left = crrna_len - region.region_length() - offset_right
+    overhang_right = offset_right
+    overhang_up = consv_border_n(group=region.group,
+                                 border_var=region.variants[-1],
+                                 nearby_vars=region.upstream,
+                                 max_offset=overhang_right)
+    overhang_dn = consv_border_n(group=region.group,
+                                 border_var=region.variants[0],
+                                 nearby_vars=region.downstream,
+                                 max_offset=overhang_left)
+    if (overhang_up["group"] < offset_right
+            or overhang_dn["group"] < overhang_left):
+        region.type = "Unconserved"
+        return region
 
-        p3_out = run_primer3(template_seq, target_start=start_crrna_tmp,
-                             target_len=len(crrna_seq), tm=tm, gc=gc,
-                             amp_size=amp_size, primer_size=primer_size,
-                             max_sec_tm=max_sec_tm, gc_clamp=gc_clamp,
-                             max_end_gc=max_end_gc)
-        if p3_out["PRIMER_PAIR_NUM_RETURNED"] == 0:
-            region.type = "No primers"
-            yield region
-            continue
+    consv_up = consv_border_n(group=region.group,
+                              border_var=region.variants[-1],
+                              nearby_vars=region.upstream,
+                              max_offset=amp_size[1])
+    consv_dn = consv_border_n(group=region.group,
+                              border_var=region.variants[0],
+                              nearby_vars=region.downstream,
+                              max_offset=amp_size[1])
+    if consv_up["group"] - overhang_up["group"] < 30:
+        region.type = "Unconserved"
+        return region
+    if consv_dn["group"] - overhang_dn["group"] < 30:
+        region.type = "Unconserved"
+        return region
 
-        region.type = "Diagnostic"
-        yield DiagnosticRegion.from_window(
-            region, p3=p3_out, crrna_seq=crrna_seq,
-            downstream_seq=downstream_seq, upstream_seq=upstream_seq,
-            temp_range=[start_tmp_ref, end_tmp_ref],
-            crrna_range=[start_crrna_ref, end_crrna_ref], min_bases=min_dist)
+    start_crrna_ref = region.variants[0].variant.pos - 1 - overhang_dn["ref"]
+    end_crrna_ref = region.variants[-1].variant.pos - 1 + overhang_up["ref"]
+    crrna_seq = region.sequence(reference=reference, start=start_crrna_ref,
+                                end=end_crrna_ref, group=region.group)
+    nontarget_seqs = [
+        region.sequence(reference=reference, start=start_crrna_ref,
+                        end=end_crrna_ref, group=g)
+        for g in groups if g is not region.group]
+    dists = [edit_distance("".join(crrna_seq), "".join(s))
+             for s in nontarget_seqs]
+    min_dist = min(dists)
+    if min_dist < min_bases:
+        region.type = "Undiagnostic"
+        return region
+
+    start_tmp_ref = region.variants[0].variant.pos - 1 - consv_dn["ref"]
+    end_tmp_ref = region.variants[-1].variant.pos - 1 + consv_up["ref"]
+
+    downstream_seq = region.sequence(reference=reference,
+                                     start=start_tmp_ref,
+                                     end=start_crrna_ref - 1,
+                                     group=region.group)
+    upstream_seq = region.sequence(reference=reference,
+                                   start=end_crrna_ref + 1,
+                                   end=end_tmp_ref, group=region.group)
+    template_seq = downstream_seq + crrna_seq + upstream_seq
+    start_crrna_tmp = len(downstream_seq)
+
+    p3_out = run_primer3(template_seq, target_start=start_crrna_tmp,
+                         target_len=len(crrna_seq), tm=tm, gc=gc,
+                         amp_size=amp_size, primer_size=primer_size,
+                         max_sec_tm=max_sec_tm, gc_clamp=gc_clamp,
+                         max_end_gc=max_end_gc)
+    if p3_out["PRIMER_PAIR_NUM_RETURNED"] == 0:
+        region.type = "No primers"
+        return region
+
+    region.type = "Diagnostic"
+    return DiagnosticRegion.from_window(
+        region, p3=p3_out, crrna_seq=crrna_seq,
+        downstream_seq=downstream_seq, upstream_seq=upstream_seq,
+        temp_range=[start_tmp_ref, end_tmp_ref],
+        crrna_range=[start_crrna_ref, end_crrna_ref], min_bases=min_dist)

@@ -1,0 +1,165 @@
+"""Fast (columnar + device + vectorized prefilter) VCF scan vs host scan.
+
+The fast path must reproduce the host scan's typed-window stream EXACTLY —
+same types, same order, same survivors — because the stream drives both the
+CSV/alignment output and the status-line statistics (VERDICT r1 item 2).
+"""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from krisp_tpu.cli.krisp_vcf import parse_reference
+from krisp_tpu.vcf.classify import parse_group_data
+from krisp_tpu.vcf.parser import VcfOffsetIndex
+
+from test_vcf_fuzz import synth_fuzz_inputs, synth_dense_inputs
+
+META = "/root/reference/test_data/krisp_vcf/metadata.csv"
+VCF = "/root/reference/test_data/krisp_vcf/variants.vcf.gz"
+REF_FASTA = "tests/data/test_reference.fasta.gz"
+
+KWARGS = dict(min_samples=3, min_samp_prop=0.9, min_reads=10,
+              min_geno_qual=40, min_var_qual=10, min_freq=0.1,
+              min_map_qual=40, min_bases=1, crrna_len=28,
+              var_location=(6, 14), amp_size=(70, 150))
+
+
+@pytest.fixture(scope="module")
+def bundled():
+    idx = VcfOffsetIndex(VCF)
+    col = idx.columnar()
+    if col is None:
+        idx.cleanup()
+        pytest.skip("native VCF tokenizer unavailable")
+    groups = parse_group_data(META, groups=["NA1", "NA2", "EU1"],
+                              min_samples=3)
+    reference = parse_reference(REF_FASTA)
+    yield idx, col, groups, reference
+    idx.cleanup()
+
+
+def _digest(r):
+    # rejected windows are flyweights in the fast path: only .type is
+    # observable by the report layer; survivors carry full identity
+    if r.type == "Diagnostic":
+        return (r.type, r.group, tuple(r.crrna_range), tuple(r.temp_range),
+                "".join(r.crrna_seq), r.min_bases)
+    return (r.type,)
+
+
+def typed_stream_fast(col, rows, groups, reference):
+    from krisp_tpu.vcf.fastscan import find_diag_region_fast
+    return [_digest(r)
+            for r in find_diag_region_fast(col, rows, groups, reference,
+                                           **KWARGS)]
+
+
+def typed_stream_host(idx, chunk, groups, reference):
+    from krisp_tpu.vcf.scan import find_diag_region
+    variants = idx.fetch(chunk["contig"], chunk["start"], chunk["end"])
+    return [_digest(r)
+            for r in find_diag_region(variants, groups, reference, **KWARGS)]
+
+
+@pytest.mark.parametrize("window", [(150000, 220000), (0, 100000),
+                                    (220000, 500000)])
+def test_typed_stream_equality(bundled, window):
+    idx, col, groups, reference = bundled
+    from krisp_tpu.vcf.fastscan import chunk_rows
+    chunk = {"contig": idx.contigs[0][0], "start": window[0],
+             "end": window[1]}
+    fast = typed_stream_fast(col, chunk_rows(col, chunk), groups, reference)
+    host = typed_stream_host(idx, chunk, groups, reference)
+    assert fast == host
+    assert len(fast) > 0
+
+
+def test_report_batches_equal(bundled, tmp_path):
+    """report_diag_region's result/stats batch stream: fast == host."""
+    from krisp_tpu.vcf.report import report_diag_region
+
+    idx, col, groups, reference = bundled
+    chunk = {"contig": idx.contigs[0][0], "start": 150000, "end": 220000}
+
+    def strip(batches):
+        return [(b["result"], dict(b["stats"])) for b in batches]
+
+    fast = strip(report_diag_region(idx, chunk, groups, reference, False,
+                                    engine="device", **KWARGS))
+    host = strip(report_diag_region(idx, chunk, groups, reference, False,
+                                    engine="host", **KWARGS))
+    assert fast == host
+
+
+def _run_cli(meta, ref, vcf, out_dir, tag, engine):
+    csv = f"{out_dir}/{tag}.csv"
+    align = f"{out_dir}/{tag}.align.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "krisp_tpu.cli.krisp_vcf", meta, ref,
+         "--vcf", vcf, "--groups", "EU1", "NA1", "--min_samples", "3",
+         "--engine", engine, "--out_csv", csv, "--out_align", align],
+        capture_output=True, text=True, timeout=600,
+        env={"PYTHONHASHSEED": "0", "PYTHONPATH": "/root/repo",
+             "PATH": "/usr/bin:/bin", "COLUMNS": "80",
+             "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return open(csv).read(), open(align).read()
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_fuzz_device_engine_cli_parity(tmp_path, seed):
+    """Synthetic indel/multiallelic/missing-data VCFs: --engine device
+    (fast path) must byte-match --engine host through the full CLI."""
+    meta, ref, vcf = synth_fuzz_inputs(tmp_path, seed)
+    host_csv, host_align = _run_cli(meta, ref, vcf, tmp_path, "h", "host")
+    dev_csv, dev_align = _run_cli(meta, ref, vcf, tmp_path, "d", "device")
+    assert dev_csv == host_csv
+    assert dev_align == host_align
+
+
+@pytest.mark.parametrize("seed", [700])
+def test_dense_overlapping_indels_device_parity(tmp_path, seed):
+    meta, ref, vcf = synth_dense_inputs(tmp_path, seed)
+    host_csv, host_align = _run_cli(meta, ref, vcf, tmp_path, "h", "host")
+    dev_csv, dev_align = _run_cli(meta, ref, vcf, tmp_path, "d", "device")
+    assert dev_csv == host_csv
+    assert dev_align == host_align
+
+
+def test_window_replay_matches_reference_deques():
+    """Property: the two-pointer window bounds equal a direct simulation of
+    the reference's deque algorithm on random position/indel data."""
+    from krisp_tpu.vcf.fastscan import _window_types
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        V = 200
+        pos = np.cumsum(rng.integers(0, 12, V)) + 1
+        rlen = rng.choice([1, 1, 1, 2, 5, 30], V)
+        delta = rng.choice([-3, 0, 0, 0, 1, 4], V)
+        starts = (pos - 1).tolist()
+        ends = (pos - 1 + rlen - 1).tolist()
+        span = int(rng.choice([5, 9, 20]))
+
+        # direct deque simulation (krisp_vcf.py:171-218 semantics)
+        from collections import deque
+        win = deque()
+        want = []
+        for e in range(V):
+            win.append(e)
+            while win:
+                idx = list(win)
+                length = (max(ends[i] for i in idx)
+                          - min(starts[i] for i in idx) + 1
+                          + sum(delta[i] for i in idx))
+                if length <= span:
+                    break
+                win.popleft()
+            want.append(win[0] if win else e + 1)
+
+        _, jstart = _window_types(starts, ends, delta.tolist(),
+                                  [False] * V, [True] * V, span, 1)
+        assert jstart == want, f"trial {trial}"
