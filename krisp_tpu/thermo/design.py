@@ -34,12 +34,123 @@ def _revcomp(seq: str) -> str:
 def enumerate_candidates(template: str, lo: int, hi: int, primer_size,
                          tm_range, gc_range, gc_clamp, max_end_gc,
                          opt_size, opt_tm, reverse: bool):
-    """All primers within template[lo:hi] passing the cheap filters.
+    """All primers within template[lo:hi] passing the cheap filters —
+    vectorized over every (position, length) with numpy; NN ΔH/ΔS window
+    sums use np.add.reduceat (sequential within each segment, so floats
+    match the scalar oracle bit-for-bit; tests/test_thermo.py pins this).
 
     Returns a list of (penalty, start, length, seq, tm, gc) sorted by
     penalty.  ``reverse``: candidate is the reverse-complement strand (3'
     end at its left edge on the plus strand).
     """
+    import math
+
+    region = template[lo:hi].upper()
+    n = len(region)
+    if n < max(primer_size[0], 2):
+        return []
+    codes = nn._codes(region)
+    raw = np.frombuffer(region.encode(), np.uint8)
+    acgt_bad = np.concatenate([[0], np.cumsum(codes >= 4)])
+    is_gc = (codes == 1) | (codes == 2)
+    gc_pre = np.concatenate([[0], np.cumsum(is_gc)])
+    # equal-char run length ending at each position (for MAX_POLY_X)
+    pos_i = np.arange(n)
+    new_run = np.ones(n, bool)
+    new_run[1:] = raw[1:] != raw[:-1]
+    run_start = np.maximum.accumulate(np.where(new_run, pos_i, -1))
+    runlen = pos_i - run_start + 1
+
+    # NN dimer tables for the plus strand and (for reverse candidates) the
+    # reverse-complement strand, with a 0 sentinel so reduceat boundaries
+    # may reach n-1
+    dimv = codes[:-1].astype(np.int32) * 5 + codes[1:]
+    dh_plus = np.concatenate([nn._DH_LUT[dimv], [0.0]])
+    ds_plus = np.concatenate([nn._DS_LUT[dimv], [0.0]])
+    if reverse:
+        codes_rc = np.where(codes[::-1] < 4, 3 - codes[::-1], 4)
+        dimv_rc = codes_rc[:-1].astype(np.int32) * 5 + codes_rc[1:]
+        dh_rc = np.concatenate([nn._DH_LUT[dimv_rc], [0.0]])
+        ds_rc = np.concatenate([nn._DS_LUT[dimv_rc], [0.0]])
+
+    salt = nn.effective_monovalent() / 1000.0
+    log_salt = math.log(salt)
+    log_c4 = math.log(50.0 * 1e-9 / 4.0)
+
+    out = []
+    rc_region = _revcomp(region) if reverse else None
+    win = np.lib.stride_tricks.sliding_window_view
+    for size in range(primer_size[0], min(primer_size[1], n) + 1):
+        starts = np.arange(n - size + 1)
+        keep = (acgt_bad[starts + size] - acgt_bad[starts]) == 0
+        # MAX_POLY_X: longest equal run clipped at the window start
+        eff = np.minimum(win(runlen, size), np.arange(size) + 1)
+        keep &= eff.max(axis=1) <= MAX_POLY_X
+        gc_cnt = gc_pre[starts + size] - gc_pre[starts]
+        gc_val = 100.0 * gc_cnt / size
+        keep &= (gc_val >= gc_range[0]) & (gc_val <= gc_range[1])
+        if gc_clamp:
+            # primer 3' end: window tail (forward) / head (reverse);
+            # complementation preserves G/C membership
+            if reverse:
+                clamp_cnt = gc_pre[starts + gc_clamp] - gc_pre[starts]
+            else:
+                clamp_cnt = gc_pre[starts + size] \
+                    - gc_pre[starts + size - gc_clamp]
+            keep &= clamp_cnt == gc_clamp
+        if max_end_gc is not None:
+            k5 = min(5, size)
+            if reverse:
+                end_cnt = gc_pre[starts + k5] - gc_pre[starts]
+            else:
+                end_cnt = gc_pre[starts + size] - gc_pre[starts + size - k5]
+            keep &= end_cnt <= max_end_gc
+        if not keep.any():
+            continue
+        ks = starts[keep]
+        # ΔH/ΔS window sums accumulated dimer-by-dimer in the candidate's
+        # own 5'->3' order — the same sequential float additions as the
+        # scalar loop, so Tm values are bit-identical (reduceat would use
+        # pairwise summation and drift by ulps)
+        dh = np.zeros(ks.size)
+        ds = np.zeros(ks.size)
+        if reverse:
+            b0 = n - ks - size
+            for k in range(size - 1):
+                dh = dh + dh_rc[b0 + k]
+                ds = ds + ds_rc[b0 + k]
+            first_gc = is_gc[ks + size - 1]   # seq[0] = comp(plus last)
+            last_gc = is_gc[ks]               # seq[-1] = comp(plus first)
+        else:
+            for k in range(size - 1):
+                dh = dh + dh_plus[ks + k]
+                ds = ds + ds_plus[ks + k]
+            first_gc = is_gc[ks]
+            last_gc = is_gc[ks + size - 1]
+        dh = dh + np.where(first_gc, nn.INIT_GC_DH, nn.INIT_AT_DH)
+        ds = ds + np.where(first_gc, nn.INIT_GC_DS, nn.INIT_AT_DS)
+        dh = dh + np.where(last_gc, nn.INIT_GC_DH, nn.INIT_AT_DH)
+        ds = ds + np.where(last_gc, nn.INIT_GC_DS, nn.INIT_AT_DS)
+        ds_corr = ds + 0.368 * (size - 1) * log_salt
+        tm_val = (dh * 1000.0) / (ds_corr + nn.R_GAS * log_c4) - 273.15
+        tok = (tm_val >= tm_range[0]) & (tm_val <= tm_range[1])
+        pen = np.abs(tm_val - opt_tm) + abs(size - opt_size)
+        gcv = gc_val[keep]
+        for idx in np.nonzero(tok)[0]:
+            s = int(ks[idx])
+            seq = (rc_region[n - s - size:n - s] if reverse
+                   else region[s:s + size])
+            out.append((float(pen[idx]), lo + s, size, seq,
+                        float(tm_val[idx]), float(gcv[idx])))
+    out.sort(key=lambda c: (c[0], c[1], c[2]))
+    return out
+
+
+def enumerate_candidates_scalar(template: str, lo: int, hi: int, primer_size,
+                                tm_range, gc_range, gc_clamp, max_end_gc,
+                                opt_size, opt_tm, reverse: bool):
+    """Reference implementation (per-candidate Python loops); the equality
+    oracle for the vectorized ``enumerate_candidates``."""
     out = []
     region = template[lo:hi].upper()
     n = len(region)
@@ -105,16 +216,15 @@ def design_primers(template, target_start, target_len, tm=(53, 68),
                                   tm, gc, gc_clamp, max_end_gc, opt_size,
                                   opt_tm, reverse=True)
 
-    # Structure screens on the shortlist only
-    lefts_ok, rights_ok = [], []
-    for cand in lefts[:max_candidates]:
-        ok, th = _passes_structure(cand[3], max_sec_tm)
-        if ok:
-            lefts_ok.append((cand, th))
-    for cand in rights[:max_candidates]:
-        ok, th = _passes_structure(cand[3], max_sec_tm)
-        if ok:
-            rights_ok.append((cand, th))
+    # Structure screens on the shortlist only — one batched numpy pass
+    short_l = lefts[:max_candidates]
+    short_r = rights[:max_candidates]
+    ths = nn.batch_self_screens([c[3] for c in short_l]
+                                + [c[3] for c in short_r])
+    lefts_ok = [(c, th) for c, th in zip(short_l, ths[:len(short_l)])
+                if max(th) <= max_sec_tm]
+    rights_ok = [(c, th) for c, th in zip(short_r, ths[len(short_l):])
+                 if max(th) <= max_sec_tm]
 
     best = None
     for lc, lth in lefts_ok:

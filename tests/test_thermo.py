@@ -98,3 +98,59 @@ def test_boulderio_settings_parser(tmp_path):
     assert params["tm"] == (50, 65)
     assert params["amp_size"] == (70, 150)
     assert params["gc_clamp"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Vectorized engine == scalar oracle (bit-exact)
+# ---------------------------------------------------------------------------
+
+def test_vectorized_structure_screens_match_scalar():
+    import numpy as np
+    from krisp_tpu.thermo import nn
+    rng = np.random.default_rng(5)
+    for _ in range(150):
+        n1 = int(rng.integers(3, 40))
+        n2 = int(rng.integers(3, 40))
+        s1 = "".join(rng.choice(list("ACGTN"), n1,
+                                p=[.24, .24, .24, .24, .04]))
+        s2 = "".join(rng.choice(list("ACGT"), n2))
+        for ea in (False, True):
+            assert (nn._best_complementary_run(s1, s2, ea)
+                    == nn._best_complementary_run_scalar(s1, s2, ea))
+        assert nn.hairpin_th(s1) == nn.hairpin_th_scalar(s1)
+
+
+def test_batch_self_screens_match_singles():
+    import numpy as np
+    from krisp_tpu.thermo import nn
+    rng = np.random.default_rng(6)
+    seqs = ["".join(rng.choice(list("ACGT"), int(rng.integers(18, 36))))
+            for _ in range(120)]
+    batch = nn.batch_self_screens(seqs)
+    for s, th in zip(seqs, batch):
+        assert th == (nn.self_any_th(s), nn.self_end_th(s), nn.hairpin_th(s))
+
+
+def test_vectorized_candidates_match_scalar():
+    import numpy as np
+    from krisp_tpu.thermo import design
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        n = int(rng.integers(60, 260))
+        t = "".join(rng.choice(list("ACGTN"), n,
+                               p=[.24, .24, .26, .24, .02]))
+        hi = int(rng.integers(40, n))
+        for reverse in (False, True):
+            args = (t, 0, hi, (18, 27), (50, 70), (35, 70), 1, 4, 22.5,
+                    60.0, reverse)
+            assert (design.enumerate_candidates(*args)
+                    == design.enumerate_candidates_scalar(*args))
+    # krisp default geometry too
+    for _ in range(10):
+        n = int(rng.integers(100, 300))
+        t = "".join(rng.choice(list("ACGT"), n))
+        for reverse in (False, True):
+            args = (t, 0, n, (25, 35), (53, 68), (40, 70), 1, 4, 30.0,
+                    60.5, reverse)
+            assert (design.enumerate_candidates(*args)
+                    == design.enumerate_candidates_scalar(*args))
