@@ -201,7 +201,7 @@ def _passes_structure(seq: str, max_sec_tm: float):
 def design_primers(template, target_start, target_len, tm=(53, 68),
                    gc=(40, 70), amp_size=(80, 300), primer_size=(25, 35),
                    max_sec_tm=40, gc_clamp=1, max_end_gc=4,
-                   max_candidates=64):
+                   max_candidates=64, _exhaustive=False):
     """Pick the best primer pair flanking the target; primer3-shaped dict."""
     template = "".join(template)
     n = len(template)
@@ -216,34 +216,71 @@ def design_primers(template, target_start, target_len, tm=(53, 68),
                                   tm, gc, gc_clamp, max_end_gc, opt_size,
                                   opt_tm, reverse=True)
 
-    # Structure screens on the shortlist only — one batched numpy pass
+    # Staged structure screening in penalty order with a sound lower-bound
+    # early stop: a pair involving an unscreened candidate can never beat
+    # ``short_l[l_done].pen + short_r[0].pen`` (and symmetrically), so once
+    # the best found pair is at or below that bound, the remaining screens
+    # cannot change the selection — identical output to screening all
+    # ``max_candidates``, usually after one small chunk.
     short_l = lefts[:max_candidates]
     short_r = rights[:max_candidates]
-    ths = nn.batch_self_screens([c[3] for c in short_l]
-                                + [c[3] for c in short_r])
-    lefts_ok = [(c, th) for c, th in zip(short_l, ths[:len(short_l)])
-                if max(th) <= max_sec_tm]
-    rights_ok = [(c, th) for c, th in zip(short_r, ths[len(short_l):])
-                 if max(th) <= max_sec_tm]
-
+    l_done = r_done = 0
+    lefts_ok: list = []
+    rights_ok: list = []
+    compl_memo: dict = {}
     best = None
-    for lc, lth in lefts_ok:
-        for rc, rth in rights_ok:
-            l_pen, l_start, l_size = lc[0], lc[1], lc[2]
-            r_pen, r_start, r_size = rc[0], rc[1], rc[2]
-            product = (r_start + r_size) - l_start
-            if not (amp_size[0] <= product <= amp_size[1]):
-                continue
-            pair_pen = l_pen + r_pen
-            if best is not None and pair_pen >= best["penalty"]:
-                continue
-            compl_any = nn.pair_any_th(lc[3], rc[3])
-            compl_end = nn.pair_end_th(lc[3], rc[3])
-            if compl_any > max_sec_tm or compl_end > max_sec_tm:
-                continue
-            best = {"penalty": pair_pen, "left": (lc, lth),
-                    "right": (rc, rth), "product": product,
-                    "compl_any": compl_any, "compl_end": compl_end}
+    CHUNK = 8
+
+    def _extend(cands, done, ok_list):
+        chunk = cands[done:done + CHUNK]
+        for c, th in zip(chunk, nn.batch_self_screens([c[3] for c in chunk])):
+            if max(th) <= max_sec_tm:
+                ok_list.append((c, th))
+        return done + len(chunk)
+
+    while True:
+        progressed = False
+        if l_done < len(short_l):
+            l_done = _extend(short_l, l_done, lefts_ok)
+            progressed = True
+        if r_done < len(short_r):
+            r_done = _extend(short_r, r_done, rights_ok)
+            progressed = True
+        for lc, lth in lefts_ok:
+            for rc, rth in rights_ok:
+                l_pen, l_start, l_size = lc[0], lc[1], lc[2]
+                r_pen, r_start, r_size = rc[0], rc[1], rc[2]
+                product = (r_start + r_size) - l_start
+                if not (amp_size[0] <= product <= amp_size[1]):
+                    continue
+                pair_pen = l_pen + r_pen
+                if best is not None and pair_pen >= best["penalty"]:
+                    continue
+                key = (l_start, l_size, r_start, r_size)
+                th2 = compl_memo.get(key)
+                if th2 is None:
+                    th2 = (nn.pair_any_th(lc[3], rc[3]),
+                           nn.pair_end_th(lc[3], rc[3]))
+                    compl_memo[key] = th2
+                compl_any, compl_end = th2
+                if compl_any > max_sec_tm or compl_end > max_sec_tm:
+                    continue
+                best = {"penalty": pair_pen, "left": (lc, lth),
+                        "right": (rc, rth), "product": product,
+                        "compl_any": compl_any, "compl_end": compl_end}
+        lb = None
+        if l_done < len(short_l) and short_r:
+            lb = short_l[l_done][0] + short_r[0][0]
+        if r_done < len(short_r) and short_l:
+            lb2 = short_l[0][0] + short_r[r_done][0]
+            lb = lb2 if lb is None else min(lb, lb2)
+        if (not _exhaustive and best is not None
+                and (lb is None or best["penalty"] < lb)):
+            # strict: an unscreened pair tying on penalty could precede in
+            # the full iteration order, so ties keep screening
+            break
+        if not progressed:
+            break
 
     out = {}
     if best is None:

@@ -48,9 +48,7 @@ class _Rejected:
 _REJ = {code: _Rejected(name) for code, name in _TYPE_NAMES.items()}
 
 
-def _variant_from_columnar(col, v):
-    """Reconstruct a parser.VcfVariant from columnar row ``v`` (only done
-    for the few variants near candidate windows)."""
+def _build_samples(col, v):
     alleles = col.alleles[v]
     n_all = len(alleles)
     A = col.ad.shape[2]
@@ -64,6 +62,58 @@ def _variant_from_columnar(col, v):
             ad = ad + (0,) * (n_all - A)
         samples[name] = SampleData(dp=None if dp < 0 else dp,
                                    gq=None if gq < 0 else gq, ad=ad)
+    return samples
+
+
+class _LazyVariant:
+    """parser.VcfVariant work-alike over columnar arrays.
+
+    The per-sample dict (the O(samples) part) is built only on first
+    access — the cascade tail touches it only for survivors (exact
+    rehydration / missing_samp_ids), so candidate-context variants stay
+    O(1) to materialize."""
+
+    __slots__ = ("_col", "_row", "chrom", "pos", "id", "ref", "alts",
+                 "qual", "mq", "_samples")
+
+    def __init__(self, col, v):
+        self._col = col
+        self._row = v
+        alleles = col.alleles[v]
+        self.chrom = col.chroms[int(col.chrom_id[v])]
+        self.pos = int(col.pos[v])
+        self.id = "."
+        self.ref = alleles[0]
+        self.alts = tuple(alleles[1:])
+        qual = float(col.qual[v])
+        mq = float(col.mq[v])
+        self.qual = None if np.isnan(qual) else qual
+        self.mq = None if np.isnan(mq) else mq
+        self._samples = None
+
+    @property
+    def samples(self):
+        if self._samples is None:
+            self._samples = _build_samples(self._col, self._row)
+        return self._samples
+
+    @property
+    def alleles(self):
+        return (self.ref,) + self.alts
+
+    @property
+    def rlen(self):
+        return len(self.ref)
+
+    @property
+    def info(self):
+        return {"MQ": self.mq}
+
+
+def _variant_from_columnar(col, v):
+    """Reconstruct a parser.VcfVariant from columnar row ``v`` (eager;
+    used for the one-time group-membership probe)."""
+    alleles = col.alleles[v]
     qual = float(col.qual[v])
     mq = float(col.mq[v])
     return VcfVariant(chrom=col.chroms[int(col.chrom_id[v])],
@@ -71,7 +121,8 @@ def _variant_from_columnar(col, v):
                       alts=tuple(alleles[1:]),
                       qual=None if np.isnan(qual) else qual,
                       mq=None if np.isnan(mq) else mq,
-                      samples=samples, sample_names=list(col.samples))
+                      samples=_build_samples(col, v),
+                      sample_names=list(col.samples))
 
 
 def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
@@ -259,7 +310,7 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
     def dcv(i: int) -> DeviceClassifiedVariant:
         hit = dcv_cache.get(i)
         if hit is None:
-            var = _variant_from_columnar(col, int(rows[i]))
+            var = _LazyVariant(col, int(rows[i]))
             alleles = alleles_cache[int(rows[i])]
             sample_counts = {g: int(sc[i, gi])
                              for gi, g in enumerate(group_names)}

@@ -154,3 +154,17 @@ def test_vectorized_candidates_match_scalar():
                     60.5, reverse)
             assert (design.enumerate_candidates(*args)
                     == design.enumerate_candidates_scalar(*args))
+
+
+def test_staged_screening_matches_exhaustive():
+    """The lower-bound early stop in design_primers must never change the
+    selected pair vs screening the full shortlist."""
+    import numpy as np
+    from krisp_tpu.thermo.design import design_primers
+    rng = np.random.default_rng(8)
+    for _ in range(15):
+        tpl = "".join(rng.choice(list("ACGT"), int(rng.integers(150, 300))))
+        ts = int(rng.integers(60, 100))
+        a = design_primers(tpl, ts, 30)
+        b = design_primers(tpl, ts, 30, _exhaustive=True)
+        assert a == b
