@@ -59,6 +59,9 @@ def parse_args(argv):
     parser.add_argument("--max_end_gc", type=int, default=4, metavar="INT")
     parser.add_argument("--verbose", action="store_true",
                         help="Print runtime information to sys.stderr")
+    parser.add_argument("--profile-dir", type=str, metavar="PATH",
+                        help="Capture a JAX profiler trace (xprof format) "
+                             "of the device pipeline into this directory")
     return parser.parse_args(argv)
 
 
@@ -105,9 +108,11 @@ def main(argv=None):
             print(f"({i}) {f}", file=sys.stderr)
         print(file=sys.stderr)
 
-    groups = run_pipeline(args.files, args.outgroup, geom,
-                          omit_soft=args.omit_soft, workdir=args.workdir,
-                          n_devices=args.devices)
+    from ..metrics import profiler_trace
+    with profiler_trace(args.profile_dir):
+        groups = run_pipeline(args.files, args.outgroup, geom,
+                              omit_soft=args.omit_soft, workdir=args.workdir,
+                              n_devices=args.devices)
 
     p3_args = dict(tm=tuple(args.tm), gc=tuple(args.gc),
                    amp_size=tuple(args.amp_size),

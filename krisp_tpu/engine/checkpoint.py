@@ -18,10 +18,13 @@ from pathlib import Path
 import numpy as np
 
 
-def _table_key(path: str, geom, bits: int, omit_soft: bool) -> str:
+def _table_key(path: str, geom, bits: int, omit_soft: bool,
+               n_files: int) -> str:
+    # v2: tables store bit-packed KeyLayout rows, whose width depends on
+    # the genome-id field (n_files)
     h = hashlib.sha256()
-    h.update(f"{geom.left},{geom.mid},{geom.right},{bits},{omit_soft},v1"
-             .encode())
+    h.update(f"{geom.left},{geom.mid},{geom.right},{bits},{omit_soft},"
+             f"{n_files},v2".encode())
     with open(path, "rb") as fh:
         for chunk in iter(lambda: fh.read(1 << 20), b""):
             h.update(chunk)
@@ -38,9 +41,10 @@ class TableCache:
     def _path(self, key: str) -> Path:
         return self.dir / f"kmer_table_{key}.npz"
 
-    def load(self, path: str, geom, bits: int, omit_soft: bool):
+    def load(self, path: str, geom, bits: int, omit_soft: bool,
+             n_files: int = 1):
         """Return (words [W, n] uint32, counts uint32, n_unique) or None."""
-        f = self._path(_table_key(path, geom, bits, omit_soft))
+        f = self._path(_table_key(path, geom, bits, omit_soft, n_files))
         if not f.exists():
             return None
         try:
@@ -50,8 +54,9 @@ class TableCache:
             return None
 
     def store(self, path: str, geom, bits: int, omit_soft: bool,
-              words: np.ndarray, counts: np.ndarray, n_unique: int):
-        f = self._path(_table_key(path, geom, bits, omit_soft))
+              words: np.ndarray, counts: np.ndarray, n_unique: int,
+              n_files: int = 1):
+        f = self._path(_table_key(path, geom, bits, omit_soft, n_files))
         tmp = f.with_suffix(".tmp.npz")
         np.savez_compressed(tmp, words=words[:, :n_unique],
                             counts=counts[:n_unique],

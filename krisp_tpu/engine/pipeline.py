@@ -24,10 +24,9 @@ import numpy as np
 from .. import dna
 from ..io.fasta import load_buffer, bucket_size, simple_name
 from ..metrics import GLOBAL as METRICS
-from ..ops.encode import kmer_keys_split, num_words
+from ..ops.encode import KeyLayout, window_keys_bits
 from ..ops.sort import lsd_sort
-from ..ops.intersect import (SENTINEL, dedup_sorted, flank_is_ambiguous,
-                             global_intersect)
+from ..ops.intersect import SENTINEL, dedup_sorted, global_intersect_bits
 from .groups import FlankGroup, KmerAmplicon
 
 
@@ -79,34 +78,35 @@ def _encoding_tables(bits: int, omit_soft: bool):
 
 
 def genome_unique_table(buffer: np.ndarray, geom: KmerGeometry, bits: int,
-                        omit_soft: bool):
+                        omit_soft: bool, n_files: int = 1):
     """Device stage for one genome: sorted, duplicate-collapsed k-mer table
-    in the split [flank | mid] layout.
+    in the bit-packed KeyLayout (genome-id field zero; the global stage
+    ORs it in).  One key layout serves every path — the fused, sharded,
+    and checkpoint engines all speak KeyLayout rows.
 
     Matches ``extractSortedKmers`` semantics (krisp_fasta.py:16-66): k-mers
     of the full amplicon length, 'N'/'n' disallowed, both strands added
     (complements=True, NOT canonicalized), soft-masked k-mers dropped
     (--omit-soft) or uppercased (default), sorted by (left, right) flank.
+    The genome-id field doubles as the validity marker, so every geometry
+    is sentinel-unambiguous (valid rows always sort before sentinels).
 
     Returns (words uint32[W, n], counts uint32[n]); rows with count 0 are
     sentinel (duplicate or masked) rows.
     """
     code_table, valid_table, comp_table = _encoding_tables(bits, omit_soft)
-    ok, fw, mw = kmer_keys_split(buffer, code_table, valid_table, comp_table,
-                                 geom.left, geom.mid, geom.right, bits)
+    ok, words = window_keys_bits(buffer, code_table, valid_table, comp_table,
+                                 geom.left, geom.mid, geom.right, bits,
+                                 n_files)
     n_valid = jnp.sum(ok.astype(jnp.int32))
-    words = [jnp.where(ok, w, SENTINEL) for w in fw + mw]
-    if flank_is_ambiguous(geom.left, geom.right, bits):
-        inval = jnp.where(ok, jnp.uint32(0), jnp.uint32(1))
-        sorted_w, _ = lsd_sort([inval] + words)
-        sorted_w = sorted_w[1:]
-    else:
-        sorted_w, _ = lsd_sort(words)
+    flat = [jnp.where(ok, w, SENTINEL) for w in words]
+    sorted_w, _ = lsd_sort(flat)
     words_out, cnt = dedup_sorted(sorted_w, n_valid)
     return jnp.stack(words_out), cnt
 
 
-def _genome_table_chunked(path, geom, bits, omit_soft, chunk_size):
+def _genome_table_chunked(path, geom, bits, omit_soft, chunk_size,
+                          n_files=1):
     """Per-genome table computed in bounded device chunks (out-of-core
     path for genomes larger than the HBM budget).
 
@@ -127,7 +127,8 @@ def _genome_table_chunked(path, geom, bits, omit_soft, chunk_size):
             break  # no window can start in this tail
         padded = np.zeros(bucket_size(piece.size), np.uint8)
         padded[:piece.size] = piece
-        words_d, cnt_d = genome_unique_table(padded, geom, bits, omit_soft)
+        words_d, cnt_d = genome_unique_table(padded, geom, bits, omit_soft,
+                                             n_files)
         words = np.asarray(words_d)
         counts = np.asarray(cnt_d)
         # drop rows whose window start falls beyond this chunk's range (the
@@ -140,23 +141,27 @@ def _genome_table_chunked(path, geom, bits, omit_soft, chunk_size):
             np.concatenate(cnt_parts))
 
 
-def _cached_tables(paths, geom, bits, omit_soft, workdir,
+def _cached_tables(paths, geom, bits, omit_soft, workdir, layout,
                    chunk_size=64 << 20):
     """Per-genome unique tables via the TableCache (checkpoint/resume
     path): load hits, compute+store misses.  Returns concatenated
-    (w_stack, file_id, counts) numpy arrays (sentinel-padded)."""
+    (w_stack, counts) numpy arrays (sentinel-padded) in the KeyLayout
+    encoding, with each row's genome-id field OR'd in."""
     from .checkpoint import TableCache
 
+    n_files = len(paths)
+    fword, fshift = layout.file_word_shift()
     cache = TableCache(workdir)
     parts = []
     for file_idx, path in enumerate(paths):
-        hit = cache.load(path, geom, bits, omit_soft)
+        hit = cache.load(path, geom, bits, omit_soft, n_files)
         if hit is None:
             with METRICS.stage("extract+sort"):
                 words, counts = _genome_table_chunked(path, geom, bits,
-                                                      omit_soft, chunk_size)
+                                                      omit_soft, chunk_size,
+                                                      n_files)
             cache.store(path, geom, bits, omit_soft, words, counts,
-                        words.shape[1])
+                        words.shape[1], n_files)
         else:
             words, counts, nu = hit
         parts.append((file_idx, words, counts))
@@ -165,16 +170,16 @@ def _cached_tables(paths, geom, bits, omit_soft, workdir,
     padded_total = bucket_size(total)
     W = parts[0][1].shape[0]
     w_stack = np.full((W, padded_total), 0xFFFFFFFF, np.uint32)
-    file_id = np.full(padded_total, 0xFFFFFFFF, np.uint32)
     counts = np.zeros(padded_total, np.uint32)
     at = 0
     for file_idx, words, cnts in parts:
         n = words.shape[1]
         w_stack[:, at:at + n] = words
-        file_id[at:at + n] = file_idx
+        # OR the genome id into the key (sentinel rows stay all-ones)
+        w_stack[fword, at:at + n] |= np.uint32(file_idx << fshift)
         counts[at:at + n] = cnts
         at += n
-    return w_stack, file_id, counts
+    return w_stack, counts
 
 
 def _mesh_for_run(layout, n_devices):
@@ -221,8 +226,8 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
     with METRICS.stage("read_fasta"):
         buffers = [load_buffer(path) for path in all_files]
     bits = detect_bits(buffers)
-    Wf = num_words(geom.left + geom.right, bits)
-    ambiguous = flank_is_ambiguous(geom.left, geom.right, bits)
+    layout = KeyLayout(geom.left, geom.mid, geom.right, bits,
+                       len(all_files))
 
     # HBM budget guard: the fused one-shot program materializes every
     # genome's window table at once (~56 bytes/window during the sort).
@@ -239,39 +244,29 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
 
     cap = 1 << 16
     if workdir is not None:
-        # Checkpoint/resume path: per-genome tables cached on disk keyed by
-        # content+geometry; the global intersection re-runs over them.
-        w_stack, file_id, counts = _cached_tables(all_files, geom, bits,
-                                                  omit_soft, workdir)
+        # Checkpoint/resume path: per-genome KeyLayout tables cached on
+        # disk keyed by content+geometry; the global intersection re-runs
+        # over them with counts carried as the one payload.
+        w_stack, counts = _cached_tables(all_files, geom, bits, omit_soft,
+                                         workdir, layout)
         while True:
             with METRICS.stage("intersect"):
-                out_words, fid_d, cnt_d, gid_d, n_keep = global_intersect(
-                    tuple(w_stack[:Wf]), file_id, tuple(w_stack[Wf:]),
-                    counts, n_files=len(all_files), n_flank_words=Wf,
-                    cap=cap, ambiguous=ambiguous)
+                out_words, cnt_d, gid_d, n_keep = global_intersect_bits(
+                    tuple(w_stack), counts, layout,
+                    n_files=len(all_files), cap=cap)
                 n_keep = int(n_keep)
             if n_keep <= cap:
                 break
             cap = bucket_size(n_keep, quantum=1 << 16)
-        fid_h = np.asarray(fid_d)[:n_keep]
-        words_h = np.asarray(out_words)[:, :n_keep]
+        words_h = np.asarray(out_words)[:, :n_keep].T
         cnt_h = np.asarray(cnt_d)[:n_keep]
         gid_h = np.asarray(gid_d)[:n_keep]
-        flank_dec = dna.decode_words(words_h[:Wf].T, geom.left + geom.right,
-                                     bits)
-        if geom.mid > 0:
-            mid_dec = dna.decode_words(words_h[Wf:].T, geom.mid, bits)
-        else:
-            mid_dec = [""] * n_keep
     else:
         # One fused device program over minimal bit-packed keys; only
         # ``cap`` compacted survivor rows cross back.  Overflow re-runs
         # with a larger cap (deterministic result, so this is safe).
-        from ..ops.encode import KeyLayout
         from ..ops.intersect import fused_pipeline_bits
 
-        layout = KeyLayout(geom.left, geom.mid, geom.right, bits,
-                           len(all_files))
         mesh = _mesh_for_run(layout, n_devices)
         if mesh is not None:
             # Full distributed intersection over the device mesh:
@@ -333,13 +328,15 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
         words_h = np.asarray(out_words)[:, :n_keep].T
         cnt_h = np.asarray(cnt_d)[:n_keep]
         gid_h = np.asarray(gid_d)[:n_keep]
-        off_flank, off_mid = layout.base_offsets()
-        flank_dec = dna.decode_bits(words_h, off_flank, bits)
-        mid_dec = (dna.decode_bits(words_h, off_mid, bits) if geom.mid > 0
-                   else [""] * n_keep)
-        fid_h = dna.extract_bit_field(words_h, layout.file_off,
-                                      layout.file_bits)
 
+    # shared KeyLayout decode (fused and checkpoint paths emit identical
+    # row encodings; the sharded path returned above)
+    off_flank, off_mid = layout.base_offsets()
+    flank_dec = dna.decode_bits(words_h, off_flank, bits)
+    mid_dec = (dna.decode_bits(words_h, off_mid, bits) if geom.mid > 0
+               else [""] * n_keep)
+    fid_h = dna.extract_bit_field(words_h, layout.file_off,
+                                  layout.file_bits)
     return _group_epilogue(n_keep, gid_h, mid_dec, flank_dec, fid_h, cnt_h,
                            geom, tags, ingroup_tags, has_outgroup,
                            ingroup_filter)

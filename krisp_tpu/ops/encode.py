@@ -116,6 +116,17 @@ class KeyLayout:
         sh = 32 - (self.file_off % 32) - self.file_bits
         return w, sh
 
+    # hashable so a KeyLayout can be a jit static argument
+    def _key(self):
+        return (self.left, self.mid, self.right, self.bits, self.file_bits)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return (isinstance(other, KeyLayout)
+                and self._key() == other._key())
+
 
 def pack_windows_at(codes, perm, offsets, bits: int, n_win: int,
                     n_words: int):
@@ -167,48 +178,6 @@ def window_keys_bits(ascii_u8, code_table, valid_table, comp_table,
                          bits, n_win, layout.n_words)
     words = [jnp.concatenate([a, b]) for a, b in zip(fwd, rc)]
     return jnp.concatenate([ok, ok]), words
-
-
-def split_perms(left: int, mid: int, right: int):
-    """Base-index permutations for the split key layout: flank part
-    (left then right bases, zero-padded to a word boundary at pack time)
-    and mid part (packed separately).
-
-    Splitting at a word boundary is what lets the engine sort by
-    (flank, genome) with word-granular LSD passes while carrying the mid
-    words as payloads — the layout behind the gather-free intersection.
-    """
-    L = left + mid + right
-    perm_flank = tuple(range(left)) + tuple(range(left + mid, L))
-    perm_mid = tuple(range(left, left + mid))
-    return perm_flank, perm_mid
-
-
-@partial(jax.jit, static_argnames=("left", "mid", "right", "bits"))
-def kmer_keys_split(ascii_u8, code_table, valid_table, comp_table,
-                    left: int, mid: int, right: int, bits: int):
-    """Window extraction with the split [flank-words | mid-words] layout.
-
-    Returns (ok bool[n], flank_words list, mid_words list) with forward
-    strand rows first, then reverse complements (n = 2 * n_win).
-    """
-    L = left + mid + right
-    codes, valid = encode_ascii(ascii_u8, code_table, valid_table)
-    ok = window_validity(valid, L)
-    n_win = ok.shape[0]
-    perm_flank, perm_mid = split_perms(left, mid, right)
-
-    comp_codes = jnp.take(jnp.asarray(comp_table), codes).astype(jnp.uint32)
-
-    def both_strands(perm):
-        fwd = pack_windows(codes, perm, bits, n_win)
-        rc = pack_windows(comp_codes, tuple(L - 1 - p for p in perm),
-                          bits, n_win)
-        return [jnp.concatenate([a, b]) for a, b in zip(fwd, rc)]
-
-    flank_words = both_strands(perm_flank)
-    mid_words = both_strands(perm_mid) if mid else []
-    return jnp.concatenate([ok, ok]), flank_words, mid_words
 
 
 @partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "add_revcomp"))

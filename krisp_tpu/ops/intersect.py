@@ -9,9 +9,11 @@ measured v5e primitive costs (fast: stable single-key u32 sort ~390 Mkeys/s,
 
   - multi-word keys sort via LSD passes of the fast single-key sort
     (ops/sort.py:lsd_sort)
-  - the key layout splits at a word boundary: [flank words | mid words],
-    so the global order (flank, genome, mid) needs only flank words + the
-    genome id as sort keys; mid words ride as payloads
+  - ONE key layout everywhere (encode.KeyLayout): flank, genome id, and
+    mid are bit-packed into a single multi-word integer key, so every sort
+    uses only key words as operands (the genome-id field doubles as the
+    validity marker).  The fused, sharded, and checkpoint paths all emit
+    the same row encoding and share one decode epilogue.
   - per-genome duplicate collapse marks non-head rows with sentinel keys
     instead of compacting (no nonzero/gather); the global sort sweeps all
     sentinels to the tail
@@ -36,13 +38,6 @@ from .sort import lsd_sort
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 BIG_I32 = jnp.int32(2**31 - 1)
-
-
-def flank_is_ambiguous(left: int, right: int, bits: int) -> bool:
-    """True when a valid all-T flank could equal the sentinel pattern (no
-    zero padding bits in the last flank word) — those geometries carry an
-    explicit validity key word through the sorts."""
-    return ((left + right) * bits) % 32 == 0
 
 
 def _run_heads(words):
@@ -76,28 +71,6 @@ def dedup_sorted(words, n_valid):
     return words_out, cnt.astype(jnp.uint32)
 
 
-def mark_survivors(flank_words, file_id, counts, n_files: int):
-    """Per-row intersection-survivor flags over the globally sorted table.
-
-    Table order: (flank, file, ...); valid rows have count > 0.  The
-    distinct-file count per flank group is broadcast to every member row
-    with two monotone scans (prefix sums are nondecreasing, so plain
-    cummax/cummin propagate within runs without segment masking).
-    """
-    valid = counts > 0
-    head = _run_heads(flank_words)
-    prev_file = jnp.concatenate([file_id[:1], file_id[:-1]])
-    first_of_file = head | (file_id != prev_file)
-    x = (first_of_file & valid).astype(jnp.int32)
-    c = jnp.cumsum(x)
-    base = jax.lax.cummax(jnp.where(head, c - x, -1))
-    is_last = jnp.concatenate([head[1:], jnp.ones(1, bool)])
-    endc = _reverse_cummin(jnp.where(is_last, c, BIG_I32))
-    keep = ((endc - base) == n_files) & valid
-    group_id = jnp.cumsum(head.astype(jnp.int32)) - 1
-    return keep, group_id
-
-
 def compact_rows(arrays, keep, cap: int):
     """Gather ``cap`` surviving rows (tiny) + true survivor count."""
     n = keep.shape[0]
@@ -106,36 +79,25 @@ def compact_rows(arrays, keep, cap: int):
     return [jnp.take(a, idx, axis=-1) for a in arrays], n_keep
 
 
-@partial(jax.jit, static_argnames=("n_files", "n_flank_words", "cap",
-                                   "ambiguous"))
-def global_intersect(flank_words, file_id, mid_words, counts, n_files: int,
-                     n_flank_words: int, cap: int, ambiguous: bool):
-    """Global stage over concatenated per-genome tables: LSD sort by
-    (flank, file), survivor marking, capped compaction.
+@partial(jax.jit, static_argnames=("layout", "n_files", "cap"))
+def global_intersect_bits(words, counts, layout, n_files: int, cap: int):
+    """Global stage over concatenated per-genome KeyLayout tables (the
+    checkpoint/out-of-core path): one LSD sort of the packed keys carrying
+    the pre-collapsed counts, weighted survivor marking, capped compaction.
 
-    flank_words: uint32[Wf, n]; mid_words: uint32[Wm, n] (Wm may be 0);
-    counts: uint32[n] with 0 marking sentinel rows.
-    Returns (words [Wf+Wm, cap], file_id[cap], counts[cap], group_id[cap],
-    n_keep).
-    """
-    keys = list(flank_words) + [file_id]
-    if ambiguous:
-        keys = [jnp.where(counts > 0, jnp.uint32(0), jnp.uint32(1))] + keys
-    payloads = list(mid_words) + [counts]
-    ks, ps = lsd_sort(keys, payloads)
-    if ambiguous:
-        ks = ks[1:]
-    fw_s = ks[:n_flank_words]
-    file_s = ks[n_flank_words]
-    mids_s = ps[:-1]
-    cnt_s = ps[-1]
-
-    keep, group_id = mark_survivors(fw_s, file_s, cnt_s, n_files)
-    all_words = jnp.stack(list(fw_s) + list(mids_s)) if (len(fw_s) + len(mids_s)) \
-        else jnp.zeros((0, keep.shape[0]), jnp.uint32)
-    (words_c, file_c, cnt_c, gid_c), n_keep = compact_rows(
-        [all_words, file_s, cnt_s, group_id], keep, cap)
-    return words_c, file_c, cnt_c, gid_c, n_keep
+    words: uint32[W, n] packed [flank | genome-id | mid] keys (genome id
+    already OR'd in; sentinel rows all-ones); counts: uint32[n] with 0 on
+    sentinel rows.  Returns (words [W, cap], counts[cap], group_id[cap],
+    n_keep) — the same row encoding as ``fused_pipeline_bits``, so the
+    decode epilogue is shared.  Replaces the former split-[flank|mid]
+    layout global stage (one key layout for every path)."""
+    keys_sorted, payloads = lsd_sort(list(words), [counts])
+    cnt_s = payloads[0]
+    keep, counts_out, group_id = survivor_mark_bits(keys_sorted, layout,
+                                                    n_files, weights=cnt_s)
+    (words_c, cnt_c, gid_c), n_keep = compact_rows(
+        [jnp.stack(keys_sorted), counts_out, group_id], keep, cap)
+    return words_c, cnt_c, gid_c, n_keep
 
 
 def _masked_head(words, n_bits: int):
@@ -154,7 +116,7 @@ def _masked_head(words, n_bits: int):
     return jnp.concatenate([jnp.ones(1, bool), neq])
 
 
-def survivor_mark_bits(keys_sorted, layout, n_files: int):
+def survivor_mark_bits(keys_sorted, layout, n_files: int, weights=None):
     """Survivor marking over a sorted bit-packed-key table (KeyLayout).
 
     Returns (keep, counts, group_id): ``keep`` flags the head row of each
@@ -183,12 +145,24 @@ def survivor_mark_bits(keys_sorted, layout, n_files: int):
                   & jnp.uint32(layout.file_sentinel))
     valid = file_field != layout.file_sentinel
 
-    # duplicate multiplicities: run length of full-key runs
+    # duplicate multiplicities: run length of full-key runs, or (when rows
+    # carry pre-collapsed ``weights``, e.g. the checkpoint path's chunked
+    # tables) the gather-free segment sum of weights over each run
     idx = jnp.arange(n, dtype=jnp.int32)
-    rh = jnp.where(head_full, idx, n)
-    nxt = _reverse_cummin(jnp.concatenate([rh[1:],
-                                           jnp.full(1, n, jnp.int32)]))
-    counts = jnp.where(head_full & valid, nxt - idx, 0).astype(jnp.uint32)
+    if weights is None:
+        rh = jnp.where(head_full, idx, n)
+        nxt = _reverse_cummin(jnp.concatenate([rh[1:],
+                                               jnp.full(1, n, jnp.int32)]))
+        counts = jnp.where(head_full & valid, nxt - idx, 0).astype(jnp.uint32)
+    else:
+        # int32 prefix sums: totals are bounded by the window count per
+        # genome (< 2^31 for any genome this engine can hold on device)
+        w32 = weights.astype(jnp.int32)
+        s = jnp.cumsum(w32)
+        last_full = jnp.concatenate([head_full[1:], jnp.ones(1, bool)])
+        end_s = _reverse_cummin(jnp.where(last_full, s, BIG_I32))
+        counts = jnp.where(head_full & valid, end_s - (s - w32),
+                           0).astype(jnp.uint32)
 
     # survivor test: distinct genomes per flank group == n_files
     x = (head_ff & valid).astype(jnp.int32)

@@ -330,9 +330,15 @@ def sharded_intersect_pipeline(mesh: Mesh, stacked: np.ndarray, left: int,
             continue
         break
 
-    words = np.asarray(words)
-    cnts = np.asarray(cnts)
-    gids = np.asarray(gids)
+    return assemble_compacted(np.asarray(words), np.asarray(cnts),
+                              np.asarray(gids), nk, cap, n_shards)
+
+
+def assemble_compacted(words, cnts, gids, nk, cap: int, n_shards: int):
+    """Concatenate per-shard compacted survivor rows (shard order = key
+    order) with globally unique, order-preserving group ids.  Shared by the
+    single-process driver and the multi-process path (which allgathers the
+    shards first)."""
     rows_w, rows_c, rows_g = [], [], []
     gid_off = 0
     for s in range(n_shards):

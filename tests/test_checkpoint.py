@@ -40,8 +40,8 @@ def test_chunked_out_of_core_matches_fused(tmp_path, monkeypatch):
 
     orig = P._cached_tables
 
-    def chunked(paths, geom, bits, omit_soft, workdir):
-        return orig(paths, geom, bits, omit_soft, workdir,
+    def chunked(paths, geom, bits, omit_soft, workdir, layout):
+        return orig(paths, geom, bits, omit_soft, workdir, layout,
                     chunk_size=17_000)  # ~6 chunks per 101kb genome
     monkeypatch.setattr(P, "_cached_tables", chunked)
     got = [render.render_csv(g)

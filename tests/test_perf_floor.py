@@ -1,0 +1,32 @@
+"""Performance regression floor (VERDICT r1 weak #10).
+
+Enforces the BASELINE.json north star — >=100x the measured CPU reference
+on the sort+intersect engine — by running bench.py on the real accelerator.
+Gated behind KRISP_TPU_PERF_TEST=1 because it needs the TPU tunnel (first
+compile 25-40s, occasional multi-minute stalls) and would make the default
+CPU-forced test run flaky-slow.  Run explicitly:
+
+    KRISP_TPU_PERF_TEST=1 python -m pytest tests/test_perf_floor.py -s
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.skipif(os.environ.get("KRISP_TPU_PERF_TEST") != "1",
+                    reason="needs the real TPU; set KRISP_TPU_PERF_TEST=1")
+def test_bench_meets_100x_floor():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run([sys.executable, "bench.py"], cwd="/root/repo",
+                          capture_output=True, text=True, timeout=3000,
+                          env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["vs_baseline"] >= 100, out
+    assert out["amplicon_mode_vs_baseline"] >= 100, out
