@@ -10,12 +10,16 @@ implements the same published model from first principles:
   - SantaLucia 1998 salt correction on ΔS, with divalent-to-monovalent
     conversion (Owczarzy) using primer3's default ion concentrations
     (50 mM monovalent, 1.5 mM divalent, 0.6 mM dNTP, 50 nM oligo)
-  - duplex/hairpin melting temperatures for secondary-structure screening
-    (a stack-only thermodynamic alignment: the dominant term of thal)
+  - duplex/hairpin melting temperatures for secondary-structure screening:
+    structures are single helices or two helices joined by one bulge or
+    internal loop (SantaLucia & Hicks 2004 loop ΔG tables with
+    Jacobson-Stockmayer extrapolation, loops treated as entropic — the
+    defect model of primer3's thal), ranked by melting temperature
 
 Melting temperatures agree with primer3's oligotm to within ~0.3 °C for
-ordinary primers; secondary-structure TH values are a conservative
-approximation (perfect-stack duplexes, no interior loops/bulges).
+ordinary primers; secondary-structure TH values cover the dominant
+single-defect structure class of thal's full alignment (multi-defect
+structures at primer lengths are rare and weaker).
 """
 
 from __future__ import annotations
@@ -214,35 +218,57 @@ def _hairpin_order(n):
     return hit
 
 
-def _pick_best_runs_per_cand(ok, run_dh, run_ds, run_cand, run_idx, C):
-    """Per-candidate best eligible run: min ΔH, first-run tie-break
-    (the scalar loops' 'strictly better' semantics).  Returns [C, 2]."""
-    res = np.zeros((C, 2))
-    if ok.any():
-        r = np.nonzero(ok)[0]
-        order = np.lexsort((run_idx[r], run_dh[r], run_cand[r]))
-        rr = r[order]
-        cc = run_cand[rr]
-        first = np.ones(rr.size, bool)
-        first[1:] = cc[1:] != cc[:-1]
-        sel = rr[first]
-        res[cc[first], 0] = run_dh[sel]
-        res[cc[first], 1] = run_ds[sel]
-    return res
+# ---------------------------------------------------------------------------
+# Loop thermodynamics (bulge / internal loop penalties)
+# ---------------------------------------------------------------------------
+# ΔG37 anchors (kcal/mol) per loop size, SantaLucia & Hicks 2004 (the
+# parameter family primer3's thal ships; Amplicon.py:143-151 is the
+# reference's call site).  Intermediate/larger sizes follow the
+# Jacobson-Stockmayer extrapolation ΔG(n) = ΔG(x) + 2.44·R·T·ln(n/x).
+# thal treats loops as purely entropic: ΔH = 0, ΔS = -ΔG37/T37.
+_INTERNAL_ANCHORS = [(3, 3.2), (4, 3.6), (5, 4.0), (6, 4.4), (7, 4.6),
+                     (8, 4.8), (9, 4.9), (10, 4.9), (12, 5.2), (14, 5.4),
+                     (16, 5.6), (18, 5.8), (20, 5.9), (25, 6.3), (30, 6.6)]
+_BULGE_ANCHORS = [(1, 4.0), (2, 2.9), (3, 3.1), (4, 3.2), (5, 3.3),
+                  (6, 3.5), (7, 3.7), (8, 3.9), (9, 4.1), (10, 4.3),
+                  (12, 4.5), (14, 4.8), (16, 5.0), (18, 5.2), (20, 5.3),
+                  (25, 5.6), (30, 5.9)]
+_MAX_LOOP = 64
+_T37 = 310.15
 
 
-def _batch_runs(Mo, dho, dso, dkey, ikey, C, cell_count, min_len=3,
-                end_i=None):
-    """Batched run aggregation over C candidates' flattened matrices
-    (concatenated in scan order).  Returns (any [C,2], end [C,2]) best-run
-    (dh, ds); ``end`` only when end_i is not None."""
-    zeros = np.zeros((C, 2))
+def _loop_table(anchors):
+    out = np.full(_MAX_LOOP + 1, np.inf)
+    sizes = [s for s, _ in anchors]
+    for n in range(anchors[0][0], _MAX_LOOP + 1):
+        lower = max(s for s in sizes if s <= n)
+        dg = dict(anchors)[lower]
+        if n > lower:
+            dg += 2.44 * (R_GAS / 1000.0) * _T37 * math.log(n / lower)
+        out[n] = dg
+    return out
+
+
+_INTERNAL_DG = _loop_table(_INTERNAL_ANCHORS)
+_BULGE_DG = _loop_table(_BULGE_ANCHORS)
+# entropic loop cost in cal/(K*mol)
+_INTERNAL_DS = -1000.0 * _INTERNAL_DG / _T37
+_BULGE_DS = -1000.0 * _BULGE_DG / _T37
+
+
+def _collect_runs(Mo, dho, dso, dkey, ikey, kkey, C, cell_count):
+    """All maximal match-runs over C candidates' flattened matrices.
+
+    Returns dict of per-run arrays (in scan order): cand, dh, ds, len,
+    i0/i1 (first coordinate at run start/end), k0/k1 (second coordinate),
+    or None when there are no matches."""
     if not Mo.any():
-        return zeros, zeros
+        return None
     ck = np.repeat(np.arange(C), cell_count)
     span = int(dkey.max() - dkey.min()) + 1
     dk = np.tile(dkey - dkey.min(), C) + ck * span
     ik = np.tile(ikey, C)
+    kk = np.tile(kkey, C)
     prev = np.empty_like(Mo)
     prev[0] = False
     prev[1:] = Mo[:-1] & (dk[1:] == dk[:-1])
@@ -254,31 +280,146 @@ def _batch_runs(Mo, dho, dso, dkey, ikey, C, cell_count, min_len=3,
     rid = np.cumsum(start) - 1
     nr = int(rid[-1]) + 1
     sel = Mo
-    run_dh = np.bincount(rid[sel], weights=dho[sel], minlength=nr)
-    run_ds = np.bincount(rid[sel], weights=dso[sel], minlength=nr)
-    run_len = np.bincount(rid[sel], minlength=nr)
-    run_cand = np.empty(nr, np.int64)
-    run_cand[rid[start]] = ck[start]
-    ok = (run_len >= min_len) & (run_dh < 0)
-    run_idx = np.arange(nr)
-    any_res = _pick_best_runs_per_cand(ok, run_dh, run_ds, run_cand,
-                                       run_idx, C)
-    if end_i is None:
-        return any_res, zeros
-    run_last = np.empty(nr, np.int64)
-    run_last[rid[end]] = ik[end]
-    end_i = np.asarray(end_i)  # scalar or per-candidate [C]
-    anchor = run_last == (end_i[run_cand] if end_i.ndim else end_i)
-    end_res = _pick_best_runs_per_cand(ok & anchor, run_dh,
-                                       run_ds, run_cand, run_idx, C)
-    return any_res, end_res
+    runs = {
+        "dh": np.bincount(rid[sel], weights=dho[sel], minlength=nr),
+        "ds": np.bincount(rid[sel], weights=dso[sel], minlength=nr),
+        "len": np.bincount(rid[sel], minlength=nr),
+        "cand": np.empty(nr, np.int64),
+        "i0": np.empty(nr, np.int64), "k0": np.empty(nr, np.int64),
+        "i1": np.empty(nr, np.int64), "k1": np.empty(nr, np.int64),
+    }
+    runs["cand"][rid[start]] = ck[start]
+    runs["i0"][rid[start]] = ik[start]
+    runs["k0"][rid[start]] = kk[start]
+    runs["i1"][rid[end]] = ik[end]
+    runs["k1"][rid[end]] = kk[end]
+    return runs
 
 
-def batch_self_screens(seqs):
+_LOG_C4 = None
+
+
+def _tm_of(dh, ds):
+    """Vectorized duplex_tm (same formula/guards, for structure ranking)."""
+    global _LOG_C4
+    if _LOG_C4 is None:
+        _LOG_C4 = math.log(50.0 * 1e-9 / 4.0)
+    salt = effective_monovalent() / 1000.0
+    ds_corr = ds + 0.368 * 1 * math.log(salt)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tm = (dh * 1000.0) / (ds_corr + R_GAS * _LOG_C4) - 273.15
+    tm = np.where((dh >= 0) | (ds >= 0), -np.inf, tm)
+    return tm
+
+
+_TOP_R = 16
+
+
+def _best_structures(runs, C, inner_desc, end_i=None, loops=True):
+    """Per-candidate most stable structure from single helices and (when
+    ``loops``) two helices joined by one bulge/internal loop.
+
+    ``inner_desc``: second coordinate decreases along the structure
+    (hairpin geometry) instead of increasing (duplex geometry).
+    Returns (dh[C], ds[C]) of the max-Tm structure per candidate (0,0 when
+    none); with ``end_i`` (per-candidate or scalar), only structures whose
+    3'-most helix ends at ``end_i`` qualify (SELF_END anchoring)."""
+    zeros = (np.zeros(C), np.zeros(C))
+    if runs is None:
+        return zeros
+    nr = runs["dh"].shape[0]
+    # densify: top-R strongest (most negative dh) runs per candidate
+    order = np.lexsort((np.arange(nr), runs["dh"], runs["cand"]))
+    cc = runs["cand"][order]
+    rank = np.arange(nr) - np.searchsorted(cc, cc)  # rank within candidate
+    keepm = rank < _TOP_R
+    o = order[keepm]
+    cc = cc[keepm]
+    rk = rank[keepm]
+    R = _TOP_R
+    dh = np.zeros((C, R))
+    ds = np.zeros((C, R))
+    ln = np.zeros((C, R), np.int64)
+    i0 = np.zeros((C, R), np.int64)
+    i1 = np.zeros((C, R), np.int64)
+    k0 = np.zeros((C, R), np.int64)
+    k1 = np.zeros((C, R), np.int64)
+    valid = np.zeros((C, R), bool)
+    dh[cc, rk] = runs["dh"][o]
+    ds[cc, rk] = runs["ds"][o]
+    ln[cc, rk] = runs["len"][o]
+    i0[cc, rk] = runs["i0"][o]
+    i1[cc, rk] = runs["i1"][o]
+    k0[cc, rk] = runs["k0"][o]
+    k1[cc, rk] = runs["k1"][o]
+    valid[cc, rk] = True
+
+    if end_i is not None:
+        end_i = np.broadcast_to(np.asarray(end_i), (C,))
+
+    # single-helix structures (len >= 3); ranked by Tm in the loop-aware
+    # model, by most-negative ΔH in the stack-only oracle model
+    s_ok = valid & (ln >= 3) & (dh < 0)
+    if end_i is not None:
+        s_ok &= i1 == end_i[:, None]
+    s_tm = np.where(s_ok, _tm_of(dh, ds) if loops else -dh, -np.inf)
+
+    best_dh = np.zeros(C)
+    best_ds = np.zeros(C)
+    best_tm = np.full(C, -np.inf)
+    sb = np.argmax(s_tm, axis=1)
+    sb_tm = s_tm[np.arange(C), sb]
+    upd = sb_tm > best_tm
+    best_tm = np.where(upd, sb_tm, best_tm)
+    best_dh = np.where(upd, dh[np.arange(C), sb], best_dh)
+    best_ds = np.where(upd, ds[np.arange(C), sb], best_ds)
+
+    if loops:
+        # two helices (each len >= 2) joined by one bulge / internal loop
+        h_ok = valid & (ln >= 2)
+        i1e = i1[:, :, None]
+        i2s = i0[:, None, :]
+        if inner_desc:
+            gap2 = k1[:, :, None] - k0[:, None, :] - 1  # y decreases inward
+        else:
+            gap2 = k0[:, None, :] - k1[:, :, None] - 1
+        gap1 = i2s - i1e - 1
+        geom_ok = (h_ok[:, :, None] & h_ok[:, None, :]
+                   & (gap1 >= 0) & (gap2 >= 0) & ((gap1 + gap2) > 0))
+        size = np.clip(gap1 + gap2, 0, _MAX_LOOP)
+        is_bulge = (gap1 == 0) | (gap2 == 0)
+        ds_loop = np.where(is_bulge, _BULGE_DS[size], _INTERNAL_DS[size])
+        dh_c = dh[:, :, None] + dh[:, None, :]
+        ds_c = ds[:, :, None] + ds[:, None, :] + ds_loop
+        c_ok = geom_ok & (dh_c < 0)
+        if end_i is not None:
+            c_ok &= (i1[:, None, :] == end_i[:, None, None])
+        c_tm = np.where(c_ok, _tm_of(dh_c, ds_c), -np.inf)
+        c_flat = c_tm.reshape(C, R * R)
+        cb = np.argmax(c_flat, axis=1)
+        cb_tm = c_flat[np.arange(C), cb]
+        upd = cb_tm > best_tm
+        best_tm = np.where(upd, cb_tm, best_tm)
+        best_dh = np.where(upd, dh_c.reshape(C, R * R)[np.arange(C), cb],
+                           best_dh)
+        best_ds = np.where(upd, ds_c.reshape(C, R * R)[np.arange(C), cb],
+                           best_ds)
+
+    none = ~np.isfinite(best_tm)
+    return np.where(none, 0.0, best_dh), np.where(none, 0.0, best_ds)
+
+
+def batch_self_screens(seqs, loops=True):
     """(self_any_th, self_end_th, hairpin_th) for a batch of sequences in
-    one numpy pass per distinct length — same values as the per-sequence
-    functions (identical run model and summation order), amortizing the
-    per-call overhead across the whole candidate shortlist."""
+    one numpy pass, amortizing per-call overhead across the whole
+    candidate shortlist.
+
+    ``loops=True`` (default): structures are single helices OR two helices
+    joined by one bulge/internal loop scored with the SantaLucia loop
+    tables, selected by melting temperature — the dominant defect class of
+    libprimer3's thal alignment (the reference's engine,
+    Amplicon.py:143-151).  ``loops=False`` reproduces the stack-only model
+    (the scalar oracle)."""
     C = len(seqs)
     if C == 0:
         return []
@@ -308,12 +449,14 @@ def batch_self_screens(seqs):
     cds = np.where(both, ds_row[:, :, None], 0.0)
     order, dkey, ikey = _duplex_order(L, L)
     flat = M.reshape(C, L * L)[:, order].ravel()
-    any_res, end_res = _batch_runs(
-        flat, cdh.reshape(C, L * L)[:, order].ravel(),
-        cds.reshape(C, L * L)[:, order].ravel(), dkey, ikey, C, L * L,
-        end_i=lens - 1)
+    runs = _collect_runs(flat, cdh.reshape(C, L * L)[:, order].ravel(),
+                         cds.reshape(C, L * L)[:, order].ravel(),
+                         dkey, ikey, ikey - dkey, C, L * L)
+    any_dh, any_ds = _best_structures(runs, C, inner_desc=False, loops=loops)
+    end_dh, end_ds = _best_structures(runs, C, inner_desc=False,
+                                      end_i=lens - 1, loops=loops)
 
-    # hairpin (self matrix, anti-diagonal stems, loop >= 3)
+    # hairpin (self matrix, anti-diagonal stems, terminal loop >= 3)
     yy = np.arange(L)
     H = (comp[:, :, None] == codes[:, None, :]) \
         & ((yy[None, :] - yy[:, None]) > 3)
@@ -323,13 +466,14 @@ def batch_self_screens(seqs):
     hds = np.where(hboth, ds_row[:, :, None], 0.0)
     horder, qkey, xkey = _hairpin_order(L)
     hflat = H.reshape(C, L * L)[:, horder].ravel()
-    hp_res, _ = _batch_runs(
-        hflat, hdh.reshape(C, L * L)[:, horder].ravel(),
-        hds.reshape(C, L * L)[:, horder].ravel(), qkey, xkey, C, L * L)
+    hruns = _collect_runs(hflat, hdh.reshape(C, L * L)[:, horder].ravel(),
+                          hds.reshape(C, L * L)[:, horder].ravel(),
+                          qkey, xkey, qkey - xkey, C, L * L)
+    hp_dh, hp_ds = _best_structures(hruns, C, inner_desc=True, loops=loops)
 
-    return [(round(duplex_tm(*any_res[ci]), 5),
-             round(duplex_tm(*end_res[ci]), 5),
-             round(duplex_tm(*hp_res[ci]), 5)) for ci in range(C)]
+    return [(round(duplex_tm(any_dh[ci], any_ds[ci]), 5),
+             round(duplex_tm(end_dh[ci], end_ds[ci]), 5),
+             round(duplex_tm(hp_dh[ci], hp_ds[ci]), 5)) for ci in range(C)]
 
 
 def _best_complementary_run_scalar(s1: str, s2: str, end_anchored=False):
@@ -374,51 +518,56 @@ def _best_complementary_run_scalar(s1: str, s2: str, end_anchored=False):
     return best
 
 
-def self_any_th(seq: str) -> float:
-    dh, ds = _best_complementary_run(seq, seq)
-    return round(duplex_tm(dh, ds), 5)
+def self_any_th(seq: str, loops=True) -> float:
+    return batch_self_screens([seq], loops=loops)[0][0]
 
 
-def self_end_th(seq: str) -> float:
-    dh, ds = _best_complementary_run(seq, seq, end_anchored=True)
-    return round(duplex_tm(dh, ds), 5)
+def self_end_th(seq: str, loops=True) -> float:
+    return batch_self_screens([seq], loops=loops)[0][1]
 
 
-def pair_any_th(seq1: str, seq2: str) -> float:
-    dh, ds = _best_complementary_run(seq1, seq2)
-    return round(duplex_tm(dh, ds), 5)
-
-
-def pair_end_th(seq1: str, seq2: str) -> float:
-    dh, ds = _best_complementary_run(seq1, seq2, end_anchored=True)
-    return round(duplex_tm(dh, ds), 5)
-
-
-def hairpin_th(seq: str, min_loop=3) -> float:
-    """Best hairpin stem Tm, vectorized (same model/results as
-    ``hairpin_th_scalar``): complementary run between the sequence and
-    itself with a loop of at least ``min_loop`` bases between the arms.
-    Stems grow along anti-diagonals of the self-complementarity matrix."""
-    c = _codes(seq)
-    n = c.size
-    if n < 2 * 1 + min_loop:
-        return 0.0
-    order, qkey, xkey = _hairpin_order(n)
-    yy = np.arange(n)
-    M = (_COMP_CODE[c][:, None] == c[None, :]) \
-        & ((yy[None, :] - yy[:, None]) > min_loop)
+def pair_screens(s1: str, s2: str, loops=True):
+    """(PAIR_COMPL_ANY_TH, PAIR_COMPL_END_TH) for a primer pair under the
+    same structure model as the self screens (single helix or two helices
+    joined by one bulge/internal loop when ``loops``)."""
+    a = _codes(s1)
+    b = _codes(s2)[::-1]
+    n, m = a.size, b.size
+    if n < 2 or m < 2:
+        return (0.0, 0.0)
+    M = _COMP_CODE[a][:, None] == b[None, :]
     both = np.zeros_like(M)
-    both[1:, :-1] = M[1:, :-1] & M[:-1, 1:]   # prev stem cell = (x-1, y+1)
-    dh_row = np.zeros(n, np.float64)
-    ds_row = np.zeros(n, np.float64)
-    dim = c[:-1].astype(np.int32) * 5 + c[1:]
+    both[1:, 1:] = M[1:, 1:] & M[:-1, :-1]
+    dh_row = np.zeros(n)
+    ds_row = np.zeros(n)
+    dim = a[:-1].astype(np.int32) * 5 + a[1:]
     dh_row[1:] = _DH_LUT[dim]
     ds_row[1:] = _DS_LUT[dim]
-    contrib_dh = np.where(both, dh_row[:, None], 0.0)
-    contrib_ds = np.where(both, ds_row[:, None], 0.0)
-    dh, ds = _best_runs(M.ravel()[order], contrib_dh.ravel()[order],
-                        contrib_ds.ravel()[order], qkey, xkey, 3)
-    return round(duplex_tm(dh, ds), 5)
+    cdh = np.where(both, dh_row[:, None], 0.0)
+    cds = np.where(both, ds_row[:, None], 0.0)
+    order, dkey, ikey = _duplex_order(n, m)
+    runs = _collect_runs(M.ravel()[order], cdh.ravel()[order],
+                         cds.ravel()[order], dkey, ikey, ikey - dkey, 1,
+                         n * m)
+    any_dh, any_ds = _best_structures(runs, 1, inner_desc=False, loops=loops)
+    end_dh, end_ds = _best_structures(runs, 1, inner_desc=False,
+                                      end_i=n - 1, loops=loops)
+    return (round(duplex_tm(any_dh[0], any_ds[0]), 5),
+            round(duplex_tm(end_dh[0], end_ds[0]), 5))
+
+
+def pair_any_th(seq1: str, seq2: str, loops=True) -> float:
+    return pair_screens(seq1, seq2, loops=loops)[0]
+
+
+def pair_end_th(seq1: str, seq2: str, loops=True) -> float:
+    return pair_screens(seq1, seq2, loops=loops)[1]
+
+
+def hairpin_th(seq: str, loops=True) -> float:
+    """Best hairpin Tm: stem helix (or, with ``loops``, two stems joined
+    by one interior bulge/loop) with a terminal loop of >= 3 bases."""
+    return batch_self_screens([seq], loops=loops)[0][2]
 
 
 def hairpin_th_scalar(seq: str, min_loop=3) -> float:

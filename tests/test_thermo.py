@@ -117,18 +117,30 @@ def test_vectorized_structure_screens_match_scalar():
         for ea in (False, True):
             assert (nn._best_complementary_run(s1, s2, ea)
                     == nn._best_complementary_run_scalar(s1, s2, ea))
-        assert nn.hairpin_th(s1) == nn.hairpin_th_scalar(s1)
+        assert nn.hairpin_th(s1, loops=False) == nn.hairpin_th_scalar(s1)
 
 
 def test_batch_self_screens_match_singles():
     import numpy as np
     from krisp_tpu.thermo import nn
     rng = np.random.default_rng(6)
+    from krisp_tpu.thermo.nn import duplex_tm, _best_complementary_run_scalar
     seqs = ["".join(rng.choice(list("ACGT"), int(rng.integers(18, 36))))
             for _ in range(120)]
+    # stack-only batch == the scalar oracle, element for element
+    batch0 = nn.batch_self_screens(seqs, loops=False)
+    for s, th in zip(seqs, batch0):
+        want = (round(duplex_tm(*_best_complementary_run_scalar(s, s)), 5),
+                round(duplex_tm(*_best_complementary_run_scalar(s, s, True)), 5),
+                nn.hairpin_th_scalar(s))
+        assert th == want
+    # loop-aware batch == the loop-aware singles
     batch = nn.batch_self_screens(seqs)
     for s, th in zip(seqs, batch):
         assert th == (nn.self_any_th(s), nn.self_end_th(s), nn.hairpin_th(s))
+    # loops can only stabilize (add structures), never destabilize
+    for th, th0 in zip(batch, batch0):
+        assert all(a >= b for a, b in zip(th, th0))
 
 
 def test_vectorized_candidates_match_scalar():
@@ -168,3 +180,32 @@ def test_staged_screening_matches_exhaustive():
         a = design_primers(tpl, ts, 30)
         b = design_primers(tpl, ts, 30, _exhaustive=True)
         assert a == b
+
+
+def test_loop_joined_structures_detected():
+    """Two helices joined by a bulge/internal loop must be found and can
+    beat any single helix (the thal defect class the stack-only model
+    missed, VERDICT r1 missing #6)."""
+    import numpy as np
+    from krisp_tpu.thermo import nn
+
+    # s2' = perfect complement of s1 except the middle is disrupted, so
+    # matching splits into two 5-stacks joined by a 2x2 internal loop
+    h1, mid, h2 = "GCGCG", "AT", "CGCGC"
+    s1 = h1 + mid + h2
+    def revcomp(s):
+        return "".join({"A": "T", "T": "A", "G": "C", "C": "G"}[b]
+                       for b in reversed(s))
+    s2 = revcomp(h2) + "TA" + revcomp(h1)   # middle pairs broken (AT vs TA)
+    with_loops = nn.pair_any_th(s1, s2)
+    without = nn.pair_any_th(s1, s2, loops=False)
+    assert with_loops > without > 0
+
+    # statistical: across random 30-mers, loop structures strictly
+    # stabilize a nontrivial fraction of self-screens
+    rng = np.random.default_rng(11)
+    seqs = ["".join(rng.choice(list("ACGT"), 30)) for _ in range(60)]
+    a = nn.batch_self_screens(seqs, loops=True)
+    b = nn.batch_self_screens(seqs, loops=False)
+    stricter = sum(x[0] > y[0] or x[2] > y[2] for x, y in zip(a, b))
+    assert stricter >= 10
