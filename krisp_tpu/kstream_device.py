@@ -115,25 +115,30 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
         sorted_w, _ = lsd_sort(use)
         words_out, cnt = dedup_sorted(sorted_w,
                                       jnp.sum(okk.astype(jnp.int32)))
-        return jnp.stack(words_out), cnt
 
-    uniq_words, counts = stage(padded)
+        # device-side text decode: the unique table becomes one uint8
+        # [n, k+1] line matrix on device (per-column shift/mask/take fused
+        # by XLA) — the host only expands duplicate runs and writes bytes
+        off_flank, _ = layout.base_offsets()
+        decode = jnp.asarray(dna.DECODE2)
+        cols = []
+        for off in off_flank:
+            w, bit = off // 32, off % 32
+            sh = jnp.uint32(32 - bit - bits)
+            cols.append(jnp.take(decode,
+                                 (words_out[w] >> sh) & jnp.uint32(3)))
+        cols.append(jnp.full(cnt.shape[0], ord("\n"), jnp.uint8))
+        chars = jnp.stack(cols, axis=1).astype(jnp.uint8)
+        return chars, cnt
+
+    chars_d, counts = stage(padded)
     counts = np.asarray(counts)
-    uniq = np.asarray(uniq_words)
     mask = counts > 0
-    uniq = uniq[:, mask].T
+    chars = np.asarray(chars_d)[mask]
     reps = counts[mask].astype(np.int64)
 
-    # decode unique rows, then expand duplicate runs
-    off_flank, _ = layout.base_offsets()
-    n_rows = uniq.shape[0]
-    chars = np.empty((n_rows, k + 1), np.uint8)
-    chars[:, k] = ord("\n")
-    for i, off in enumerate(off_flank):
-        w, bit = off // 32, off % 32
-        sh = 32 - bit - bits
-        chars[:, i] = dna.DECODE2[(uniq[:, w] >> np.uint32(sh))
-                                  & np.uint32(3)]
-    expanded = np.repeat(chars, reps, axis=0)
-    out_stream.write(expanded.tobytes())
+    if (reps == 1).all():
+        out_stream.write(chars.tobytes())
+    else:
+        out_stream.write(np.repeat(chars, reps, axis=0).tobytes())
     return int(reps.sum())
