@@ -263,9 +263,10 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
         gid_h = np.asarray(gid_d)[:n_keep]
     else:
         # One fused device program over minimal bit-packed keys; only
-        # ``cap`` compacted survivor rows cross back.  Overflow re-runs
-        # with a larger cap (deterministic result, so this is safe).
-        from ..ops.intersect import fused_pipeline_bits
+        # ``cap`` compacted survivor rows cross back, packed into a single
+        # array (one tunnel round-trip).  Overflow re-runs with a larger
+        # cap (deterministic result, so this is safe).
+        from ..ops.intersect import fused_pipeline_packed
 
         mesh = _mesh_for_run(layout, n_devices)
         if mesh is not None:
@@ -301,6 +302,51 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
         for i, buf in enumerate(buffers):
             stacked[i, :buf.size] = buf
         code_table, valid_table, comp_table = _encoding_tables(bits, omit_soft)
+
+        # wide keys (amplicon-class geometries): route through the one-word
+        # prefix prefilter — a W-word LSD sort carries O(W^2) operand
+        # traffic, while the prefilter sorts one word and runs the exact
+        # full-width stage on the (tiny) prefix-surviving subset
+        use_prefilter = layout.n_words > 2 and layout.flank_bits >= 32
+        if use_prefilter:
+            from ..ops.intersect import fused_pipeline_prefilter
+            import os as _os
+            on_tpu = "TPU" in jax.devices()[0].device_kind
+            v = _os.environ.get("KRISP_TPU_PALLAS_PACK")
+            use_pallas = bits == 2 and (on_tpu if v is None else v == "1")
+            cap_pre = 1 << 20
+            while True:
+                with METRICS.stage("device_pipeline",
+                                   items=2 * len(buffers)
+                                   * (pad - geom.total + 1)):
+                    packed = np.asarray(fused_pipeline_prefilter(
+                        stacked, code_table, valid_table, comp_table,
+                        left=geom.left, mid=geom.mid, right=geom.right,
+                        bits=bits, n_files=len(all_files), cap_pre=cap_pre,
+                        cap=cap, use_pallas=use_pallas,
+                        omit_soft=omit_soft))
+                    n_keep = int(packed[-1, 0])
+                    n_pre = int(packed[-1, 1])
+                if n_pre > cap_pre:
+                    cap_pre = bucket_size(n_pre, quantum=1 << 18)
+                    continue
+                if n_keep > cap:
+                    cap = bucket_size(n_keep, quantum=1 << 16)
+                    continue
+                break
+            W = layout.n_words
+            words_h = packed[:W, :n_keep].T
+            cnt_h = packed[W, :n_keep]
+            gid_h = packed[W + 1, :n_keep].astype(np.int64)
+            off_flank, off_mid = layout.base_offsets()
+            flank_dec = dna.decode_bits(words_h, off_flank, bits)
+            mid_dec = (dna.decode_bits(words_h, off_mid, bits)
+                       if geom.mid > 0 else [""] * n_keep)
+            fid_h = dna.extract_bit_field(words_h, layout.file_off,
+                                          layout.file_bits)
+            return _group_epilogue(n_keep, gid_h, mid_dec, flank_dec, fid_h,
+                                   cnt_h, geom, tags, ingroup_tags,
+                                   has_outgroup, ingroup_filter)
         while True:
             with METRICS.stage("device_pipeline",
                                items=2 * len(buffers) * (pad - geom.total + 1)):
@@ -315,19 +361,20 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
 
                 use_pallas = bits == 2 and _flag("KRISP_TPU_PALLAS_PACK")
                 use_pallas_scan = _flag("KRISP_TPU_PALLAS_SCAN")
-                out_words, cnt_d, gid_d, n_keep = fused_pipeline_bits(
+                packed = np.asarray(fused_pipeline_packed(
                     stacked, code_table, valid_table, comp_table,
                     left=geom.left, mid=geom.mid, right=geom.right,
                     bits=bits, n_files=len(all_files), cap=cap,
                     use_pallas=use_pallas, omit_soft=omit_soft,
-                    use_pallas_scan=use_pallas_scan)
-                n_keep = int(n_keep)
+                    use_pallas_scan=use_pallas_scan))
+                n_keep = int(packed[-1, 0])
             if n_keep <= cap:
                 break
             cap = bucket_size(n_keep, quantum=1 << 16)
-        words_h = np.asarray(out_words)[:, :n_keep].T
-        cnt_h = np.asarray(cnt_d)[:n_keep]
-        gid_h = np.asarray(gid_d)[:n_keep]
+        W = layout.n_words
+        words_h = packed[:W, :n_keep].T
+        cnt_h = packed[W, :n_keep]
+        gid_h = packed[W + 1, :n_keep].astype(np.int64)
 
     # shared KeyLayout decode (fused and checkpoint paths emit identical
     # row encodings; the sharded path returned above)

@@ -176,24 +176,12 @@ def survivor_mark_bits(keys_sorted, layout, n_files: int, weights=None):
     return survive & head_full, counts, group_id
 
 
-@partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
-                                   "n_files", "use_pallas", "omit_soft",
-                                   "use_pallas_scan"))
-def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
-                        left: int, mid: int, right: int, bits: int,
-                        n_files: int, cap: int, use_pallas: bool = False,
-                        omit_soft: bool = False,
-                        use_pallas_scan: bool = False):
-    """Whole krisp_fasta compute path as ONE device program over minimal
-    bit-packed keys.
-
-    buffers: uint8[F, P] sentinel-separated genome buffers.  Window keys
-    carry flank, genome id, and mid in one packed integer (KeyLayout), so
-    the single global LSD sort uses ONLY key words as operands — the
-    minimum possible sort traffic.  Duplicate multiplicities fall out of
-    run lengths; the survivor test is three 1-D scans; compaction returns
-    ``cap`` rows.
-    """
+def _all_window_keys(buffers, code_table, valid_table, comp_table,
+                     left: int, mid: int, right: int, bits: int,
+                     n_files: int, use_pallas: bool, omit_soft: bool):
+    """Window keys for every genome/strand as sentinel-marked KeyLayout
+    words: uint32 list [W] of arrays [F * 2 * n_win] (genome id OR'd in).
+    Shared by the fused pipeline and the prefix-prefilter pipeline."""
     from .encode import window_keys_bits, KeyLayout
 
     F, P = buffers.shape
@@ -242,7 +230,121 @@ def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
     okf = ok.reshape(n)
     flat = [jnp.where(okf, w, SENTINEL)
             for w in jnp.transpose(words, (1, 0, 2)).reshape(W, n)]
+    return flat, layout
 
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits",
+                                   "n_files", "cap_pre", "cap", "use_pallas",
+                                   "omit_soft"))
+def fused_pipeline_prefilter(buffers, code_table, valid_table, comp_table,
+                             left: int, mid: int, right: int, bits: int,
+                             n_files: int, cap_pre: int, cap: int,
+                             use_pallas: bool = False,
+                             omit_soft: bool = False):
+    """Wide-key (amplicon-class) pipeline with a one-word prefix prefilter.
+
+    A W-word LSD sort carries W-1 operand words per pass — O(W^2) traffic
+    that makes L=100 amplicon keys ~20x costlier to sort than spacer keys.
+    Instead, sort ONE word first: the leading 32-fb flank bits with the
+    genome id packed into the low fb bits, carrying only the row id.
+    Prefix-level survivor marking (flank-prefix group spans all files) is
+    a strict superset of the true survivor set, and any flank group inside
+    a surviving prefix group is retained whole — so gathering the
+    surviving rows and running the EXACT full-width stage on that (tiny)
+    subset reproduces ``fused_pipeline_bits``'s output bit for bit
+    (tests/test_prefilter.py).  Degenerate inputs grow ``cap_pre`` toward
+    the direct path's cost, never past it.
+
+    Returns the packed single-array format of ``fused_pipeline_packed``
+    with n_keep at [-1, 0] and the prefilter survivor count at [-1, 1]
+    (caller retries with a larger ``cap_pre``/``cap`` on overflow).
+    """
+    flat, layout = _all_window_keys(buffers, code_table, valid_table,
+                                    comp_table, left, mid, right, bits,
+                                    n_files, use_pallas, omit_soft)
+    n = flat[0].shape[0]
+    fwd_, fsh = layout.file_word_shift()
+    fb = layout.file_bits
+    sentinel_f = jnp.uint32(layout.file_sentinel)
+    prefix_bits = 32 - fb
+
+    field = (flat[fwd_] >> jnp.uint32(fsh)) & sentinel_f
+    pk = (flat[0] & jnp.uint32((0xFFFFFFFF >> fb) << fb)) | field
+    iota = jnp.arange(n, dtype=jnp.uint32)
+    ks, ps = lsd_sort([pk], [iota])
+    pk_s, iota_s = ks[0], ps[0]
+
+    head_pre = _masked_head([pk_s], prefix_bits)
+    head_pf = _run_heads([pk_s])
+    valid = (pk_s & sentinel_f) != sentinel_f
+    x = (head_pf & valid).astype(jnp.int32)
+    c = jnp.cumsum(x)
+    base = jax.lax.cummax(jnp.where(head_pre, c - x, -1))
+    is_last = jnp.concatenate([head_pre[1:], jnp.ones(1, bool)])
+    endc = _reverse_cummin(jnp.where(is_last, c, BIG_I32))
+    survive = ((endc - base) == n_files) & valid
+
+    (kept,), n_pre = compact_rows([iota_s], survive, cap_pre)
+    j = jnp.arange(cap_pre)
+    sub = [jnp.where(j < n_pre, jnp.take(w, kept), SENTINEL) for w in flat]
+
+    # exact full-width stage on the surviving subset
+    keys_sorted, _ = lsd_sort(sub)
+    keep, counts, group_id = survivor_mark_bits(keys_sorted, layout, n_files)
+    (words_c, cnt_c, gid_c), n_keep = compact_rows(
+        [jnp.stack(keys_sorted), counts, group_id], keep, cap)
+    tail = (jnp.zeros((1, cap), jnp.uint32)
+            .at[0, 0].set(n_keep.astype(jnp.uint32))
+            .at[0, 1].set(n_pre.astype(jnp.uint32)))
+    return jnp.concatenate([words_c, cnt_c[None].astype(jnp.uint32),
+                            gid_c[None].astype(jnp.uint32), tail], axis=0)
+
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
+                                   "n_files", "use_pallas", "omit_soft",
+                                   "use_pallas_scan"))
+def fused_pipeline_packed(buffers, code_table, valid_table, comp_table,
+                          left: int, mid: int, right: int, bits: int,
+                          n_files: int, cap: int, use_pallas: bool = False,
+                          omit_soft: bool = False,
+                          use_pallas_scan: bool = False):
+    """fused_pipeline_bits with all outputs packed into ONE uint32 array
+    [W+3, cap]: rows 0..W-1 = key words, W = counts, W+1 = group ids,
+    W+2[0] = n_keep.  One device->host pull instead of four — on a
+    tunneled accelerator every pull is a latency round-trip, and the
+    pulls (not device compute) dominate the end-to-end wall clock."""
+    w, c, g, nk = fused_pipeline_bits(
+        buffers, code_table, valid_table, comp_table, left=left, mid=mid,
+        right=right, bits=bits, n_files=n_files, cap=cap,
+        use_pallas=use_pallas, omit_soft=omit_soft,
+        use_pallas_scan=use_pallas_scan)
+    tail = jnp.zeros((1, cap), jnp.uint32).at[0, 0].set(nk.astype(jnp.uint32))
+    return jnp.concatenate([w, c[None].astype(jnp.uint32),
+                            g[None].astype(jnp.uint32), tail], axis=0)
+
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
+                                   "n_files", "use_pallas", "omit_soft",
+                                   "use_pallas_scan"))
+def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
+                        left: int, mid: int, right: int, bits: int,
+                        n_files: int, cap: int, use_pallas: bool = False,
+                        omit_soft: bool = False,
+                        use_pallas_scan: bool = False):
+    """Whole krisp_fasta compute path as ONE device program over minimal
+    bit-packed keys.
+
+    buffers: uint8[F, P] sentinel-separated genome buffers.  Window keys
+    carry flank, genome id, and mid in one packed integer (KeyLayout), so
+    the single global LSD sort uses ONLY key words as operands — the
+    minimum possible sort traffic.  Duplicate multiplicities fall out of
+    run lengths; the survivor test is three 1-D scans; compaction returns
+    ``cap`` rows.
+    """
+    flat, layout = _all_window_keys(buffers, code_table, valid_table,
+                                    comp_table, left, mid, right, bits,
+                                    n_files, use_pallas, omit_soft)
+    n = flat[0].shape[0]
     keys_sorted, _ = lsd_sort(flat)
 
     fw, fsh = layout.file_word_shift()

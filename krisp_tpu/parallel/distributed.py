@@ -283,13 +283,20 @@ def sharded_intersect_step(mesh: Mesh, left: int, mid: int, right: int,
 
         overflow = jax.lax.psum(overflow, axis)
         needed = jax.lax.pmax(needed, axis)
-        return (words_c, cnt_c, gid_c, n_keep[None].astype(jnp.int32),
-                overflow, needed)
+        # pack everything into one array (one host pull per call):
+        # rows 0..W-1 words, W counts, W+1 gids, W+2 tail
+        # (tail: [0]=n_keep, [1]=overflow, [2]=needed)
+        tail = (jnp.zeros((1, cap), jnp.uint32)
+                .at[0, 0].set(n_keep.astype(jnp.uint32))
+                .at[0, 1].set(overflow.astype(jnp.uint32))
+                .at[0, 2].set(needed.astype(jnp.uint32)))
+        return jnp.concatenate([words_c, cnt_c[None].astype(jnp.uint32),
+                                gid_c[None].astype(jnp.uint32), tail],
+                               axis=0)
 
     spec = P(None, axis)
-    out_specs = (P(None, axis), P(axis), P(axis), P(axis), P(), P())
     fn = shard_map(per_shard, mesh=mesh, in_specs=(spec,),
-                   out_specs=out_specs, check_vma=False)
+                   out_specs=P(None, axis), check_vma=False)
     return jax.jit(fn)
 
 
@@ -320,18 +327,24 @@ def sharded_intersect_pipeline(mesh: Mesh, stacked: np.ndarray, left: int,
     while True:
         step = sharded_intersect_step(mesh, left, mid, right, bits, n_files,
                                       cap, exch_cap, omit_soft)
-        words, cnts, gids, nkeeps, overflow, needed = step(stacked)
-        if int(overflow) > 0:
-            exch_cap = -(-(int(needed) + 64) // 64) * 64
+        packed = np.asarray(step(stacked))     # one pull
+        tails = packed[-1].reshape(n_shards, cap)
+        overflow = int(tails[0, 1])
+        if overflow > 0:
+            needed = int(tails[0, 2])
+            exch_cap = -(-(needed + 64) // 64) * 64
             continue
-        nk = np.asarray(nkeeps)
+        nk = tails[:, 0].astype(np.int64)
         if nk.max(initial=0) > cap:
             cap = -(-int(nk.max()) // (1 << 12)) * (1 << 12)
             continue
         break
 
-    return assemble_compacted(np.asarray(words), np.asarray(cnts),
-                              np.asarray(gids), nk, cap, n_shards)
+    from ..ops.encode import KeyLayout
+    W = KeyLayout(left, mid, right, bits, n_files).n_words
+    return assemble_compacted(packed[:W], packed[W],
+                              packed[W + 1].astype(np.int64), nk, cap,
+                              n_shards)
 
 
 def assemble_compacted(words, cnts, gids, nk, cap: int, n_shards: int):

@@ -53,21 +53,20 @@ step = sharded_intersect_step(mesh, left, mid, right, bits, n_files,
 sharding = NamedSharding(mesh, P(None, "shard"))
 global_in = multihost_utils.host_local_array_to_global_array(
     buffers[:, pid * 2 * chunk:(pid + 1) * 2 * chunk], mesh, P(None, "shard"))
-words, cnts, gids, nkeeps, overflow, needed = step(global_in)
-
-words_h = multihost_utils.process_allgather(words, tiled=True)
-cnts_h = multihost_utils.process_allgather(cnts, tiled=True)
-gids_h = multihost_utils.process_allgather(gids, tiled=True)
-nk_h = multihost_utils.process_allgather(nkeeps, tiled=True)
-assert int(np.asarray(overflow.addressable_data(0))) == 0  # replicated
+packed = np.asarray(multihost_utils.process_allgather(step(global_in),
+                                                      tiled=True))
+tails = packed[-1].reshape(n_shards, cap)
+assert int(tails[0, 1]) == 0  # no exchange overflow
 
 if pid == 0:
     from krisp_tpu import dna
+    from krisp_tpu.ops.encode import KeyLayout
     from krisp_tpu.ops.intersect import fused_pipeline_bits
 
+    W = KeyLayout(left, mid, right, bits, n_files).n_words
     got_w, got_c, got_g = assemble_compacted(
-        np.asarray(words_h), np.asarray(cnts_h), np.asarray(gids_h),
-        np.asarray(nk_h), cap, n_shards)
+        packed[:W], packed[W], packed[W + 1].astype(np.int64),
+        tails[:, 0].astype(np.int64), cap, n_shards)
 
     code = np.asarray(dna.CODE2_TABLE)
     comp = np.asarray(dna.COMP2_TABLE)
