@@ -69,6 +69,25 @@ def detect_bits(buffers) -> int:
     return max(dna.choose_bits(buf) for buf in buffers)
 
 
+def _pack_genomes_host(stacked: np.ndarray, omit_soft: bool):
+    """2-bit code pack + validity bitmap (host side, bits == 2 only).
+
+    The softmask/disallow policy folds into the bitmap here, so the device
+    reconstructs a canonical A/C/G/T/N buffer with identical per-base
+    (code, validity) — at 3.75 bits/base of tunnel upload instead of 8
+    (the measured end-to-end bottleneck, BASELINE.md)."""
+    code_np = np.asarray(dna.CODE2_TABLE, np.uint8)
+    valid_np = np.asarray(dna.base_validity_table(2, disallow="Nn",
+                                                  omit_soft=omit_soft))
+    codes = (code_np[stacked] & 3).astype(np.uint32)
+    valid = valid_np[stacked].astype(bool)
+    F, P = stacked.shape
+    w = codes.reshape(F, P // 16, 16) << (2 * np.arange(16, dtype=np.uint32))
+    packed = np.bitwise_or.reduce(w, axis=2)
+    vbits = np.packbits(valid, axis=1, bitorder="little")
+    return packed, vbits
+
+
 def _encoding_tables(bits: int, omit_soft: bool):
     code_table = dna.CODE2_TABLE if bits == 2 else dna.CODE4_TABLE
     comp_table = dna.COMP2_TABLE if bits == 2 else dna.COMP4_TABLE
@@ -307,9 +326,16 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
         # prefix prefilter — a W-word LSD sort carries O(W^2) operand
         # traffic, while the prefilter sorts one word and runs the exact
         # full-width stage on the (tiny) prefix-surviving subset
+        if bits == 2:
+            # compact upload: 2-bit codes + validity bitmap (the softmask
+            # policy folds into the bitmap; device tables are policy-free)
+            pk_host, vb_host = _pack_genomes_host(stacked, omit_soft)
+            code_table, valid_table, comp_table = _encoding_tables(2, False)
+
         use_prefilter = layout.n_words > 2 and layout.flank_bits >= 32
         if use_prefilter:
-            from ..ops.intersect import fused_pipeline_prefilter
+            from ..ops.intersect import (fused_pipeline_prefilter,
+                                         fused_pipeline_prefilter_packed_in)
             import os as _os
             on_tpu = "TPU" in jax.devices()[0].device_kind
             v = _os.environ.get("KRISP_TPU_PALLAS_PACK")
@@ -319,12 +345,20 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
                 with METRICS.stage("device_pipeline",
                                    items=2 * len(buffers)
                                    * (pad - geom.total + 1)):
-                    packed = np.asarray(fused_pipeline_prefilter(
-                        stacked, code_table, valid_table, comp_table,
-                        left=geom.left, mid=geom.mid, right=geom.right,
-                        bits=bits, n_files=len(all_files), cap_pre=cap_pre,
-                        cap=cap, use_pallas=use_pallas,
-                        omit_soft=omit_soft))
+                    if bits == 2:
+                        packed = np.asarray(fused_pipeline_prefilter_packed_in(
+                            pk_host, vb_host, code_table, valid_table,
+                            comp_table, left=geom.left, mid=geom.mid,
+                            right=geom.right, bits=bits,
+                            n_files=len(all_files), cap_pre=cap_pre,
+                            cap=cap, use_pallas=use_pallas))
+                    else:
+                        packed = np.asarray(fused_pipeline_prefilter(
+                            stacked, code_table, valid_table, comp_table,
+                            left=geom.left, mid=geom.mid, right=geom.right,
+                            bits=bits, n_files=len(all_files),
+                            cap_pre=cap_pre, cap=cap, use_pallas=use_pallas,
+                            omit_soft=omit_soft))
                     n_keep = int(packed[-1, 0])
                     n_pre = int(packed[-1, 1])
                 if n_pre > cap_pre:
@@ -361,12 +395,22 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
 
                 use_pallas = bits == 2 and _flag("KRISP_TPU_PALLAS_PACK")
                 use_pallas_scan = _flag("KRISP_TPU_PALLAS_SCAN")
-                packed = np.asarray(fused_pipeline_packed(
-                    stacked, code_table, valid_table, comp_table,
-                    left=geom.left, mid=geom.mid, right=geom.right,
-                    bits=bits, n_files=len(all_files), cap=cap,
-                    use_pallas=use_pallas, omit_soft=omit_soft,
-                    use_pallas_scan=use_pallas_scan))
+                if bits == 2:
+                    from ..ops.intersect import fused_pipeline_packed_in
+                    packed = np.asarray(fused_pipeline_packed_in(
+                        pk_host, vb_host, code_table, valid_table,
+                        comp_table, left=geom.left, mid=geom.mid,
+                        right=geom.right, bits=bits,
+                        n_files=len(all_files), cap=cap,
+                        use_pallas=use_pallas,
+                        use_pallas_scan=use_pallas_scan))
+                else:
+                    packed = np.asarray(fused_pipeline_packed(
+                        stacked, code_table, valid_table, comp_table,
+                        left=geom.left, mid=geom.mid, right=geom.right,
+                        bits=bits, n_files=len(all_files), cap=cap,
+                        use_pallas=use_pallas, omit_soft=omit_soft,
+                        use_pallas_scan=use_pallas_scan))
                 n_keep = int(packed[-1, 0])
             if n_keep <= cap:
                 break

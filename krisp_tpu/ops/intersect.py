@@ -176,6 +176,67 @@ def survivor_mark_bits(keys_sorted, layout, n_files: int, weights=None):
     return survive & head_full, counts, group_id
 
 
+import numpy as _np
+
+_ASCII_ACGT_NP = _np.frombuffer(b"ACGT", _np.uint8)
+
+
+def unpack_genomes(packed, vbits):
+    """Device-side inverse of engine.pipeline._pack_genomes_host: 2-bit
+    codes + validity bitmap -> canonical ASCII buffers (A/C/G/T for valid
+    bases, N for invalid).  The reconstructed buffer has identical
+    (code, validity) per base, so every downstream kernel behaves exactly
+    as on the raw bytes — but the host->device transfer is 3.75 bits/base
+    instead of 8 (the tunnel upload is the measured end-to-end
+    bottleneck, BASELINE.md)."""
+    F, nw = packed.shape
+    k = jnp.arange(16, dtype=jnp.uint32) * 2
+    codes = ((packed[:, :, None] >> k) & jnp.uint32(3)) \
+        .astype(jnp.uint8).reshape(F, nw * 16)
+    b = jnp.arange(8, dtype=jnp.uint8)
+    valid = (((vbits[:, :, None] >> b) & jnp.uint8(1)) == 1) \
+        .reshape(F, vbits.shape[1] * 8)
+    return jnp.where(valid, jnp.take(jnp.asarray(_ASCII_ACGT_NP), codes),
+                     jnp.uint8(ord("N")))
+
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
+                                   "n_files", "use_pallas",
+                                   "use_pallas_scan"))
+def fused_pipeline_packed_in(packed, vbits, code_table, valid_table,
+                             comp_table, left: int, mid: int, right: int,
+                             bits: int, n_files: int, cap: int,
+                             use_pallas: bool = False,
+                             use_pallas_scan: bool = False):
+    """fused_pipeline_packed over 2-bit-packed + validity-bitmap input
+    (softmask/disallow policy already folded into the host bitmap, so
+    omit_soft is always False device-side)."""
+    buffers = unpack_genomes(packed, vbits)
+    return fused_pipeline_packed(buffers, code_table, valid_table,
+                                 comp_table, left=left, mid=mid,
+                                 right=right, bits=bits, n_files=n_files,
+                                 cap=cap, use_pallas=use_pallas,
+                                 omit_soft=False,
+                                 use_pallas_scan=use_pallas_scan)
+
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits",
+                                   "n_files", "cap_pre", "cap",
+                                   "use_pallas"))
+def fused_pipeline_prefilter_packed_in(packed, vbits, code_table,
+                                       valid_table, comp_table, left: int,
+                                       mid: int, right: int, bits: int,
+                                       n_files: int, cap_pre: int, cap: int,
+                                       use_pallas: bool = False):
+    buffers = unpack_genomes(packed, vbits)
+    return fused_pipeline_prefilter(buffers, code_table, valid_table,
+                                    comp_table, left=left, mid=mid,
+                                    right=right, bits=bits,
+                                    n_files=n_files, cap_pre=cap_pre,
+                                    cap=cap, use_pallas=use_pallas,
+                                    omit_soft=False)
+
+
 def _all_window_keys(buffers, code_table, valid_table, comp_table,
                      left: int, mid: int, right: int, bits: int,
                      n_files: int, use_pallas: bool, omit_soft: bool):

@@ -106,3 +106,26 @@ def test_revcomp():
     assert dna.revcomp("ACGT") == "ACGT"
     assert dna.revcomp("AAGC") == "GCTT"
     assert dna.revcomp("aRn") == "nYt"
+
+
+def test_packed_upload_roundtrip():
+    """Host 2-bit pack + validity bitmap -> device unpack reconstructs a
+    buffer with identical per-base (code, validity) for every policy."""
+    import numpy as np
+    from krisp_tpu import dna
+    from krisp_tpu.engine.pipeline import _pack_genomes_host
+    from krisp_tpu.ops.intersect import unpack_genomes
+
+    rng = np.random.default_rng(0)
+    raw = rng.choice(np.frombuffer(b"ACGTNacgtn\0X", np.uint8),
+                     size=(3, 1 << 16))
+    for omit_soft in (False, True):
+        packed, vbits = _pack_genomes_host(raw, omit_soft)
+        recon = np.asarray(unpack_genomes(packed, vbits))
+        code = np.asarray(dna.CODE2_TABLE, np.uint8)
+        valid = np.asarray(dna.base_validity_table(2, disallow="Nn",
+                                                   omit_soft=omit_soft))
+        np.testing.assert_array_equal(valid[recon], valid[raw])
+        # codes must agree wherever the base is valid
+        m = valid[raw].astype(bool)
+        np.testing.assert_array_equal((code[recon] & 3)[m], (code[raw] & 3)[m])
