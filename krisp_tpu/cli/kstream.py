@@ -42,9 +42,13 @@ def parse_args(argv):
     parser.add_argument("-s", "--sort", action="store_true",
                         help="Sort resulting kmers")
     parser.add_argument("--sort-np", type=int, default=1,
-                        help="Number of processores to use for sorting")
+                        help="Number of processores to use for sorting "
+                             "(no effect here: sorting is a device/in-memory "
+                             "kernel; accepted for CLI parity)")
     parser.add_argument("--sort-mem", type=str,
-                        help="Amount of memory to use, see linux sort mem usage")
+                        help="Amount of memory to use, see linux sort mem "
+                             "usage (no effect here: spill chunking is "
+                             "automatic; accepted for CLI parity)")
     parser.add_argument("--sort-cols", nargs="+", type=int,
                         help="Sort based on these columns, 0-based indexing")
     parser.add_argument("--output",
@@ -57,6 +61,10 @@ def main(argv=None):
     from ..kstream import KStream
 
     args = parse_args(sys.argv[1:] if argv is None else argv)
+    if args.sort_np != 1 or args.sort_mem is not None:
+        print("kstream: note: --sort-np/--sort-mem have no effect (device/"
+              "in-memory sort; flags accepted for reference CLI parity)",
+              file=sys.stderr)
 
     # Device fast path: eligible extract+sort configurations run on the
     # packed-key TPU pipeline (identical output bytes; content probe falls
