@@ -79,11 +79,15 @@ def _pack_genomes_host(stacked: np.ndarray, omit_soft: bool):
     code_np = np.asarray(dna.CODE2_TABLE, np.uint8)
     valid_np = np.asarray(dna.base_validity_table(2, disallow="Nn",
                                                   omit_soft=omit_soft))
-    codes = (code_np[stacked] & 3).astype(np.uint32)
-    valid = valid_np[stacked].astype(bool)
     F, P = stacked.shape
-    w = codes.reshape(F, P // 16, 16) << (2 * np.arange(16, dtype=np.uint32))
-    packed = np.bitwise_or.reduce(w, axis=2)
+    c = (code_np[stacked] & 3).reshape(F, P // 4, 4)
+    # pack 4 bases/byte in uint8 space (no wide temporaries), then view the
+    # little-endian byte stream as uint32: base k lands at bit 2k — the
+    # layout ops.intersect.unpack_genomes expects
+    byte = (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4)
+            | (c[:, :, 3] << 6))
+    packed = np.ascontiguousarray(byte).view(np.uint32).reshape(F, P // 16)
+    valid = valid_np[stacked].astype(bool)
     vbits = np.packbits(valid, axis=1, bitorder="little")
     return packed, vbits
 
