@@ -107,6 +107,32 @@ def test_full_pipeline_sharded_amplicon_mode(n_dev, tmp_path):
     assert align.read_text() == (gold / "amplicon_100.align.txt").read_text()
 
 
+def test_full_pipeline_sharded_omit_soft(tmp_path):
+    """--omit-soft through the mesh: same bytes as single-device."""
+    import gzip
+    from krisp_tpu.cli.krisp_fasta import main as krisp_fasta_main
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for f in range(3):
+        seq = "".join(rng.choice(list("ACGTacgt"), size=4096,
+                                 p=[.2, .2, .2, .2, .05, .05, .05, .05]))
+        p = tmp_path / f"g{f}.fasta.gz"
+        with gzip.open(p, "wt") as fh:
+            fh.write(">g\n" + seq + "\n")
+        paths.append(str(p))
+
+    outs = []
+    for dev in (1, 4):
+        csv = tmp_path / f"o{dev}.csv"
+        krisp_fasta_main([paths[0], paths[1], "--outgroup", paths[2],
+                          "--conserved", "10", "--diagnostic", "2",
+                          "--omit-soft", "--devices", str(dev),
+                          "--out_csv", str(csv)])
+        outs.append(csv.read_text())
+    assert outs[0] == outs[1]
+
+
 def test_exchange_overflow_autoretry():
     """A maximally skewed key distribution (A-rich genomes: every key
     buckets to shard 0) overflows the padded all_to_all's initial capacity;
