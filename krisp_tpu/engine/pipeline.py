@@ -142,6 +142,20 @@ def _genome_table_chunked(path, geom, bits, omit_soft, chunk_size,
     buf = load_buffer(path)
     L = geom.total
     word_parts, cnt_parts = [], []
+
+    def collect(item):
+        words = np.asarray(item[0])
+        counts = np.asarray(item[1])
+        # drop rows whose window start falls beyond this chunk's range (the
+        # padding past the chunk is sentinel, so only real dups remain)
+        mask = counts > 0
+        word_parts.append(words[:, mask])
+        cnt_parts.append(counts[mask])
+
+    # double buffering: JAX dispatch is async, so launching chunk i+1
+    # before materializing chunk i overlaps its upload+compute with the
+    # previous chunk's pull and host-side filtering
+    pending = None
     start = 0
     while start < buf.size:
         end = min(start + chunk_size, buf.size)
@@ -150,16 +164,14 @@ def _genome_table_chunked(path, geom, bits, omit_soft, chunk_size,
             break  # no window can start in this tail
         padded = np.zeros(bucket_size(piece.size), np.uint8)
         padded[:piece.size] = piece
-        words_d, cnt_d = genome_unique_table(padded, geom, bits, omit_soft,
-                                             n_files)
-        words = np.asarray(words_d)
-        counts = np.asarray(cnt_d)
-        # drop rows whose window start falls beyond this chunk's range (the
-        # padding past `piece` is sentinel, so only real dups remain)
-        mask = counts > 0
-        word_parts.append(words[:, mask])
-        cnt_parts.append(counts[mask])
+        launched = genome_unique_table(padded, geom, bits, omit_soft,
+                                       n_files)
+        if pending is not None:
+            collect(pending)
+        pending = launched
         start = end
+    if pending is not None:
+        collect(pending)
     return (np.concatenate(word_parts, axis=1),
             np.concatenate(cnt_parts))
 

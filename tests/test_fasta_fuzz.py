@@ -50,8 +50,17 @@ FLAG_SETS = [
 ]
 
 
+FLAG_SETS += [
+    # wide-key (amplicon-class) geometries: the prefix-prefilter pipeline
+    ["--conserved", "30", "--amplicon", "100"],
+    ["--conserved-left", "40", "--conserved-right", "20",
+     "--diagnostic", "40", "--dot-alignment"],
+]
+
+
 @pytest.mark.parametrize("seed,flags", [(21, FLAG_SETS[0]), (22, FLAG_SETS[1]),
-                                        (23, FLAG_SETS[2]), (24, FLAG_SETS[3])])
+                                        (23, FLAG_SETS[2]), (24, FLAG_SETS[3]),
+                                        (25, FLAG_SETS[4]), (26, FLAG_SETS[5])])
 def test_fuzz_fasta_parity(tmp_path, seed, flags):
     rng = np.random.default_rng(seed)
     paths = synth_genomes(tmp_path, rng)
