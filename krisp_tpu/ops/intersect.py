@@ -34,7 +34,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .sort import lsd_sort
+from .sort import lsd_sort, sort_with_rowid
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 BIG_I32 = jnp.int32(2**31 - 1)
@@ -331,9 +331,9 @@ def fused_pipeline_prefilter(buffers, code_table, valid_table, comp_table,
 
     field = (flat[fwd_] >> jnp.uint32(fsh)) & sentinel_f
     pk = (flat[0] & jnp.uint32((0xFFFFFFFF >> fb) << fb)) | field
-    iota = jnp.arange(n, dtype=jnp.uint32)
-    ks, ps = lsd_sort([pk], [iota])
-    pk_s, iota_s = ks[0], ps[0]
+    # (prefix key, row id) packed into one u64: a single carry-free sort
+    # pass replaces the key+payload carrying pass
+    pk_s, iota_s = sort_with_rowid(pk)
 
     head_pre = _masked_head([pk_s], prefix_bits)
     head_pf = _run_heads([pk_s])

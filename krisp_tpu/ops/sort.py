@@ -19,15 +19,66 @@ import jax
 import jax.numpy as jnp
 
 
+def _pack64(hi, lo):
+    """Fuse two u32 words into one u64 (unsigned compare of the u64 ==
+    lexicographic compare of the (hi, lo) pair).  x64 mode is enabled only
+    for the scope that creates 64-bit values — the arrays crossing the jit
+    boundary stay u32."""
+    with jax.enable_x64(True):
+        return ((hi.astype(jnp.uint64) << jnp.uint64(32))
+                | lo.astype(jnp.uint64))
+
+
+def _unpack64(k):
+    with jax.enable_x64(True):
+        return ((k >> jnp.uint64(32)).astype(jnp.uint32),
+                (k & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+
+
+def _group64(keys):
+    """Pair adjacent u32 key words (most-significant first) into u64 sort
+    operands; an odd trailing word stays u32.  Lexicographic order over
+    the groups equals lexicographic order over the words, and the group
+    count — hence the LSD pass count and the carried-operand traffic — is
+    halved.  Measured on v5e: the single-key u64 sort runs within ~1.5x of
+    the u32 one, far cheaper than a second carrying pass."""
+    groups, meta = [], []
+    i = 0
+    while i < len(keys):
+        if i + 1 < len(keys):
+            groups.append(_pack64(keys[i], keys[i + 1]))
+            meta.append(2)
+            i += 2
+        else:
+            groups.append(keys[i])
+            meta.append(1)
+            i += 1
+    return groups, meta
+
+
+def _ungroup64(groups, meta):
+    keys = []
+    for g, m in zip(groups, meta):
+        if m == 2:
+            hi, lo = _unpack64(g)
+            keys.extend([hi, lo])
+        else:
+            keys.append(g)
+    return keys
+
+
 def lsd_sort(keys, payloads=()):
     """Stable lexicographic sort by multi-word keys via LSD passes.
 
-    XLA's TPU sort has a fast path for a single u32 key with carried
-    operands (~390 Mkeys/s measured on v5e) but falls off a cliff for
-    multi-key comparator sorts (~6 Mkeys/s at 8M rows).  A least-
-    significant-word-first sequence of stable single-key sorts computes the
-    identical lexicographic order at the fast rate — the radix-sort idea
-    with XLA's sort as the per-digit primitive (digit = 32 bits).
+    XLA's TPU sort has a fast path for single-key sorts with carried
+    operands (u32 and u64 measured within ~1.5x of each other on v5e) but
+    falls off a cliff for multi-key comparator sorts (~6 Mkeys/s at 8M
+    rows).  A least-significant-first sequence of stable single-key sorts
+    computes the identical lexicographic order at the fast rate — the
+    radix-sort idea with XLA's sort as the per-digit primitive.  Adjacent
+    u32 word pairs fuse into u64 digits (_group64), halving both the pass
+    count and the carried-operand traffic; a 60-bit spacer key sorts in
+    ONE pass with nothing carried.
 
     keys: list of uint32 arrays, most-significant first.  Returns
     (keys_sorted list, payloads_sorted list).
@@ -40,6 +91,9 @@ def lsd_sort(keys, payloads=()):
     if W == 0:
         return [], list(payloads)
 
+    groups, meta = _group64(list(keys))
+    G = len(groups)
+
     def passes(arrays, n_keys):
         for k in range(n_keys - 1, -1, -1):
             ops = (arrays[k], *arrays[:k], *arrays[k + 1:])
@@ -47,20 +101,34 @@ def lsd_sort(keys, payloads=()):
             arrays = list(out[1:k + 1]) + [out[0]] + list(out[k + 1:])
         return arrays
 
-    if W + P <= 4 or P == 0:
-        arrays = passes(list(keys) + list(payloads), W)
-        return arrays[:W], arrays[W:]
+    if G + P <= 4 or P == 0:
+        arrays = passes(groups + list(payloads), G)
+        return _ungroup64(arrays[:G], meta), arrays[G:]
 
     # wide path: carry a row id, then permute payloads via sort
     n = keys[0].shape[0]
     iota = jnp.arange(n, dtype=jnp.uint32)
-    arrays = passes(list(keys) + [iota], W)
-    src = arrays[W]              # src[j] = original index of sorted row j
+    arrays = passes(groups + [iota], G)
+    src = arrays[G]              # src[j] = original index of sorted row j
     # dest[i] = sorted position of original row i (inverse permutation)
     dest = jax.lax.sort((src, iota), num_keys=1, is_stable=True)[1]
     sorted_payloads = [jax.lax.sort((dest, p), num_keys=1, is_stable=True)[1]
                        for p in payloads]
-    return arrays[:W], sorted_payloads
+    return _ungroup64(arrays[:G], meta), sorted_payloads
+
+
+def sort_with_rowid(key_word):
+    """Stable sort of one u32 key word, returning (key_sorted, row_ids).
+
+    The (key, row-id) pair packs into one u64 whose unsigned order equals
+    the stable order of the key alone (row ids are unique and increasing
+    in input order), so the whole thing is a single carry-free sort pass.
+    """
+    n = key_word.shape[0]
+    iota = jnp.arange(n, dtype=jnp.uint32)
+    k = _pack64(key_word, iota)
+    s = jax.lax.sort((k,), num_keys=1, is_stable=False)[0]
+    return _unpack64(s)
 
 
 def sort_keys(invalid, words, payloads=()):
