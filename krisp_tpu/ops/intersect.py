@@ -34,7 +34,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .sort import lsd_sort, sort_with_rowid
+from .sort import lsd_sort, sort_rows, sort_with_rowid
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 BIG_I32 = jnp.int32(2**31 - 1)
@@ -91,7 +91,10 @@ def global_intersect_bits(words, counts, layout, n_files: int, cap: int):
     n_keep) — the same row encoding as ``fused_pipeline_bits``, so the
     decode epilogue is shared.  Replaces the former split-[flank|mid]
     layout global stage (one key layout for every path)."""
-    keys_sorted, payloads = lsd_sort(list(words), [counts])
+    # counts are summed per full-key run downstream, so their order within
+    # a run is immaterial — any backend may sort them as tiebreakers
+    keys_sorted, payloads = sort_rows(list(words), [counts],
+                                      order_free_payloads=True)
     cnt_s = payloads[0]
     keep, counts_out, group_id = survivor_mark_bits(keys_sorted, layout,
                                                     n_files, weights=cnt_s)
@@ -350,7 +353,7 @@ def fused_pipeline_prefilter(buffers, code_table, valid_table, comp_table,
     sub = [jnp.where(j < n_pre, jnp.take(w, kept), SENTINEL) for w in flat]
 
     # exact full-width stage on the surviving subset
-    keys_sorted, _ = lsd_sort(sub)
+    keys_sorted, _ = sort_rows(sub)
     keep, counts, group_id = survivor_mark_bits(keys_sorted, layout, n_files)
     (words_c, cnt_c, gid_c), n_keep = compact_rows(
         [jnp.stack(keys_sorted), counts, group_id], keep, cap)
@@ -406,7 +409,7 @@ def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
                                     comp_table, left, mid, right, bits,
                                     n_files, use_pallas, omit_soft)
     n = flat[0].shape[0]
-    keys_sorted, _ = lsd_sort(flat)
+    keys_sorted, _ = sort_rows(flat)
 
     fw, fsh = layout.file_word_shift()
 

@@ -151,14 +151,15 @@ def _local_merge_kernel(x_ref, o_ref, *, V, rows, k_blocks):
 
 
 def _block_rows(V: int) -> int:
-    """Block height: the largest power-of-two row count whose in+out+temp
-    VMEM footprint fits comfortably (Mosaic double-buffers grid blocks)."""
-    budget = 6 * 1024 * 1024  # bytes for one block's words, in+out
-    r = budget // (2 * V * LANES * 4)
+    """Block height: the largest power-of-two row count whose VMEM
+    working set fits.  Measured on v5e: the compiled local-sort kernel's
+    scoped stack is ~5.1 KB per word-row (in+out grid buffers plus the
+    network's live temporaries), so V * rows must stay under ~2.8k."""
+    r = 2816 // V
     rows = 1
     while rows * 2 <= r:
         rows *= 2
-    return min(rows, 2048)
+    return max(8, min(rows, 2048))
 
 
 def _pow2_above(n: int) -> int:

@@ -6,9 +6,10 @@ duplicate merging (krisp_fasta/shared.py:210-240) with one on-device sort of
 multi-word integer keys followed by vectorized run detection.
 
 ``jax.lax.sort`` with ``num_keys > 1`` performs a lexicographic sort over the
-leading operands, which XLA lowers to its native TPU sort.  A Pallas radix
-sort can be slotted in behind the same API (see ops/radix.py) — both orderings
-are total and identical, so results are bit-reproducible either way.
+leading operands, which XLA lowers to its native TPU sort.  The Pallas
+bitonic comparator sort (ops/pallas_sort.py) slots in behind the same API —
+both orderings are total and identical, so results are bit-reproducible
+either way.
 """
 
 from __future__ import annotations
@@ -115,6 +116,43 @@ def lsd_sort(keys, payloads=()):
     sorted_payloads = [jax.lax.sort((dest, p), num_keys=1, is_stable=True)[1]
                        for p in payloads]
     return _ungroup64(arrays[:G], meta), sorted_payloads
+
+
+def _pallas_sort_mode():
+    """Backend switch for ``sort_rows``: the Pallas bitonic comparator
+    sort (ops/pallas_sort.py) vs the u64-fused LSD passes.  Off by
+    default: on the tunneled v5e the LSD path's XLA sorts win end-to-end
+    once keys fuse into u64 digits; the comparator network is the
+    speed-of-light design for wide keys on directly-attached TPUs
+    (measured numbers in PARITY.md).  ``KRISP_TPU_PALLAS_SORT=1`` enables
+    it on a TPU backend; ``=interpret`` runs the kernel interpreter on any
+    backend (tests)."""
+    import os
+    v = os.environ.get("KRISP_TPU_PALLAS_SORT")
+    if v == "interpret":
+        return "interpret"
+    if v == "1" and "TPU" in jax.devices()[0].device_kind:
+        return "compiled"
+    return None
+
+
+def sort_rows(words, payloads=(), order_free_payloads=False):
+    """Lexicographic sort of multi-word rows, backend-selectable.
+
+    Semantics equal ``lsd_sort`` (stable) except that when
+    ``order_free_payloads`` is set the caller asserts payload order within
+    equal-key runs is immaterial — which permits the unstable comparator
+    backend to carry payloads as trailing tiebreaker words.
+    """
+    mode = _pallas_sort_mode()
+    if mode and (not payloads or order_free_payloads):
+        from .pallas_sort import bitonic_sort_words
+        stacked = jnp.stack(list(words) + list(payloads))
+        out = bitonic_sort_words(stacked, interpret=mode == "interpret")
+        W = len(words)
+        return [out[i] for i in range(W)], [out[W + i]
+                                            for i in range(len(payloads))]
+    return lsd_sort(words, payloads)
 
 
 def sort_with_rowid(key_word):

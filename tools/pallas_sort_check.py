@@ -22,17 +22,20 @@ def _sync(out):
     return out
 
 
-def timed(label, fn, *args, n=None):
-    out = _sync(fn(*args))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = _sync(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    best = min(ts)
-    rate = f"   {n/best/1e6:8.1f} Mkeys/s" if n else ""
-    print(f"{label:40s} {best*1e3:9.2f} ms{rate}")
-    return out
+def timed_ab(labels, fns, args, n, reps=8):
+    """Interleaved A/B timing: tunnel stalls hit both candidates alike;
+    per-candidate min over ``reps`` alternating repetitions."""
+    best = [float("inf")] * len(fns)
+    for f in fns:
+        _sync(f(*args))
+    for _ in range(reps):
+        for i, f in enumerate(fns):
+            t0 = time.perf_counter()
+            _sync(f(*args))
+            best[i] = min(best[i], time.perf_counter() - t0)
+    for lab, b in zip(labels, best):
+        print(f"{lab:40s} {b*1e3:9.2f} ms   {n/b/1e6:8.1f} Mkeys/s",
+              flush=True)
 
 
 def main():
@@ -49,17 +52,18 @@ def main():
 
     t0 = time.perf_counter()
     out_b = _sync(bitonic_sort_words(wd))
-    print(f"bitonic first call (compile): {time.perf_counter()-t0:.1f}s")
+    print(f"bitonic first call (compile): {time.perf_counter()-t0:.1f}s",
+          flush=True)
     out_l = _sync(lsd(wd))
     ok = bool(jnp.all(out_b == out_l))
-    print("bitonic == LSD:", ok)
+    print("bitonic == LSD:", ok, flush=True)
     if not ok:
         d = np.nonzero(np.asarray((out_b != out_l).any(axis=0)))[0]
         print("first diffs at", d[:5])
         sys.exit(1)
 
-    timed("pallas bitonic", bitonic_sort_words, wd, n=n)
-    timed("XLA LSD multi-word", lsd, wd, n=n)
+    timed_ab(["pallas bitonic", "XLA LSD multi-word"],
+             [bitonic_sort_words, lsd], (wd,), n)
 
 
 if __name__ == "__main__":
