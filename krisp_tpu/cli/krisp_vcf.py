@@ -61,11 +61,12 @@ def parse_args(argv):
     p.add_argument("--gc_clamp", type=int, default=1, metavar="INT")
     p.add_argument("--max_end_gc", type=int, default=4, metavar="INT")
     p.add_argument("--force", action="store_true", default=False)
-    p.add_argument("--engine", type=str, choices=["host", "device"],
-                   default="host",
+    p.add_argument("--engine", type=str, choices=["auto", "host", "device"],
+                   default="auto",
                    help="Variant classification engine: exact host path or "
                         "TPU-batched kernel with on-demand exact "
-                        "rehydration. (default: %(default)s)")
+                        "rehydration; 'auto' picks the device path for "
+                        "large indexed VCFs. (default: %(default)s)")
     return p.parse_args(argv)
 
 

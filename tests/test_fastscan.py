@@ -163,3 +163,33 @@ def test_window_replay_matches_reference_deques():
         _, jstart = _window_types(starts, ends, delta.tolist(),
                                   [False] * V, [True] * V, span, 1)
         assert jstart == want, f"trial {trial}"
+
+
+def test_engine_auto_resolution(bundled):
+    """'auto' picks host below the record threshold, device above it, and
+    passes explicit choices through untouched."""
+    from krisp_tpu.vcf import report
+
+    idx, _, _, _ = bundled
+    assert idx.n_records() < report.AUTO_DEVICE_MIN_RECORDS
+    assert report.resolve_engine(idx, {"engine": "auto"}) == "host"
+    assert report.resolve_engine(idx, {"engine": "host"}) == "host"
+    assert report.resolve_engine(idx, {"engine": "device"}) == "device"
+    # plain path (no index) can never take the columnar fast path
+    assert report.resolve_engine("x.vcf", {"engine": "auto"}) == "host"
+
+    class Big(type(idx)):
+        def __init__(self):
+            pass
+
+        def n_records(self, contig=None):
+            return report.AUTO_DEVICE_MIN_RECORDS
+
+    assert report.resolve_engine(Big(), {"engine": "auto"}) == "device"
+
+
+def test_cli_engine_default_is_auto():
+    from krisp_tpu.cli.krisp_vcf import parse_args
+
+    args = parse_args([META, REF_FASTA, "--vcf", VCF])
+    assert args.engine == "auto"
