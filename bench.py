@@ -144,6 +144,19 @@ def main():
             "amplicon_mode_value": round(amp_rate),
             "amplicon_mode_vs_baseline": round(amp_rate / amp_ref, 2),
         }
+        try:
+            # chip-only rate (inputs in HBM, dispatch/pull overhead
+            # cancelled): separates kernel speed from the axon tunnel's
+            # transfer floor, which dominates the end-to-end number
+            from krisp_tpu.engine.pipeline import (KmerGeometry,
+                                                   measure_device_rate)
+            dev = measure_device_rate(paths[:2], paths[2:],
+                                      KmerGeometry(LEFT, MID, RIGHT))
+            if dev == dev:  # not NaN
+                out["device_resident_value"] = round(dev)
+                out["device_resident_vs_baseline"] = round(dev / ref_rate, 2)
+        except Exception as exc:  # metric is informational, never fatal
+            print(f"device-resident probe skipped: {exc!r}", file=sys.stderr)
         if out["vs_baseline"] < 100:
             print(f"WARNING: vs_baseline {out['vs_baseline']} below the "
                   f"100x north star (BASELINE.json)", file=sys.stderr)

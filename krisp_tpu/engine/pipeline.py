@@ -485,3 +485,101 @@ def _group_epilogue(n_keep, gid_h, mid_dec, flank_dec, fid_h, cnt_h, geom,
         # (parity: filterAlignments.py:4-40 over Amplicon.py:495-521).
         groups = [g for g in groups if g.ingroup_unique_columns()]
     return groups
+
+
+def measure_device_rate(files, outgroup, geom: KmerGeometry,
+                        omit_soft: bool = False, reps: int = 5):
+    """Device-resident throughput of the fused single-device program.
+
+    Genome inputs are pre-placed in HBM and the measurement queues one vs
+    three back-to-back executions before a single forced 1-element pull,
+    dividing the two extra executions by the extra time — dispatch latency
+    and the device->host pull cancel.  On the tunneled axon chip those
+    overheads (~40 ms floor, multi-second stalls) otherwise dominate the
+    end-to-end number (PARITY.md); this isolates what the chip itself
+    sustains.  Returns k-mers/s over the padded window count.
+    """
+    import os as _os
+    import time
+
+    all_files = list(files) + list(outgroup)
+    buffers = [load_buffer(path) for path in all_files]
+    bits = detect_bits(buffers)
+    layout = KeyLayout(geom.left, geom.mid, geom.right, bits, len(all_files))
+    pad = bucket_size(max(b.size for b in buffers))
+    stacked = np.zeros((len(buffers), pad), np.uint8)
+    for i, buf in enumerate(buffers):
+        stacked[i, :buf.size] = buf
+
+    on_tpu = "TPU" in jax.devices()[0].device_kind
+
+    def _flag(name):
+        v = _os.environ.get(name)
+        return on_tpu if v is None else v == "1"
+
+    use_pallas = bits == 2 and _flag("KRISP_TPU_PALLAS_PACK")
+    use_pallas_scan = _flag("KRISP_TPU_PALLAS_SCAN")
+    use_prefilter = layout.n_words > 2 and layout.flank_bits >= 32
+
+    if bits == 2:
+        pk_host, vb_host = _pack_genomes_host(stacked, omit_soft)
+        tables = _encoding_tables(2, False)
+        args = (jax.device_put(pk_host), jax.device_put(vb_host))
+    else:
+        tables = _encoding_tables(bits, omit_soft)
+        args = (jax.device_put(stacked),)
+    tables = tuple(jax.device_put(t) for t in tables)
+
+    from ..ops.intersect import (fused_pipeline_packed,
+                                 fused_pipeline_packed_in,
+                                 fused_pipeline_prefilter,
+                                 fused_pipeline_prefilter_packed_in)
+
+    caps = {"cap": 1 << 16, "cap_pre": 1 << 20}
+
+    def call():
+        kw = dict(left=geom.left, mid=geom.mid, right=geom.right, bits=bits,
+                  n_files=len(all_files), cap=caps["cap"],
+                  use_pallas=use_pallas)
+        if use_prefilter:
+            kw["cap_pre"] = caps["cap_pre"]
+            if bits == 2:
+                return fused_pipeline_prefilter_packed_in(*args, *tables,
+                                                          **kw)
+            return fused_pipeline_prefilter(*args, *tables,
+                                            omit_soft=omit_soft, **kw)
+        kw["use_pallas_scan"] = use_pallas_scan
+        if bits == 2:
+            return fused_pipeline_packed_in(*args, *tables, **kw)
+        return fused_pipeline_packed(*args, *tables, omit_soft=omit_soft,
+                                     **kw)
+
+    # grow caps until the survivor set fits (run_pipeline's escalation, so
+    # the jitted programs here hit the in-process cache from a prior run)
+    while True:
+        tail = np.asarray(call()[-1, :2])
+        if use_prefilter and int(tail[1]) > caps["cap_pre"]:
+            caps["cap_pre"] = bucket_size(int(tail[1]), quantum=1 << 18)
+            continue
+        if int(tail[0]) > caps["cap"]:
+            caps["cap"] = bucket_size(int(tail[0]), quantum=1 << 16)
+            continue
+        break
+
+    def timed(n_calls):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_calls):
+            out = call()
+        np.asarray(out[-1:, :1])   # real pull: block_until_ready does not
+        return time.perf_counter() - t0   # flush the axon tunnel
+
+    best = None
+    for _ in range(reps):
+        extra = timed(3) - timed(1)   # interleaved A/B: tunnel phases drift
+        if extra > 0:
+            best = extra if best is None else min(best, extra)
+    if not best:
+        return float("nan")
+    n_keys = 2 * len(all_files) * (pad - geom.total + 1)
+    return 2 * n_keys / best

@@ -22,3 +22,18 @@ def test_geometry_solver():
     assert (g.left, g.mid, g.right) == (25, 1, 2)
     with pytest.raises(ValueError):
         solve_geometry(diagnostic=1)
+
+
+def test_measure_device_rate_smoke():
+    """The chip-rate probe runs the same fused program as run_pipeline and
+    returns a positive, finite rate (CPU backend here; the bench wires it
+    to the real TPU)."""
+    import glob as _glob
+    from krisp_tpu.engine.pipeline import KmerGeometry, measure_device_rate
+
+    data = "/root/reference/test_data/krisp_fasta"
+    ingroup = sorted(_glob.glob(f"{data}/ingroup*.fasta.gz"))
+    outgroup = sorted(_glob.glob(f"{data}/outgroup*.fasta.gz"))
+    rate = measure_device_rate(ingroup, outgroup, KmerGeometry(25, 1, 2),
+                               reps=1)
+    assert rate > 0 and rate == rate
