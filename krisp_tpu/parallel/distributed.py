@@ -64,6 +64,23 @@ def _halo_exchange(block, halo: int, axis: str):
     return jnp.concatenate([block, recv])
 
 
+def _owner_of(w0, valid, n_shards: int, t: int):
+    """Monotone range partition of keys onto shards by the top ``t`` bits
+    of (MSB-aligned) key word 0: owner = floor(top * n_shards / 2**t).
+
+    Covers every shard count — a plain ``top-bits == shard-id`` mapping
+    silently drops rows whose bucket exceeds n_shards - 1 whenever
+    n_shards is not a power of two — and reduces to exactly that mapping
+    for power-of-two n_shards with t >= log2(n_shards), so the
+    1/2/4/8-device byte-equality pins are unchanged.  Monotone in the key
+    prefix: equal prefixes (hence equal flanks) always share an owner and
+    concatenating shards in order preserves global key order.  Invalid
+    rows map to ``n_shards`` (sorted last, never shipped)."""
+    top = (w0 >> jnp.uint32(32 - t)).astype(jnp.int32)
+    owner = (top * n_shards) >> t
+    return jnp.where(valid, owner, n_shards)
+
+
 def sharded_kmer_step(mesh: Mesh, left: int, mid: int, right: int, bits: int,
                       n_files: int):
     """Build the jitted multi-device step: sharded ASCII buffers -> per-shard
@@ -82,7 +99,7 @@ def sharded_kmer_step(mesh: Mesh, left: int, mid: int, right: int, bits: int,
     code_table = dna.CODE2_TABLE if bits == 2 else dna.CODE4_TABLE
     comp_table = dna.COMP2_TABLE if bits == 2 else dna.COMP4_TABLE
     valid_table = dna.base_validity_table(bits, disallow="Nn")
-    shift = 32 - max((n_shards - 1).bit_length(), 1)
+    t_owner = min(10, L * bits, 32)
 
     def per_shard(buffers):
         # buffers: uint8[n_files, chunk] local slice
@@ -117,9 +134,7 @@ def sharded_kmer_step(mesh: Mesh, left: int, mid: int, right: int, bits: int,
         inv, words, (fids, cnts) = sort_keys(inv, words, (fids, cnts))
         m = inv.shape[0]
         valid = inv == 0
-        bucket = jnp.where(valid,
-                           (words[0] >> jnp.uint32(shift)).astype(jnp.int32),
-                           n_shards)
+        bucket = _owner_of(words[0], valid, n_shards, t_owner)
         # per-destination run starts/counts in the sorted local table
         count_d = jnp.stack([jnp.sum((bucket == d).astype(jnp.int32))
                              for d in range(n_shards)])
@@ -215,7 +230,7 @@ def sharded_intersect_step(mesh: Mesh, left: int, mid: int, right: int,
     bbits = max((n_shards - 1).bit_length(), 1)
     assert layout.flank_bits >= bbits or n_shards == 1, (
         "flank too short to key-range partition across this many devices")
-    shift = 32 - bbits
+    t_owner = min(10, layout.flank_bits, 32)
 
     code_table = dna.CODE2_TABLE if bits == 2 else dna.CODE4_TABLE
     comp_table = dna.COMP2_TABLE if bits == 2 else dna.COMP4_TABLE
@@ -246,9 +261,7 @@ def sharded_intersect_step(mesh: Mesh, left: int, mid: int, right: int,
         inv_s, w0 = ks
         words_s = [w0] + list(ps)
         valid = inv_s == 0
-        bucket = jnp.where(valid,
-                           (w0 >> jnp.uint32(shift)).astype(jnp.int32),
-                           n_shards)
+        bucket = _owner_of(w0, valid, n_shards, t_owner)
         count_d = jnp.stack([jnp.sum((bucket == d).astype(jnp.int32))
                              for d in range(n_shards)])
         start_d = jnp.concatenate([jnp.zeros(1, jnp.int32),

@@ -31,7 +31,7 @@ def reference_table(buffers, left, mid, right, bits):
     return sorted(rows)
 
 
-@pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.parametrize("n_dev", [2, 3, 4, 5, 8])
 def test_sharded_matches_single_chip(n_dev):
     assert len(jax.devices()) >= n_dev
     rng = np.random.default_rng(0)
@@ -66,7 +66,7 @@ def test_sharded_matches_single_chip(n_dev):
 DATA = "/root/reference/test_data/krisp_fasta"
 
 
-@pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.parametrize("n_dev", [2, 3, 4, 8])
 def test_full_pipeline_sharded_cli_bytes(n_dev, tmp_path):
     """The product CLI, sharded over N devices, emits byte-identical CSV and
     alignment output to the single-device goldens (VERDICT r1 item 1)."""
@@ -87,7 +87,7 @@ def test_full_pipeline_sharded_cli_bytes(n_dev, tmp_path):
     assert align.read_text() == (gold / "spacer_25_1_2.align.txt").read_text()
 
 
-@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize("n_dev", [2, 6, 8])
 def test_full_pipeline_sharded_amplicon_mode(n_dev, tmp_path):
     """Multi-word-key (L=100) geometry through the mesh: same goldens."""
     import glob
@@ -174,14 +174,28 @@ def test_exchange_overflow_autoretry():
 
 
 def test_shard_ownership_is_partition():
-    """Every valid key is owned by exactly one shard (no dupes, no drops)."""
-    # covered by the equality in test_sharded_matches_single_chip; this is a
-    # cheap standalone sanity check on the bucket function
-    n_shards = 8
-    shift = 32 - max((n_shards - 1).bit_length(), 1)
-    keys = np.random.default_rng(1).integers(0, 2**32, 1000, dtype=np.uint64)
-    buckets = (keys >> shift).astype(int)
-    assert buckets.min() >= 0 and buckets.max() < n_shards
+    """The owner map is a total, monotone partition for EVERY shard count
+    (non-powers-of-two included: the pre-fix top-bits==shard mapping
+    dropped keys with bucket >= n_shards), and matches the plain top-bits
+    bucketing at powers of two (so byte-equality goldens are stable)."""
+    import jax.numpy as jnp
+    from krisp_tpu.parallel.distributed import _owner_of
+
+    keys = np.random.default_rng(1).integers(0, 2**32, 4096, dtype=np.uint32)
+    keys = np.sort(keys)
+    valid = jnp.ones(keys.shape[0], bool)
+    for n_shards in (1, 2, 3, 4, 5, 6, 7, 8, 12, 16):
+        t = min(10, 32)
+        owner = np.asarray(_owner_of(jnp.asarray(keys), valid, n_shards, t))
+        assert owner.min() >= 0 and owner.max() < n_shards, n_shards
+        assert (np.diff(owner) >= 0).all(), n_shards  # monotone in key
+        if n_shards & (n_shards - 1) == 0 and n_shards > 1:
+            bbits = (n_shards - 1).bit_length()
+            np.testing.assert_array_equal(owner, keys >> (32 - bbits))
+    # invalid rows always map to the out-of-range bucket
+    inv_owner = np.asarray(_owner_of(jnp.asarray(keys),
+                                     jnp.zeros(keys.shape[0], bool), 4, 10))
+    assert (inv_owner == 4).all()
 
 
 def test_pod_mesh_structure():
