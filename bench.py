@@ -10,7 +10,7 @@ this machine on a scaled-down input (its per-kmer cost is size-independent;
 measured rate is extrapolation-free — we compare rates, not wall times).
 The measured baseline rate is cached in BASELINE_MEASURED.json.
 
-Workload: 5 synthetic 2 Mb genomes with planted shared spacer regions,
+Workload: 5 synthetic 4 Mb genomes with planted shared spacer regions,
 spacer geometry 25/1/2 (the krisp_fasta README example) — the end-to-end
 krisp_fasta path minus rendering: window extraction, both strands, per-genome
 sort+unique, 5-way intersection.
@@ -27,7 +27,7 @@ import numpy as np
 
 REPO = Path(__file__).parent
 N_FILES = int(os.environ.get("KRISP_BENCH_FILES", 5))
-GENOME_SIZE = int(os.environ.get("KRISP_BENCH_GENOME_SIZE", 2_000_000))
+GENOME_SIZE = int(os.environ.get("KRISP_BENCH_GENOME_SIZE", 4_000_000))
 BASE_GENOME_SIZE = 100_000    # for the CPU reference measurement
 LEFT, MID, RIGHT = 25, 1, 2
 L = LEFT + MID + RIGHT
