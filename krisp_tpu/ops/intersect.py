@@ -72,10 +72,37 @@ def dedup_sorted(words, n_valid):
 
 
 def compact_rows(arrays, keep, cap: int):
-    """Gather ``cap`` surviving rows (tiny) + true survivor count."""
+    """Gather ``cap`` surviving rows (tiny) + true survivor count.
+
+    A flat ``nonzero`` over the full table lowers to cumsum + a full-size
+    scatter — measured ~325 ms at 40M rows on v5e, dwarfing the sort it
+    follows.  Survivors are sparse (bounded by ``cap``), so compact in two
+    levels instead: find the blocks that contain any survivor (nonzero at
+    n/128 scale — every nonempty block holds >= 1 survivor, so ``cap``
+    blocks suffice), gather just those blocks of the ``keep`` mask, and run
+    the exact flat compaction on that (cap * 128)-row subset.  Indices map
+    back through the block ids, so the output — ascending survivor indices,
+    ``n - 1`` in slots past ``n_keep`` — is element-identical to the flat
+    version at a tiny fraction of the memory traffic.
+    """
     n = keep.shape[0]
     n_keep = jnp.sum(keep.astype(jnp.int32))
-    idx = jnp.nonzero(keep, size=cap, fill_value=n - 1)[0]
+    B = 128
+    nb = -(-n // B)
+    if nb * B != n:
+        keep = jnp.concatenate(
+            [keep, jnp.zeros(nb * B - n, keep.dtype)])
+    blk = keep.reshape(nb, B)
+    capb = min(cap, nb)
+    blk_any = jnp.any(blk, axis=1)
+    k_b = jnp.sum(blk_any.astype(jnp.int32))
+    bidx = jnp.nonzero(blk_any, size=capb, fill_value=0)[0]
+    sub = jnp.take(blk, bidx, axis=0)
+    sub = sub & (jnp.arange(capb, dtype=jnp.int32)[:, None] < k_b)
+    idx2 = jnp.nonzero(sub.reshape(capb * B), size=cap, fill_value=0)[0]
+    gidx = jnp.take(bidx, idx2 // B) * B + (idx2 % B)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    idx = jnp.where(slot < n_keep, gidx, n - 1)
     return [jnp.take(a, idx, axis=-1) for a in arrays], n_keep
 
 
@@ -179,11 +206,6 @@ def survivor_mark_bits(keys_sorted, layout, n_files: int, weights=None):
     return survive & head_full, counts, group_id
 
 
-import numpy as _np
-
-_ASCII_ACGT_NP = _np.frombuffer(b"ACGT", _np.uint8)
-
-
 def unpack_genomes(packed, vbits):
     """Device-side inverse of engine.pipeline._pack_genomes_host: 2-bit
     codes + validity bitmap -> canonical ASCII buffers (A/C/G/T for valid
@@ -191,7 +213,12 @@ def unpack_genomes(packed, vbits):
     (code, validity) per base, so every downstream kernel behaves exactly
     as on the raw bytes — but the host->device transfer is 3.75 bits/base
     instead of 8 (the tunnel upload is the measured end-to-end
-    bottleneck, BASELINE.md)."""
+    bottleneck, BASELINE.md).
+
+    The code -> ASCII map is computed with selects, not a table gather:
+    a 4-entry ``jnp.take`` over the whole genome measured ~190 ms at 20M
+    bases on v5e (XLA lowers it as a real gather), vs ~nothing for two
+    compares + selects."""
     F, nw = packed.shape
     k = jnp.arange(16, dtype=jnp.uint32) * 2
     codes = ((packed[:, :, None] >> k) & jnp.uint32(3)) \
@@ -199,8 +226,11 @@ def unpack_genomes(packed, vbits):
     b = jnp.arange(8, dtype=jnp.uint8)
     valid = (((vbits[:, :, None] >> b) & jnp.uint8(1)) == 1) \
         .reshape(F, vbits.shape[1] * 8)
-    return jnp.where(valid, jnp.take(jnp.asarray(_ASCII_ACGT_NP), codes),
-                     jnp.uint8(ord("N")))
+    # A=65 C=67 G=71 T=84: 65 + 2*code, with +2 at code>=2 and +11 at code 3
+    ascii_ = (jnp.uint8(65) + (codes << 1)
+              + jnp.where(codes >= 2, jnp.uint8(2), jnp.uint8(0))
+              + jnp.where(codes == 3, jnp.uint8(11), jnp.uint8(0)))
+    return jnp.where(valid, ascii_, jnp.uint8(ord("N")))
 
 
 @partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",

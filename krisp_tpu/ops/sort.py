@@ -193,24 +193,38 @@ def run_heads(invalid, words):
 def unique_counts(invalid, words):
     """Collapse a sorted key table into (unique keys, multiplicities).
 
-    Output arrays are padded to the input size; ``u_invalid`` marks padding.
-    Mirrors the semantics of the reference's ``simplifyStream``
-    (shared.py:210-240): adjacent equal rows merge and their label
-    multiplicities add (here: occurrence counts per genome).
+    Output arrays are padded to the input size; ``u_invalid`` marks padding
+    (its key words are all-ones sentinels).  Mirrors the semantics of the
+    reference's ``simplifyStream`` (shared.py:210-240): adjacent equal rows
+    merge and their label multiplicities add (here: occurrence counts per
+    genome).
+
+    Gather-free: a full-size ``nonzero`` + ``take`` compaction lowers to a
+    scatter and a data-scale random gather — the two catastrophic
+    primitives on v5e (BASELINE.md).  Instead, one more stable LSD sort
+    led by a non-head flag sweeps duplicate and invalid rows to the tail
+    in place; head rows are strictly increasing, so their order — hence
+    the unique prefix — is identical.  (The flag leads as its own key word
+    rather than overwriting dup keys with all-ones sentinels: a fully
+    occupied layout makes an all-T k-mer bit-equal to the sentinel, which
+    would misplace it.)
     """
     n = invalid.shape[0]
     n_valid = jnp.sum((invalid == 0).astype(jnp.int32))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < n_valid
     head = run_heads(invalid, words)
     n_unique = jnp.sum(head.astype(jnp.int32))
-    hp = jnp.nonzero(head, size=n, fill_value=n)[0]
-    nxt = jnp.minimum(jnp.concatenate([hp[1:], jnp.full(1, n, hp.dtype)]), n_valid)
-    counts = (nxt - jnp.minimum(hp, n_valid)).astype(jnp.uint32)
-    gather_at = jnp.clip(hp, 0, n - 1)
-    u_words = [jnp.take(w, gather_at) for w in words]
-    k = jnp.arange(n)
-    u_invalid = (k >= n_unique).astype(jnp.uint32)
-    counts = jnp.where(k < n_unique, counts, 0)
-    return u_invalid, u_words, counts, n_unique
+    # run length at head rows via reverse cummin of next-head positions
+    rh = jnp.where(head, idx, n)
+    nxt = jax.lax.cummin(jnp.concatenate(
+        [rh[1:], jnp.full(1, n, jnp.int32)])[::-1])[::-1]
+    cnt = jnp.where(head & valid,
+                    jnp.minimum(nxt, n_valid) - idx, 0).astype(jnp.uint32)
+    nonhead = (~head).astype(jnp.uint32)
+    keys_u, (counts,) = lsd_sort([nonhead, *words], [cnt])
+    u_invalid = (idx >= n_unique).astype(jnp.uint32)
+    return u_invalid, keys_u[1:], counts, n_unique
 
 
 @partial(jax.jit, static_argnames=("bits",))
