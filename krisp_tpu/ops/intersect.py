@@ -89,6 +89,12 @@ def compact_rows(arrays, keep, cap: int):
     n_keep = jnp.sum(keep.astype(jnp.int32))
     B = 128
     nb = -(-n // B)
+    if cap >= nb:
+        # blocks would not reduce the problem (large-cap callers, e.g. the
+        # prefilter's first stage): flat compaction costs the same and
+        # skips the copies
+        idx = jnp.nonzero(keep, size=cap, fill_value=n - 1)[0]
+        return [jnp.take(a, idx, axis=-1) for a in arrays], n_keep
     if nb * B != n:
         keep = jnp.concatenate(
             [keep, jnp.zeros(nb * B - n, keep.dtype)])
