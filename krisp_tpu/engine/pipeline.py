@@ -345,10 +345,11 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
         if bits == 2:
             # compact upload: 2-bit codes + validity bitmap (the softmask
             # policy folds into the bitmap; device tables are policy-free)
-            pk_host, vb_host = _pack_genomes_host(stacked, omit_soft)
             code_table, valid_table, comp_table = _encoding_tables(2, False)
 
         use_prefilter = layout.n_words > 2 and layout.flank_bits >= 32
+        if bits == 2 and use_prefilter:
+            pk_host, vb_host = _pack_genomes_host(stacked, omit_soft)
         if use_prefilter:
             from ..ops.intersect import (fused_pipeline_prefilter,
                                          fused_pipeline_prefilter_packed_in)
@@ -356,7 +357,7 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
             on_tpu = "TPU" in jax.devices()[0].device_kind
             v = _os.environ.get("KRISP_TPU_PALLAS_PACK")
             use_pallas = bits == 2 and (on_tpu if v is None else v == "1")
-            cap_pre = 1 << 20
+            cap_pre = 1 << 16
             while True:
                 with METRICS.stage("device_pipeline",
                                    items=2 * len(buffers)
@@ -397,40 +398,65 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
             return _group_epilogue(n_keep, gid_h, mid_dec, flank_dec, fid_h,
                                    cnt_h, geom, tags, ingroup_tags,
                                    has_outgroup, ingroup_filter)
-        while True:
+        import os as _os
+        on_tpu = "TPU" in jax.devices()[0].device_kind
+
+        def _flag(name):
+            # default: Pallas kernels wherever a real TPU backs the
+            # computation (measured end-to-end wins); env overrides
+            v = _os.environ.get(name)
+            return on_tpu if v is None else v == "1"
+
+        use_pallas = bits == 2 and _flag("KRISP_TPU_PALLAS_PACK")
+        use_pallas_scan = _flag("KRISP_TPU_PALLAS_SCAN")
+        if bits == 2:
+            # pipelined per-genome path: JAX dispatch is async, so the host
+            # packs + uploads genome f+1 while the device extracts genome
+            # f's keys (host/transfer time is comparable to the whole
+            # device program on the tunneled v5e — probe_stages.py).  On
+            # compaction overflow only the global stage re-runs; the
+            # per-genome key tables stay resident on device.
+            from ..ops.intersect import (extract_keys_packed_in,
+                                         fused_global_packed)
             with METRICS.stage("device_pipeline",
-                               items=2 * len(buffers) * (pad - geom.total + 1)):
-                import os as _os
-                on_tpu = "TPU" in jax.devices()[0].device_kind
-
-                def _flag(name):
-                    # default: Pallas kernels wherever a real TPU backs the
-                    # computation (measured end-to-end wins); env overrides
-                    v = _os.environ.get(name)
-                    return on_tpu if v is None else v == "1"
-
-                use_pallas = bits == 2 and _flag("KRISP_TPU_PALLAS_PACK")
-                use_pallas_scan = _flag("KRISP_TPU_PALLAS_SCAN")
-                if bits == 2:
-                    from ..ops.intersect import fused_pipeline_packed_in
-                    packed = np.asarray(fused_pipeline_packed_in(
-                        pk_host, vb_host, code_table, valid_table,
-                        comp_table, left=geom.left, mid=geom.mid,
+                               items=2 * len(buffers)
+                               * (pad - geom.total + 1)):
+                keys = []
+                for f in range(len(all_files)):
+                    pk1, vb1 = _pack_genomes_host(stacked[f:f + 1],
+                                                  omit_soft)
+                    keys.append(extract_keys_packed_in(
+                        jax.device_put(pk1), jax.device_put(vb1),
+                        code_table, valid_table, comp_table, np.uint32(f),
+                        left=geom.left, mid=geom.mid, right=geom.right,
+                        bits=bits, n_files=len(all_files),
+                        use_pallas=use_pallas))
+                keys = tuple(keys)
+                while True:
+                    packed = np.asarray(fused_global_packed(
+                        keys, left=geom.left, mid=geom.mid,
                         right=geom.right, bits=bits,
                         n_files=len(all_files), cap=cap,
-                        use_pallas=use_pallas,
                         use_pallas_scan=use_pallas_scan))
-                else:
+                    n_keep = int(packed[-1, 0])
+                    if n_keep <= cap:
+                        break
+                    cap = bucket_size(n_keep, quantum=1 << 16)
+        else:
+            while True:
+                with METRICS.stage("device_pipeline",
+                                   items=2 * len(buffers)
+                                   * (pad - geom.total + 1)):
                     packed = np.asarray(fused_pipeline_packed(
                         stacked, code_table, valid_table, comp_table,
                         left=geom.left, mid=geom.mid, right=geom.right,
                         bits=bits, n_files=len(all_files), cap=cap,
                         use_pallas=use_pallas, omit_soft=omit_soft,
                         use_pallas_scan=use_pallas_scan))
-                n_keep = int(packed[-1, 0])
-            if n_keep <= cap:
-                break
-            cap = bucket_size(n_keep, quantum=1 << 16)
+                    n_keep = int(packed[-1, 0])
+                if n_keep <= cap:
+                    break
+                cap = bucket_size(n_keep, quantum=1 << 16)
         W = layout.n_words
         words_h = packed[:W, :n_keep].T
         cnt_h = packed[W, :n_keep]
@@ -535,7 +561,7 @@ def measure_device_rate(files, outgroup, geom: KmerGeometry,
                                  fused_pipeline_prefilter,
                                  fused_pipeline_prefilter_packed_in)
 
-    caps = {"cap": 1 << 16, "cap_pre": 1 << 20}
+    caps = {"cap": 1 << 16, "cap_pre": 1 << 16}
 
     def call():
         kw = dict(left=geom.left, mid=geom.mid, right=geom.right, bits=bits,

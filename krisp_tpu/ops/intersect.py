@@ -444,6 +444,14 @@ def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
     flat, layout = _all_window_keys(buffers, code_table, valid_table,
                                     comp_table, left, mid, right, bits,
                                     n_files, use_pallas, omit_soft)
+    return _global_tail(flat, layout, n_files, cap, use_pallas_scan)
+
+
+def _global_tail(flat, layout, n_files: int, cap: int,
+                 use_pallas_scan: bool):
+    """Global sort -> survivor marking -> capped compaction over
+    sentinel-marked KeyLayout words (the tail shared by the one-shot fused
+    program and the pipelined per-genome path)."""
     n = flat[0].shape[0]
     keys_sorted, _ = sort_rows(flat)
 
@@ -475,3 +483,54 @@ def fused_pipeline_bits(buffers, code_table, valid_table, comp_table,
     (words_c, cnt_c, gid_c), n_keep = compact_rows(
         [jnp.stack(keys_sorted), counts, group_id], keep, cap)
     return words_c, cnt_c, gid_c, n_keep
+
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits",
+                                   "n_files", "use_pallas"))
+def extract_keys_packed_in(packed_row, vbits_row, code_table, valid_table,
+                           comp_table, file_idx, left: int, mid: int,
+                           right: int, bits: int, n_files: int,
+                           use_pallas: bool = False):
+    """Sentinel-marked KeyLayout words for ONE genome (both strands), with
+    the genome-id field OR'd in (``file_idx`` is traced, so every genome
+    shares one compiled program).
+
+    The per-genome half of the pipelined fused path: dispatching one of
+    these per genome lets the host pack + upload genome f+1 while the
+    device extracts genome f — on the tunneled v5e the host/transfer side
+    is comparable to the whole device program (probe_stages.py), so the
+    overlap is nearly free throughput.  ``fused_global_packed`` consumes
+    the per-genome outputs.
+
+    packed_row/vbits_row: uint32[1, nw] / uint8[1, nv] (one genome of
+    engine.pipeline._pack_genomes_host).  Returns uint32[W, 2 * n_win].
+    """
+    buffers = unpack_genomes(packed_row, vbits_row)
+    flat, layout = _all_window_keys(buffers, code_table, valid_table,
+                                    comp_table, left, mid, right, bits,
+                                    n_files, use_pallas, False)
+    fw, fsh = layout.file_word_shift()
+    # sentinel rows are all-ones: OR-ing the id in leaves them sentinel
+    flat[fw] = flat[fw] | (file_idx.astype(jnp.uint32) << jnp.uint32(fsh))
+    return jnp.stack(flat)
+
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits",
+                                   "n_files", "cap", "use_pallas_scan"))
+def fused_global_packed(keys, left: int, mid: int, right: int, bits: int,
+                        n_files: int, cap: int,
+                        use_pallas_scan: bool = False):
+    """Global stage over per-genome ``extract_keys_packed_in`` outputs:
+    concatenate, sort, survivor-mark, compact — packed into the single
+    [W+3, cap] output array of ``fused_pipeline_packed`` (same row
+    encoding, one pull).  On compaction overflow the caller re-runs only
+    this stage; the per-genome key tables stay resident on device."""
+    from .encode import KeyLayout
+
+    layout = KeyLayout(left, mid, right, bits, n_files)
+    W = keys[0].shape[0]
+    flat = [jnp.concatenate([k[w] for k in keys]) for w in range(W)]
+    w, c, g, nk = _global_tail(flat, layout, n_files, cap, use_pallas_scan)
+    tail = jnp.zeros((1, cap), jnp.uint32).at[0, 0].set(nk.astype(jnp.uint32))
+    return jnp.concatenate([w, c[None].astype(jnp.uint32),
+                            g[None].astype(jnp.uint32), tail], axis=0)
