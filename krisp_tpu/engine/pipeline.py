@@ -348,27 +348,39 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
             code_table, valid_table, comp_table = _encoding_tables(2, False)
 
         use_prefilter = layout.n_words > 2 and layout.flank_bits >= 32
-        if bits == 2 and use_prefilter:
-            pk_host, vb_host = _pack_genomes_host(stacked, omit_soft)
         if use_prefilter:
             from ..ops.intersect import (fused_pipeline_prefilter,
-                                         fused_pipeline_prefilter_packed_in)
+                                         fused_prefilter_global,
+                                         extract_keys_packed_in)
             import os as _os
             on_tpu = "TPU" in jax.devices()[0].device_kind
             v = _os.environ.get("KRISP_TPU_PALLAS_PACK")
             use_pallas = bits == 2 and (on_tpu if v is None else v == "1")
             cap_pre = 1 << 16
-            while True:
-                with METRICS.stage("device_pipeline",
-                                   items=2 * len(buffers)
-                                   * (pad - geom.total + 1)):
+            with METRICS.stage("device_pipeline",
+                               items=2 * len(buffers)
+                               * (pad - geom.total + 1)):
+                if bits == 2:
+                    # pipelined per-genome extraction (see the spacer branch
+                    # below); the prefilter global stage retries alone
+                    keys = []
+                    for f in range(len(all_files)):
+                        pk1, vb1 = _pack_genomes_host(stacked[f:f + 1],
+                                                      omit_soft)
+                        keys.append(extract_keys_packed_in(
+                            jax.device_put(pk1), jax.device_put(vb1),
+                            code_table, valid_table, comp_table,
+                            np.uint32(f), left=geom.left, mid=geom.mid,
+                            right=geom.right, bits=bits,
+                            n_files=len(all_files), use_pallas=use_pallas))
+                    keys = tuple(keys)
+                while True:
                     if bits == 2:
-                        packed = np.asarray(fused_pipeline_prefilter_packed_in(
-                            pk_host, vb_host, code_table, valid_table,
-                            comp_table, left=geom.left, mid=geom.mid,
+                        packed = np.asarray(fused_prefilter_global(
+                            keys, left=geom.left, mid=geom.mid,
                             right=geom.right, bits=bits,
                             n_files=len(all_files), cap_pre=cap_pre,
-                            cap=cap, use_pallas=use_pallas))
+                            cap=cap))
                     else:
                         packed = np.asarray(fused_pipeline_prefilter(
                             stacked, code_table, valid_table, comp_table,
@@ -378,13 +390,13 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
                             omit_soft=omit_soft))
                     n_keep = int(packed[-1, 0])
                     n_pre = int(packed[-1, 1])
-                if n_pre > cap_pre:
-                    cap_pre = bucket_size(n_pre, quantum=1 << 18)
-                    continue
-                if n_keep > cap:
-                    cap = bucket_size(n_keep, quantum=1 << 16)
-                    continue
-                break
+                    if n_pre > cap_pre:
+                        cap_pre = bucket_size(n_pre, quantum=1 << 18)
+                        continue
+                    if n_keep > cap:
+                        cap = bucket_size(n_keep, quantum=1 << 16)
+                        continue
+                    break
             W = layout.n_words
             words_h = packed[:W, :n_keep].T
             cnt_h = packed[W, :n_keep]

@@ -362,7 +362,13 @@ def fused_pipeline_prefilter(buffers, code_table, valid_table, comp_table,
     flat, layout = _all_window_keys(buffers, code_table, valid_table,
                                     comp_table, left, mid, right, bits,
                                     n_files, use_pallas, omit_soft)
-    n = flat[0].shape[0]
+    return _prefilter_tail(flat, layout, n_files, cap_pre, cap)
+
+
+def _prefilter_tail(flat, layout, n_files: int, cap_pre: int, cap: int):
+    """Prefix prefilter + exact full-width stage over sentinel-marked
+    KeyLayout words (shared by the one-shot and per-genome-pipelined
+    entries)."""
     fwd_, fsh = layout.file_word_shift()
     fb = layout.file_bits
     sentinel_f = jnp.uint32(layout.file_sentinel)
@@ -398,6 +404,22 @@ def fused_pipeline_prefilter(buffers, code_table, valid_table, comp_table,
             .at[0, 1].set(n_pre.astype(jnp.uint32)))
     return jnp.concatenate([words_c, cnt_c[None].astype(jnp.uint32),
                             gid_c[None].astype(jnp.uint32), tail], axis=0)
+
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "bits",
+                                   "n_files", "cap_pre", "cap"))
+def fused_prefilter_global(keys, left: int, mid: int, right: int, bits: int,
+                           n_files: int, cap_pre: int, cap: int):
+    """Prefilter global stage over per-genome ``extract_keys_packed_in``
+    outputs (the wide-key analog of ``fused_global_packed``): host
+    pack/upload of genome f+1 overlaps device extraction of genome f, and
+    cap retries re-run only this stage with the key tables resident."""
+    from .encode import KeyLayout
+
+    layout = KeyLayout(left, mid, right, bits, n_files)
+    W = keys[0].shape[0]
+    flat = [jnp.concatenate([k[w] for k in keys]) for w in range(W)]
+    return _prefilter_tail(flat, layout, n_files, cap_pre, cap)
 
 
 @partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "cap",
