@@ -104,6 +104,77 @@ def test_prefilter_cap_overflow_reporting():
     assert int(packed[-1, 1]) > 64  # overflow signalled
 
 
+def test_per_genome_pipelined_stages_match_oneshot():
+    """The pipelined per-genome path (extract_keys_packed_in per genome,
+    then one global stage) must reproduce the one-shot fused programs bit
+    for bit, for both the wide-key prefilter and the spacer global stage.
+    run_pipeline routes every bits==2 run through this split so the host
+    pack/upload of genome f+1 overlaps device extraction of genome f."""
+    from krisp_tpu.engine.pipeline import _pack_genomes_host
+    from krisp_tpu.ops.intersect import (extract_keys_packed_in,
+                                         fused_global_packed,
+                                         fused_pipeline_packed,
+                                         fused_prefilter_global)
+
+    rng = np.random.default_rng(17)
+    F, n = 3, 4096          # n % 16 == 0 (host pack granularity)
+    buffers = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(F, n),
+                         p=[0.24, 0.24, 0.24, 0.24, 0.04])
+    block = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=100)
+    for f in range(F):
+        buffers[f, 500:600] = block
+
+    keys = []
+    for f in range(F):
+        pk, vb = _pack_genomes_host(buffers[f:f + 1], omit_soft=False)
+        keys.append(extract_keys_packed_in(
+            pk, vb, CODE, VALID, COMP, np.uint32(f), left=30, mid=40,
+            right=30, bits=2, n_files=F))
+    keys = tuple(keys)
+
+    one = np.asarray(fused_pipeline_prefilter(
+        buffers, CODE, VALID, COMP, left=30, mid=40, right=30, bits=2,
+        n_files=F, cap_pre=1 << 12, cap=1 << 12))
+    pipelined = np.asarray(fused_prefilter_global(
+        keys, left=30, mid=40, right=30, bits=2, n_files=F,
+        cap_pre=1 << 12, cap=1 << 12))
+    assert int(one[-1, 0]) > 0
+    np.testing.assert_array_equal(one, pipelined)
+
+    # spacer geometry over the same genomes (25/1/2 -> 1-word keys)
+    keys_sp = tuple(extract_keys_packed_in(
+        *_pack_genomes_host(buffers[f:f + 1], omit_soft=False), CODE, VALID,
+        COMP, np.uint32(f), left=25, mid=1, right=2, bits=2, n_files=F)
+        for f in range(F))
+    one_sp = np.asarray(fused_pipeline_packed(
+        buffers, CODE, VALID, COMP, left=25, mid=1, right=2, bits=2,
+        n_files=F, cap=1 << 12))
+    pip_sp = np.asarray(fused_global_packed(
+        keys_sp, left=25, mid=1, right=2, bits=2, n_files=F, cap=1 << 12))
+    assert int(one_sp[-1, 0]) > 0
+    np.testing.assert_array_equal(one_sp, pip_sp)
+
+
+def test_per_genome_pipelined_prefilter_overflow_reporting():
+    """cap_pre overflow must surface through the pipelined global stage so
+    run_pipeline's retry loop (which re-runs ONLY this stage) sees it."""
+    from krisp_tpu.engine.pipeline import _pack_genomes_host
+    from krisp_tpu.ops.intersect import (extract_keys_packed_in,
+                                         fused_prefilter_global)
+
+    F = 2
+    pat = np.frombuffer(b"ACGTACGTACGTACGT", np.uint8)
+    buffers = np.tile(pat, (F, 2048 // 16))
+    keys = tuple(extract_keys_packed_in(
+        *_pack_genomes_host(buffers[f:f + 1], omit_soft=False), CODE, VALID,
+        COMP, np.uint32(f), left=30, mid=40, right=30, bits=2, n_files=F)
+        for f in range(F))
+    packed = np.asarray(fused_prefilter_global(
+        keys, left=30, mid=40, right=30, bits=2, n_files=F,
+        cap_pre=64, cap=64))
+    assert int(packed[-1, 1]) > 64
+
+
 def test_run_pipeline_amplicon_uses_prefilter_and_matches_golden(tmp_path):
     """CLI-level: amplicon mode through run_pipeline (prefilter-gated)
     still reproduces the golden CSV."""
