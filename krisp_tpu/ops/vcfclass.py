@@ -25,22 +25,10 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("n_groups",))
-def classify_batch(dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
+def _classify_impl(dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
                    n_groups: int, min_samples=5, min_reads=10,
                    min_geno_qual=40, min_freq=0.1, min_map_qual=30,
                    min_var_qual=10, min_samp_prop=0.9):
-    """Classify V variants for G groups.
-
-    Shapes: dp,gq int32[V,S] (-1 missing); ad int32[V,S,A]; n_alleles
-    int32[V]; mq,qual float32[V]; group_id int32[S] (-1 = unused sample);
-    group_sizes int32[G].
-
-    Returns dict of arrays:
-      sample_counts int32[V,G], allele_counts int32[V,G,A],
-      conserved int32[V,G] (allele index or -1),
-      diagnostic int32[V,G] (allele index or -1).
-    """
     V, S, A = ad.shape
 
     gate = (dp >= min_reads) & (gq >= min_geno_qual)          # (V,S)
@@ -97,3 +85,49 @@ def classify_batch(dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
             "allele_counts": allele_counts,
             "conserved": conserved,
             "diagnostic": diagnostic}
+
+
+@partial(jax.jit, static_argnames=("n_groups",))
+def classify_batch(dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
+                   n_groups: int, min_samples=5, min_reads=10,
+                   min_geno_qual=40, min_freq=0.1, min_map_qual=30,
+                   min_var_qual=10, min_samp_prop=0.9):
+    """Classify V variants for G groups.
+
+    Shapes: dp,gq int32[V,S] (-1 missing); ad int32[V,S,A]; n_alleles
+    int32[V]; mq,qual float32[V]; group_id int32[S] (-1 = unused sample);
+    group_sizes int32[G].
+
+    Returns dict of arrays:
+      sample_counts int32[V,G], allele_counts int32[V,G,A],
+      conserved int32[V,G] (allele index or -1),
+      diagnostic int32[V,G] (allele index or -1).
+    """
+    return _classify_impl(dp, gq, ad, n_alleles, mq, qual, group_id,
+                          group_sizes, n_groups, min_samples, min_reads,
+                          min_geno_qual, min_freq, min_map_qual,
+                          min_var_qual, min_samp_prop)
+
+
+@partial(jax.jit, static_argnames=("n_groups",))
+def classify_batch_packed(dp, gq, ad, n_alleles, mq, qual, group_id,
+                          group_sizes, n_groups: int, min_samples=5,
+                          min_reads=10, min_geno_qual=40, min_freq=0.1,
+                          min_map_qual=30, min_var_qual=10,
+                          min_samp_prop=0.9):
+    """``classify_batch`` with the four outputs packed into ONE int32
+    array [V, G*(A+3)]: columns [0:G) = sample_counts, [G:2G) = conserved,
+    [2G:3G) = diagnostic, [3G:) = allele_counts reshaped (G-major).
+
+    One device->host pull per batch instead of four — on a tunneled
+    accelerator every pull is a latency round-trip, and the scan profile
+    shows the pulls (not the kernel) dominate wall clock when the tunnel
+    degrades (BASELINE.md)."""
+    out = _classify_impl(dp, gq, ad, n_alleles, mq, qual, group_id,
+                         group_sizes, n_groups, min_samples, min_reads,
+                         min_geno_qual, min_freq, min_map_qual,
+                         min_var_qual, min_samp_prop)
+    V = dp.shape[0]
+    return jnp.concatenate(
+        [out["sample_counts"], out["conserved"], out["diagnostic"],
+         out["allele_counts"].reshape(V, -1)], axis=1)
