@@ -55,3 +55,27 @@ def test_device_matches_host_engine():
                 mismatches.append((var.pos, g, "diagnostic",
                                    want_diag, got_diag))
     assert not mismatches, mismatches[:10]
+
+
+def test_packed_output_matches_unpacked():
+    """classify_batch_packed is the same kernel with a one-array epilogue:
+    unpacking its columns must reproduce classify_batch exactly."""
+    from krisp_tpu.ops.vcfclass import classify_batch_packed
+
+    groups = parse_group_data(META, groups=["NA1", "NA2", "EU1"])
+    variants = list(itertools.islice(VcfReader(VCF), 400))
+    arrays, group_names, _ = build_batch(variants, groups)
+    G = len(group_names)
+    out = classify_batch(n_groups=G, **arrays, **KW)
+    packed = np.asarray(classify_batch_packed(n_groups=G, **arrays, **KW))
+
+    V, _, A = arrays["ad"].shape
+    assert packed.shape == (V, G * (A + 3))
+    np.testing.assert_array_equal(packed[:, :G],
+                                  np.asarray(out["sample_counts"]))
+    np.testing.assert_array_equal(packed[:, G:2 * G],
+                                  np.asarray(out["conserved"]))
+    np.testing.assert_array_equal(packed[:, 2 * G:3 * G],
+                                  np.asarray(out["diagnostic"]))
+    np.testing.assert_array_equal(packed[:, 3 * G:].reshape(V, G, A),
+                                  np.asarray(out["allele_counts"]))
