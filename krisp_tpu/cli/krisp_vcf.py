@@ -209,9 +209,21 @@ def run_all(args):
 
 def _scan_chunks(args, chunks, vcf_source, groups, reference, group_names,
                  want_alignment, search_args):
-    from ..vcf.report import ResultWriter, report_diag_region
+    from ..vcf.report import (ResultWriter, report_diag_region,
+                              uses_device_fast_path)
 
-    if args.vcf != "-" and args.cores > 1:
+    multicore = args.vcf != "-" and args.cores > 1
+    if multicore and uses_device_fast_path(vcf_source, search_args):
+        # The device engine scans the whole file in one process (columnar
+        # parse + compiled programs are cached per process); forking a spawn
+        # worker per 100kb chunk would re-parse the file and re-initialize
+        # the accelerator once per chunk.  --cores parallelism applies to
+        # the host engine.
+        logger.info("Device engine selected: scanning in-process on the "
+                    "accelerator (--cores applies to the host engine)")
+        multicore = False
+
+    if multicore:
         ctx = mp.get_context("spawn")
         manager = ctx.Manager()
         failure_event = manager.Event()

@@ -217,6 +217,17 @@ def _cached_tables(paths, geom, bits, omit_soft, workdir, layout,
     return w_stack, counts
 
 
+def _pallas_flag(name: str) -> bool:
+    """Pallas kernels default ON wherever a real TPU backs the computation
+    (measured end-to-end wins); the env var overrides either way."""
+    import os
+    v = os.environ.get(name)
+    if v is not None:
+        return v == "1"
+    import jax
+    return "TPU" in jax.devices()[0].device_kind
+
+
 def _mesh_for_run(layout, n_devices):
     """Pick a device mesh for the fused path: explicit request via
     ``n_devices`` or the KRISP_TPU_DEVICES env var, else every available
@@ -257,6 +268,19 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
 
     if ingroup_filter is None:
         ingroup_filter = geom.mid > 0 and has_outgroup
+
+    def _decode_and_group(words_h, cnt_h, gid_h, n_keep):
+        # shared KeyLayout decode: every device path (fused, prefilter,
+        # checkpoint, sharded) emits the same (n, W) survivor row encoding
+        off_flank, off_mid = layout.base_offsets()
+        flank_dec = dna.decode_bits(words_h, off_flank, bits)
+        mid_dec = (dna.decode_bits(words_h, off_mid, bits) if geom.mid > 0
+                   else [""] * n_keep)
+        fid_h = dna.extract_bit_field(words_h, layout.file_off,
+                                      layout.file_bits)
+        return _group_epilogue(n_keep, gid_h, mid_dec, flank_dec, fid_h,
+                               cnt_h, geom, tags, ingroup_tags,
+                               has_outgroup, ingroup_filter)
 
     with METRICS.stage("read_fasta"):
         buffers = [load_buffer(path) for path in all_files]
@@ -322,16 +346,8 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
                 words_h, cnt_h, gid_h = sharded_intersect_pipeline(
                     mesh, stacked, geom.left, geom.mid, geom.right, bits,
                     omit_soft=omit_soft)
-            n_keep = words_h.shape[0]
-            off_flank, off_mid = layout.base_offsets()
-            flank_dec = dna.decode_bits(words_h, off_flank, bits)
-            mid_dec = (dna.decode_bits(words_h, off_mid, bits)
-                       if geom.mid > 0 else [""] * n_keep)
-            fid_h = dna.extract_bit_field(words_h, layout.file_off,
-                                          layout.file_bits)
-            return _group_epilogue(n_keep, gid_h, mid_dec, flank_dec, fid_h,
-                                   cnt_h, geom, tags, ingroup_tags,
-                                   has_outgroup, ingroup_filter)
+            return _decode_and_group(words_h, cnt_h, gid_h,
+                                     words_h.shape[0])
         pad = bucket_size(max(b.size for b in buffers))
         stacked = np.zeros((len(buffers), pad), np.uint8)
         for i, buf in enumerate(buffers):
@@ -352,10 +368,7 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
             from ..ops.intersect import (fused_pipeline_prefilter,
                                          fused_prefilter_global,
                                          extract_keys_packed_in)
-            import os as _os
-            on_tpu = "TPU" in jax.devices()[0].device_kind
-            v = _os.environ.get("KRISP_TPU_PALLAS_PACK")
-            use_pallas = bits == 2 and (on_tpu if v is None else v == "1")
+            use_pallas = bits == 2 and _pallas_flag("KRISP_TPU_PALLAS_PACK")
             cap_pre = 1 << 16
             with METRICS.stage("device_pipeline",
                                items=2 * len(buffers)
@@ -398,29 +411,12 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
                         continue
                     break
             W = layout.n_words
-            words_h = packed[:W, :n_keep].T
-            cnt_h = packed[W, :n_keep]
-            gid_h = packed[W + 1, :n_keep].astype(np.int64)
-            off_flank, off_mid = layout.base_offsets()
-            flank_dec = dna.decode_bits(words_h, off_flank, bits)
-            mid_dec = (dna.decode_bits(words_h, off_mid, bits)
-                       if geom.mid > 0 else [""] * n_keep)
-            fid_h = dna.extract_bit_field(words_h, layout.file_off,
-                                          layout.file_bits)
-            return _group_epilogue(n_keep, gid_h, mid_dec, flank_dec, fid_h,
-                                   cnt_h, geom, tags, ingroup_tags,
-                                   has_outgroup, ingroup_filter)
-        import os as _os
-        on_tpu = "TPU" in jax.devices()[0].device_kind
-
-        def _flag(name):
-            # default: Pallas kernels wherever a real TPU backs the
-            # computation (measured end-to-end wins); env overrides
-            v = _os.environ.get(name)
-            return on_tpu if v is None else v == "1"
-
-        use_pallas = bits == 2 and _flag("KRISP_TPU_PALLAS_PACK")
-        use_pallas_scan = _flag("KRISP_TPU_PALLAS_SCAN")
+            return _decode_and_group(packed[:W, :n_keep].T,
+                                     packed[W, :n_keep],
+                                     packed[W + 1, :n_keep].astype(np.int64),
+                                     n_keep)
+        use_pallas = bits == 2 and _pallas_flag("KRISP_TPU_PALLAS_PACK")
+        use_pallas_scan = _pallas_flag("KRISP_TPU_PALLAS_SCAN")
         if bits == 2:
             # pipelined per-genome path: JAX dispatch is async, so the host
             # packs + uploads genome f+1 while the device extracts genome
@@ -474,17 +470,7 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
         cnt_h = packed[W, :n_keep]
         gid_h = packed[W + 1, :n_keep].astype(np.int64)
 
-    # shared KeyLayout decode (fused and checkpoint paths emit identical
-    # row encodings; the sharded path returned above)
-    off_flank, off_mid = layout.base_offsets()
-    flank_dec = dna.decode_bits(words_h, off_flank, bits)
-    mid_dec = (dna.decode_bits(words_h, off_mid, bits) if geom.mid > 0
-               else [""] * n_keep)
-    fid_h = dna.extract_bit_field(words_h, layout.file_off,
-                                  layout.file_bits)
-    return _group_epilogue(n_keep, gid_h, mid_dec, flank_dec, fid_h, cnt_h,
-                           geom, tags, ingroup_tags, has_outgroup,
-                           ingroup_filter)
+    return _decode_and_group(words_h, cnt_h, gid_h, n_keep)
 
 
 def _group_epilogue(n_keep, gid_h, mid_dec, flank_dec, fid_h, cnt_h, geom,
@@ -537,7 +523,6 @@ def measure_device_rate(files, outgroup, geom: KmerGeometry,
     end-to-end number (PARITY.md); this isolates what the chip itself
     sustains.  Returns k-mers/s over the padded window count.
     """
-    import os as _os
     import time
 
     all_files = list(files) + list(outgroup)
@@ -549,14 +534,8 @@ def measure_device_rate(files, outgroup, geom: KmerGeometry,
     for i, buf in enumerate(buffers):
         stacked[i, :buf.size] = buf
 
-    on_tpu = "TPU" in jax.devices()[0].device_kind
-
-    def _flag(name):
-        v = _os.environ.get(name)
-        return on_tpu if v is None else v == "1"
-
-    use_pallas = bits == 2 and _flag("KRISP_TPU_PALLAS_PACK")
-    use_pallas_scan = _flag("KRISP_TPU_PALLAS_SCAN")
+    use_pallas = bits == 2 and _pallas_flag("KRISP_TPU_PALLAS_PACK")
+    use_pallas_scan = _pallas_flag("KRISP_TPU_PALLAS_SCAN")
     use_prefilter = layout.n_words > 2 and layout.flank_bits >= 32
 
     if bits == 2:

@@ -51,6 +51,26 @@ def _reverse_cummin(x):
     return jax.lax.cummin(x[::-1])[::-1]
 
 
+def _seg_last(values, last_flag):
+    """For every row, the ``values`` entry at the LAST row of its run
+    (runs delimited by ``last_flag`` marking tail rows), gather-free.
+
+    A reversed "latest-flagged-value" segmented associative scan.  Unlike
+    the reverse-cummin index trick used elsewhere, it puts no monotonicity
+    requirement on ``values`` — needed where values are prefix sums that
+    may wrap the integer width (see ``survivor_mark_bits``)."""
+    vr = values[::-1]
+    fr = last_flag[::-1].astype(jnp.int32)
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf != 0, bv, av), af | bf
+
+    out, _ = jax.lax.associative_scan(comb, (vr, fr))
+    return out[::-1]
+
+
 def dedup_sorted(words, n_valid):
     """Collapse duplicate rows of a sorted table without compaction.
 
@@ -191,14 +211,20 @@ def survivor_mark_bits(keys_sorted, layout, n_files: int, weights=None):
                                                jnp.full(1, n, jnp.int32)]))
         counts = jnp.where(head_full & valid, nxt - idx, 0).astype(jnp.uint32)
     else:
-        # int32 prefix sums: totals are bounded by the window count per
-        # genome (< 2^31 for any genome this engine can hold on device)
-        w32 = weights.astype(jnp.int32)
+        # Pre-collapsed weights (the checkpoint/out-of-core path): the
+        # running sum over a multi-genome table can exceed 2^31 even when
+        # the table itself fits on device (weights are duplicate counts),
+        # so compute the prefix sum in wrapping uint32 and propagate each
+        # run tail's value backwards with a segmented scan — ``_seg_last``
+        # tolerates wrapped (non-monotone) sums, and the per-run modular
+        # difference end_s - (s - w) is exact for any run multiplicity
+        # that fits the uint32 counts output.
+        w32 = weights.astype(jnp.uint32)
         s = jnp.cumsum(w32)
         last_full = jnp.concatenate([head_full[1:], jnp.ones(1, bool)])
-        end_s = _reverse_cummin(jnp.where(last_full, s, BIG_I32))
+        end_s = _seg_last(s, last_full)
         counts = jnp.where(head_full & valid, end_s - (s - w32),
-                           0).astype(jnp.uint32)
+                           jnp.uint32(0)).astype(jnp.uint32)
 
     # survivor test: distinct genomes per flank group == n_files
     x = (head_ff & valid).astype(jnp.int32)

@@ -193,8 +193,11 @@ def run_heads(invalid, words):
 def unique_counts(invalid, words):
     """Collapse a sorted key table into (unique keys, multiplicities).
 
-    Output arrays are padded to the input size; ``u_invalid`` marks padding
-    (its key words are all-ones sentinels).  Mirrors the semantics of the
+    Output arrays are padded to the input size; ``u_invalid`` is the ONLY
+    marker of tail padding — tail rows keep the real key words of the
+    duplicate/invalid rows that were swept there, so consumers must mask by
+    ``u_invalid`` (or slice to ``n_unique``), never by sentinel key values.
+    Mirrors the semantics of the
     reference's ``simplifyStream`` (shared.py:210-240): adjacent equal rows
     merge and their label multiplicities add (here: occurrence counts per
     genome).

@@ -151,7 +151,13 @@ def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
     for i in range(0, Vr, batch):
         sel = rows[i:i + batch]
         n = sel.shape[0]
-        pad = batch - n if Vr > batch else 0
+        # pad up to a power-of-two bucket (>=256, <=batch) so the many
+        # distinct per-chunk row counts of a chunked scan land on a handful
+        # of compiled shapes instead of one XLA compile per chunk
+        bucket = 256
+        while bucket < n:
+            bucket *= 2
+        pad = min(bucket, batch) - n
         dp = col.dp[sel]
         gq = col.gq[sel]
         ad = col.ad[sel]

@@ -185,6 +185,22 @@ def resolve_engine(vcf_path, kwargs):
     return "host"
 
 
+def uses_device_fast_path(vcf_path, kwargs):
+    """True when ``report_diag_region`` will take the array-native device
+    scan (columnar load + batched device classification) for this input.
+    Shared with the multicore driver so it never forks per-chunk workers
+    around a whole-file device scan."""
+    from .parser import VcfOffsetIndex
+
+    if not isinstance(vcf_path, VcfOffsetIndex):
+        return False
+    if resolve_engine(vcf_path, kwargs) != "device":
+        return False
+    if kwargs.get("min_reads", 10) < 1:
+        return False
+    return vcf_path.columnar() is not None
+
+
 def report_diag_region(vcf_path, chunk, groups, reference, want_alignment,
                        **kwargs):
     """Scan one chunk, yielding result/stats dicts (krisp_vcf.py:1182-1212)."""
@@ -193,28 +209,38 @@ def report_diag_region(vcf_path, chunk, groups, reference, want_alignment,
 
     kwargs = dict(kwargs)
     kwargs["engine"] = resolve_engine(vcf_path, kwargs)
-    if (isinstance(vcf_path, VcfOffsetIndex)
-            and kwargs.get("engine") == "device"
-            and kwargs.get("min_reads", 10) >= 1):
+
+    if isinstance(vcf_path, VcfOffsetIndex) and chunk is None:
+        # Sliding windows never span contigs (region.py raises on it, same
+        # as the reference's per-chunk scans), so an unchunked scan over an
+        # indexed VCF runs one scan per contig in file order — on BOTH
+        # engines (the device prefilter's positional two-pointer assumes a
+        # single coordinate system; a single-contig fetch here used to drop
+        # every contig after the first on the host path).
+        for contig, _ in vcf_path.contigs:
+            yield from report_diag_region(
+                vcf_path, {"contig": contig, "start": None, "end": None},
+                groups, reference, want_alignment, **kwargs)
+        return
+
+    if uses_device_fast_path(vcf_path, kwargs):
         # array-native fast path: columnar load -> batched device
         # classification -> vectorized window prefilter; identical typed-
         # window stream to the host scan (tests/test_fastscan.py)
         col = vcf_path.columnar()
-        if col is not None:
-            from .fastscan import find_diag_region_fast, chunk_rows
-            regions = find_diag_region_fast(col, chunk_rows(col, chunk),
-                                            groups, reference, **kwargs)
-            yield from _drain_regions(regions, reference, groups,
-                                      want_alignment)
-            return
+        from .fastscan import find_diag_region_fast, chunk_rows
+        regions = find_diag_region_fast(col, chunk_rows(col, chunk),
+                                        groups, reference, **kwargs)
+        yield from _drain_regions(regions, reference, groups,
+                                  want_alignment)
+        return
 
     if isinstance(vcf_path, VcfOffsetIndex):
         # seek-based chunk access: O(chunk) per fetch, O(file) total across
-        # all workers (the tabix-equivalent fast path)
-        variants = (vcf_path.fetch(chunk["contig"], start=chunk["start"],
-                                   end=chunk["end"])
-                    if chunk is not None else
-                    vcf_path.fetch(vcf_path.contigs[0][0]))
+        # all workers (the tabix-equivalent fast path); chunk=None was
+        # rewritten into per-contig chunks above
+        variants = vcf_path.fetch(chunk["contig"], start=chunk["start"],
+                                  end=chunk["end"])
     elif chunk is None:
         variants = iter(VcfReader(vcf_path))
     else:

@@ -193,3 +193,41 @@ def test_cli_engine_default_is_auto():
 
     args = parse_args([META, REF_FASTA, "--vcf", VCF])
     assert args.engine == "auto"
+
+
+def test_uses_device_fast_path(bundled):
+    """The multicore driver consults the same predicate that gates the
+    device scan, so device-engine runs never fork per-chunk workers."""
+    from krisp_tpu.vcf.report import uses_device_fast_path
+
+    idx, _, _, _ = bundled
+    assert uses_device_fast_path(idx, {"engine": "device"})
+    assert not uses_device_fast_path(idx, {"engine": "host"})
+    assert not uses_device_fast_path(idx, {"engine": "auto"})  # small file
+    assert not uses_device_fast_path(idx, {"engine": "device",
+                                           "min_reads": 0})
+    assert not uses_device_fast_path(VCF, {"engine": "device"})
+
+
+def test_classify_batches_share_compiled_shapes(bundled):
+    """Batches pad to power-of-two buckets: nearby row counts (the typical
+    per-chunk variation) must reuse one compiled program, not compile per
+    distinct count."""
+    from krisp_tpu.ops.vcfclass import classify_batch_packed
+    from krisp_tpu.vcf.fastscan import _classify_columnar
+
+    idx, col, groups, _ = bundled
+    kw = dict(min_samples=3, min_samp_prop=0.9, min_reads=10,
+              min_geno_qual=40, min_var_qual=10, min_freq=0.1,
+              min_map_qual=40)
+    names = list(groups.keys())
+    base = classify_batch_packed._cache_size()
+    r1 = _classify_columnar(col, np.arange(300, dtype=np.int64), names,
+                            groups, kw)
+    n1 = classify_batch_packed._cache_size()
+    r2 = _classify_columnar(col, np.arange(280, dtype=np.int64), names,
+                            groups, kw)
+    assert classify_batch_packed._cache_size() == n1 > base
+    # padding rows must not leak into results
+    for a, b in zip(r1, r2):
+        assert np.array_equal(a[:280], b)

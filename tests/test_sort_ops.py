@@ -79,3 +79,43 @@ def test_unique_counts():
     assert int(nu) == 2
     assert np.asarray(words_u[0])[:2].tolist() == [3, 7]
     assert np.asarray(counts)[:2].tolist() == [3, 2]
+
+
+def test_survivor_weights_survive_prefix_sum_wrap():
+    """Weighted survivor counting must stay exact when the running weight
+    sum over the whole table exceeds 2^31 (the checkpoint path's weights
+    are duplicate counts, so the prefix sum scales with the pre-dedup
+    window total, not the on-device row count)."""
+    import jax.numpy as jnp
+    from krisp_tpu.ops.encode import KeyLayout
+    from krisp_tpu.ops.intersect import survivor_mark_bits
+
+    layout = KeyLayout(left=2, mid=1, right=2, bits=2, n_files=2)
+    assert layout.n_words == 1 and layout.file_word_shift() == (0, 22)
+
+    def key(flank, file, mid):
+        return (flank << 24) | (file << 22) | (mid << 20)
+
+    big = 1 << 30
+    rows = [  # sorted ascending; both flank groups span both files
+        (key(1, 0, 0), big),
+        (key(1, 0, 0), big),      # duplicate full key: run sum = 2^31
+        (key(1, 1, 0), big),      # cumsum wraps int32 from here on
+        (key(1, 1, 1), 5),
+        (key(2, 0, 0), 7),
+        (key(2, 1, 0), big),
+        (0xFFFFFFFF, 0),          # sentinels (file field all-ones)
+        (0xFFFFFFFF, 0),
+    ]
+    keys = jnp.asarray(np.array([r[0] for r in rows], np.uint32))
+    weights = jnp.asarray(np.array([r[1] for r in rows], np.uint32))
+
+    keep, counts, group_id = survivor_mark_bits([keys], layout, 2,
+                                                weights=weights)
+    keep = np.asarray(keep)
+    counts = np.asarray(counts, np.uint64)
+
+    assert keep.tolist() == [True, False, True, True, True, True,
+                             False, False]
+    expected = [2 * big, 0, big, 5, 7, big, 0, 0]  # int64 oracle
+    assert counts.tolist() == expected

@@ -109,3 +109,31 @@ def test_chroms_subset_parity(tmp_path):
     our_csv = run_with_chroms("krisp_tpu.cli.krisp_vcf", "/root/repo", "ourc")
     assert our_csv == ref_csv
     assert "ctgB" in our_csv and "ctgA" not in our_csv
+
+
+def test_unchunked_index_scan_covers_all_contigs(tmp_path):
+    """report_diag_region(index, chunk=None) must stream every contig —
+    regression: the host/streaming fallback used to fetch only the first
+    contig when no chunk was given."""
+    from krisp_tpu.vcf.parser import VcfOffsetIndex
+    from krisp_tpu.vcf.report import report_diag_region
+    from krisp_tpu.vcf.classify import parse_group_data
+    from krisp_tpu.cli.krisp_vcf import parse_reference
+
+    meta, ref, vcf = synth_inputs(tmp_path)
+    groups = parse_group_data(meta, groups=["EU1", "NA1", "NA2"])
+    reference = parse_reference(ref)
+    idx = VcfOffsetIndex(vcf)
+    try:
+        by_engine = {}
+        for engine in ("host", "device"):
+            by_engine[engine] = [r["result"] for r in report_diag_region(
+                idx, None, groups, reference, False, engine=engine,
+                min_samples=3)
+                if r["result"] is not None]
+    finally:
+        idx.cleanup()
+    regions = ",".join(r["region_id"] for r in by_engine["host"])
+    assert "ctgA:" in regions and "ctgB:" in regions
+    # both engines yield the identical unchunked result stream
+    assert by_engine["device"] == by_engine["host"]
