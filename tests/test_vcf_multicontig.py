@@ -137,3 +137,26 @@ def test_unchunked_index_scan_covers_all_contigs(tmp_path):
     assert "ctgA:" in regions and "ctgB:" in regions
     # both engines yield the identical unchunked result stream
     assert by_engine["device"] == by_engine["host"]
+
+
+def test_multicontig_device_engine_cli_parity(tmp_path):
+    """--engine device on a multi-contig VCF: byte parity with the host
+    engine through the full CLI (the device prefilter scans per contig)."""
+    meta, ref, vcf = synth_inputs(tmp_path)
+
+    def run_engine(engine, tag):
+        csv = f"{tmp_path}/{tag}.csv"
+        proc = subprocess.run(
+            [sys.executable, "-m", "krisp_tpu.cli.krisp_vcf", meta, ref,
+             "--vcf", vcf, "--groups", "EU1", "NA1", "NA2",
+             "--engine", engine, "--out_csv", csv],
+            capture_output=True, text=True, timeout=600,
+            env={"PYTHONHASHSEED": "0", "PYTHONPATH": "/root/repo",
+                 "PATH": "/usr/bin:/bin", "COLUMNS": "80"})
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return open(csv).read()
+
+    host_csv = run_engine("host", "mc_host")
+    device_csv = run_engine("device", "mc_device")
+    assert device_csv == host_csv
+    assert "ctgA:" in device_csv and "ctgB:" in device_csv
