@@ -204,3 +204,55 @@ def test_pod_mesh_structure():
     mesh = pod_mesh()
     assert set(mesh.axis_names) == {"host", "chip"}
     assert mesh.devices.size == len(jax.devices())
+
+
+def _group_snapshot(groups):
+    return sorted((g.left, g.right,
+                   sorted((a.mid, tuple(sorted(a.label_counts.items())))
+                          for a in g.amplicons))
+                  for g in groups)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_sharded_equals_single_device(seed, tmp_path):
+    """Randomized geometry x genome fuzz: the sharded pipeline over 4
+    devices yields the identical FlankGroup set to the single-device fused
+    program (random flank/mid sizes, file counts, Ns, softmask policy,
+    planted shared regions)."""
+    from krisp_tpu.engine.pipeline import KmerGeometry, run_pipeline
+
+    rng = np.random.default_rng(1000 + seed)
+    left = int(rng.integers(3, 12))
+    mid = int(rng.integers(0, 4))
+    right = int(rng.integers(2, 10))
+    n_files = int(rng.integers(2, 5))
+    omit_soft = bool(rng.integers(0, 2))
+    geom = KmerGeometry(left, mid, right)
+    L = geom.total
+
+    size = int(rng.integers(3000, 6000))
+    # flanks shared by every genome; the diagnostic mid differs between
+    # ingroup and outgroup so the ingroup-unique-column gate keeps them
+    flanks = [("".join(rng.choice(list("ACGT"), size=left)),
+               "".join(rng.choice(list("ACGT"), size=right)))
+              for _ in range(4)]
+    paths = []
+    for f in range(n_files):
+        chars = rng.choice(list("ACGTNacgt"), size=size,
+                           p=[.22, .22, .22, .22, .04, .02, .02, .02, .02])
+        seq = list("".join(chars))
+        for i, (fl, fr) in enumerate(flanks):
+            pos = (i + 1) * size // (len(flanks) + 2)
+            mid_seq = ("A" if f < 2 else "C") * mid
+            seq[pos:pos + L] = fl + mid_seq + fr
+        path = tmp_path / f"g{seed}_{f}.fasta"
+        path.write_text(f">g{f}\n" + "".join(seq) + "\n")
+        paths.append(str(path))
+
+    ingroup, outgroup = paths[:2], paths[2:]
+    single = run_pipeline(ingroup, outgroup, geom, omit_soft=omit_soft,
+                          n_devices=1)
+    sharded = run_pipeline(ingroup, outgroup, geom, omit_soft=omit_soft,
+                           n_devices=4)
+    assert _group_snapshot(sharded) == _group_snapshot(single)
+    assert single, "fuzz case produced no groups (planted regions missing)"
