@@ -10,7 +10,16 @@
 //
 // Exposed via ctypes (layout must stay in sync with io/native_vcf.py):
 //   KVcf* kvcf_read(const char* path, int max_alleles)
+//   KVcf* kvcf_read_range(const char* path, int max_alleles,
+//                         int64_t start_off, int64_t end_off)
 //   void  kvcf_free(KVcf*)
+//
+// kvcf_read_range parses only records whose line starts in
+// [start_off, end_off) of the (decompressed) byte stream — the header is
+// always read from the top for sample names.  end_off < 0 means EOF.
+// Offsets come from krisp_tpu's VcfOffsetIndex (built over the plain
+// decompressed file), giving O(range) slice loads with memory bounded by
+// the slice instead of the file.
 
 #include <cstdint>
 #include <cstdlib>
@@ -89,7 +98,8 @@ static int32_t to_i32(const std::string& t) {
     return (int32_t)strtol(t.c_str(), nullptr, 10);
 }
 
-KVcf* kvcf_read(const char* path, int max_alleles) {
+KVcf* kvcf_read_range(const char* path, int max_alleles,
+                      int64_t start_off, int64_t end_off) {
     gzFile f = gzopen(path, "rb");
     if (!f) return nullptr;
     gzbuffer(f, 1 << 20);
@@ -101,7 +111,17 @@ KVcf* kvcf_read(const char* path, int max_alleles) {
     int n_samples = 0;
     bool header_done = false;
 
-    while (read_line(f, line)) {
+    while (true) {
+        if (header_done && start_off > 0) {
+            // jump to the first requested record line (offsets are in the
+            // decompressed stream; gzseek rewinds+inflates for .gz input)
+            if (gztell(f) < start_off &&
+                gzseek(f, (z_off_t)start_off, SEEK_SET) < 0) {
+                gzclose(f); delete impl; return nullptr;
+            }
+        }
+        if (header_done && end_off >= 0 && gztell(f) >= end_off) break;
+        if (!read_line(f, line)) break;
         if (line.empty()) continue;
         if (line[0] == '#') {
             if (line.rfind("#CHROM", 0) == 0) {
@@ -226,6 +246,10 @@ KVcf* kvcf_read(const char* path, int max_alleles) {
     p.gq = impl->gq.data();
     p.ad = impl->ad.data();
     return &p;
+}
+
+KVcf* kvcf_read(const char* path, int max_alleles) {
+    return kvcf_read_range(path, max_alleles, 0, -1);
 }
 
 void kvcf_free(KVcf* v) {

@@ -76,6 +76,9 @@ def get_lib():
             return None
         lib.kvcf_read.restype = ctypes.POINTER(_KVcf)
         lib.kvcf_read.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.kvcf_read_range.restype = ctypes.POINTER(_KVcf)
+        lib.kvcf_read_range.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                        ctypes.c_int64, ctypes.c_int64]
         lib.kvcf_free.argtypes = [ctypes.POINTER(_KVcf)]
         _lib = lib
         return lib
@@ -124,11 +127,16 @@ class ColumnarVcf:
         return self._alen
 
 
-def read_columnar(path, max_alleles=8):
+def read_columnar(path, max_alleles=8, start=0, end=-1):
+    """Columnar arrays for the records whose lines start in byte range
+    [start, end) of the (decompressed) stream; the default range is the
+    whole file.  Ranged loads bound memory by the slice — the device scan
+    loads one contig at a time (vcf/parser.columnar_slice)."""
     lib = get_lib()
     if lib is None:
         return None
-    ptr = lib.kvcf_read(str(path).encode(), max_alleles)
+    ptr = lib.kvcf_read_range(str(path).encode(), max_alleles,
+                              int(start), int(end))
     if not ptr:
         return None
     try:

@@ -233,6 +233,7 @@ class VcfOffsetIndex:
             self._owns_file = False
 
         self.samples: list[str] = []
+        self.max_alleles = 0      # REF + ALTs, global (for columnar shapes)
         by_contig: dict[str, list] = {}
         order: list[str] = []
         max_rlen: dict[str, int] = {}
@@ -250,9 +251,12 @@ class VcfOffsetIndex:
                     offset += ll
                     continue
                 if line.strip():
-                    chrom, pos, _vid, ref, _ = line.split(b"\t", 4)
+                    chrom, pos, _vid, ref, alt, _ = line.split(b"\t", 5)
                     chrom = chrom.decode()
                     p = int(pos)
+                    na = (1 if alt in (b".", b"") else alt.count(b",") + 2)
+                    if na > self.max_alleles:
+                        self.max_alleles = na
                     if chrom not in by_contig:
                         by_contig[chrom] = []
                         order.append(chrom)
@@ -267,6 +271,7 @@ class VcfOffsetIndex:
                     max_rlen[chrom] = max(max_rlen[chrom], len(ref))
                     max_end[chrom] = max(max_end[chrom], p - 1 + len(ref))
                 offset += ll
+            self._file_end = offset
         self._grouped = grouped
         self._contig_order = order
         self._pos = {}
@@ -339,25 +344,56 @@ class VcfOffsetIndex:
         pipeline.  Cached; returns None when the native library is
         unavailable or the file needs >32 alleles (the device kernel's
         bitmask width), in which case callers fall back to the streaming
-        host path."""
+        host path.  The allele width comes from the index pass (one parse,
+        minimal AD columns)."""
         cached = getattr(self, "_columnar", None)
         if cached is not None:
             return cached or None
         from ..io.native_vcf import read_columnar
 
-        col = read_columnar(self.path, 8)
-        if col is not None and col.n_records:
-            amax = int(col.n_alleles.max())
-            if amax > 32:
-                col = None
-            elif amax > 8:
-                col = read_columnar(self.path, amax)
+        col = (read_columnar(self.path, max(self.max_alleles, 1))
+               if self.max_alleles <= 32 else None)
         self._columnar = col if col is not None else False
+        return col
+
+    def _contig_range(self, contig):
+        """[start, end) byte range of a contig's record block, or None when
+        the contig's records are not contiguous in the file."""
+        if not self._grouped.get(contig, False):
+            return None
+        start = int(self._off[contig][0])
+        end = self._file_end
+        for c in self._contig_order:
+            o = int(self._off[c][0])
+            if start < o < end:
+                end = o
+        return start, end
+
+    def columnar_slice(self, contig):
+        """Columnar arrays for ONE contig via a ranged native parse —
+        memory bounded by the contig block, not the file (whole-genome
+        device scans).  The most recent slice is cached (scans walk chunks
+        grouped by contig); a contig whose records are interleaved with
+        other contigs falls back to the whole-file load (chunk_rows
+        filters by chrom_id either way)."""
+        if contig not in self._pos or self.max_alleles > 32:
+            return None
+        cached = getattr(self, "_slice_cache", None)
+        if cached is not None and cached[0] == contig:
+            return cached[1]
+        rng = self._contig_range(contig)
+        if rng is None:
+            return self.columnar()
+        from ..io.native_vcf import read_columnar
+        col = read_columnar(self.path, max(self.max_alleles, 1),
+                            start=rng[0], end=rng[1])
+        self._slice_cache = (contig, col)
         return col
 
     def __getstate__(self):
         state = self.__dict__.copy()
         state.pop("_columnar", None)  # workers re-parse natively (fast)
+        state.pop("_slice_cache", None)
         return state
 
     def cleanup(self):

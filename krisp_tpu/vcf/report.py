@@ -187,10 +187,13 @@ def resolve_engine(vcf_path, kwargs):
 
 def uses_device_fast_path(vcf_path, kwargs):
     """True when ``report_diag_region`` will take the array-native device
-    scan (columnar load + batched device classification) for this input.
-    Shared with the multicore driver so it never forks per-chunk workers
-    around a whole-file device scan."""
+    scan (per-contig columnar slices + batched device classification) for
+    this input.  Shared with the multicore driver so it never forks
+    per-chunk workers around an in-process device scan.  Cheap: consults
+    the index's allele width and the native library's availability, not a
+    file parse."""
     from .parser import VcfOffsetIndex
+    from ..io.native_vcf import get_lib
 
     if not isinstance(vcf_path, VcfOffsetIndex):
         return False
@@ -198,7 +201,10 @@ def uses_device_fast_path(vcf_path, kwargs):
         return False
     if kwargs.get("min_reads", 10) < 1:
         return False
-    return vcf_path.columnar() is not None
+    # device classification packs alleles into a 32-bit presence mask
+    if getattr(vcf_path, "max_alleles", 33) > 32:
+        return False
+    return get_lib() is not None
 
 
 def report_diag_region(vcf_path, chunk, groups, reference, want_alignment,
@@ -224,16 +230,18 @@ def report_diag_region(vcf_path, chunk, groups, reference, want_alignment,
         return
 
     if uses_device_fast_path(vcf_path, kwargs):
-        # array-native fast path: columnar load -> batched device
-        # classification -> vectorized window prefilter; identical typed-
-        # window stream to the host scan (tests/test_fastscan.py)
-        col = vcf_path.columnar()
-        from .fastscan import find_diag_region_fast, chunk_rows
-        regions = find_diag_region_fast(col, chunk_rows(col, chunk),
-                                        groups, reference, **kwargs)
-        yield from _drain_regions(regions, reference, groups,
-                                  want_alignment)
-        return
+        # array-native fast path: per-contig columnar slice -> batched
+        # device classification -> vectorized window prefilter; identical
+        # typed-window stream to the host scan (tests/test_fastscan.py).
+        # Slice loading bounds memory by the contig block, not the file.
+        col = vcf_path.columnar_slice(chunk["contig"])
+        if col is not None:
+            from .fastscan import find_diag_region_fast, chunk_rows
+            regions = find_diag_region_fast(col, chunk_rows(col, chunk),
+                                            groups, reference, **kwargs)
+            yield from _drain_regions(regions, reference, groups,
+                                      want_alignment)
+            return
 
     if isinstance(vcf_path, VcfOffsetIndex):
         # seek-based chunk access: O(chunk) per fetch, O(file) total across

@@ -34,3 +34,38 @@ def test_native_vcf_matches_python_parser():
         n_checked += 1
     assert n_checked == 500
     assert col.n_records == 10000
+
+
+def test_columnar_slice_matches_whole_file_rows(tmp_path):
+    """Per-contig ranged loads (memory bounded by the contig block) must
+    equal the corresponding rows of the whole-file columnar parse."""
+    import sys
+    import numpy as np
+    sys.path.insert(0, "/root/repo/tests")
+    from test_vcf_multicontig import synth_inputs
+    from krisp_tpu.vcf.parser import VcfOffsetIndex
+
+    _, _, vcf = synth_inputs(tmp_path)
+    idx = VcfOffsetIndex(vcf)
+    try:
+        assert idx.max_alleles == 2
+        full = idx.columnar()
+        if full is None:
+            pytest.skip("native VCF tokenizer unavailable")
+        assert full.ad.shape[2] == idx.max_alleles
+        row = 0
+        for contig, _ in idx.contigs:
+            sl = idx.columnar_slice(contig)
+            n = idx.n_records(contig)
+            assert sl.n_records == n
+            assert [sl.chroms[c] for c in sl.chrom_id] == [contig] * n
+            assert np.array_equal(sl.pos, full.pos[row:row + n])
+            assert np.array_equal(sl.dp, full.dp[row:row + n])
+            assert np.array_equal(sl.gq, full.gq[row:row + n])
+            assert np.array_equal(sl.ad, full.ad[row:row + n])
+            assert sl.alleles == full.alleles[row:row + n]
+            assert sl.samples == full.samples
+            row += n
+        assert row == full.n_records
+    finally:
+        idx.cleanup()
