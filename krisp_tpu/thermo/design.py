@@ -80,6 +80,26 @@ def enumerate_candidates(template: str, lo: int, hi: int, primer_size,
     out = []
     rc_region = _revcomp(region) if reverse else None
     win = np.lib.stride_tricks.sliding_window_view
+
+    # Shared ΔH/ΔS accumulators over ALL start positions, advanced one
+    # dimer per size step: after K steps acc[j] = dh[j] + dh[j+1] + ... +
+    # dh[j+K-1] added in exactly the candidate's 5'->3' dimer order, so a
+    # size-s window's sum is a single gather acc[ks] after s-1 steps —
+    # bit-identical to the per-size loop it replaces (pinned vs the scalar
+    # oracle in tests/test_thermo.py) at ~1/sizes the vector-op count.
+    acc_dh = np.zeros(n)
+    acc_ds = np.zeros(n)
+    src_dh, src_ds = (dh_rc, ds_rc) if reverse else (dh_plus, ds_plus)
+    acc_steps = 0
+
+    def _advance(to_steps):
+        nonlocal acc_steps
+        while acc_steps < to_steps:
+            k = acc_steps
+            acc_dh[:n - k] += src_dh[k:n]
+            acc_ds[:n - k] += src_ds[k:n]
+            acc_steps += 1
+
     for size in range(primer_size[0], min(primer_size[1], n) + 1):
         starts = np.arange(n - size + 1)
         keep = (acgt_bad[starts + size] - acgt_bad[starts]) == 0
@@ -108,23 +128,16 @@ def enumerate_candidates(template: str, lo: int, hi: int, primer_size,
         if not keep.any():
             continue
         ks = starts[keep]
-        # ΔH/ΔS window sums accumulated dimer-by-dimer in the candidate's
-        # own 5'->3' order — the same sequential float additions as the
-        # scalar loop, so Tm values are bit-identical (reduceat would use
-        # pairwise summation and drift by ulps)
-        dh = np.zeros(ks.size)
-        ds = np.zeros(ks.size)
+        _advance(size - 1)
         if reverse:
             b0 = n - ks - size
-            for k in range(size - 1):
-                dh = dh + dh_rc[b0 + k]
-                ds = ds + ds_rc[b0 + k]
+            dh = acc_dh[b0]
+            ds = acc_ds[b0]
             first_gc = is_gc[ks + size - 1]   # seq[0] = comp(plus last)
             last_gc = is_gc[ks]               # seq[-1] = comp(plus first)
         else:
-            for k in range(size - 1):
-                dh = dh + dh_plus[ks + k]
-                ds = ds + ds_plus[ks + k]
+            dh = acc_dh[ks]
+            ds = acc_ds[ks]
             first_gc = is_gc[ks]
             last_gc = is_gc[ks + size - 1]
         dh = dh + np.where(first_gc, nn.INIT_GC_DH, nn.INIT_AT_DH)

@@ -338,26 +338,30 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
     alleles_cache = col.alleles
     dcv_cache: dict[int, DeviceClassifiedVariant] = {}
 
+    def _dicts_for(i: int):
+        alleles = alleles_cache[int(rows[i])]
+        sample_counts = {g: int(sc[i, gi])
+                         for gi, g in enumerate(group_names)}
+        allele_counts = {
+            g: {alleles[ai]: int(c)
+                for ai, c in enumerate(ac[i, gi]) if c > 0}
+            for gi, g in enumerate(group_names)}
+        conserved = {g: (None if consv[i, gi] < 0
+                         else alleles[consv[i, gi]])
+                     for gi, g in enumerate(group_names)}
+        diagnostic = {g: (None if diag[i, gi] < 0
+                          else alleles[diag[i, gi]])
+                      for gi, g in enumerate(group_names)}
+        return sample_counts, allele_counts, conserved, diagnostic
+
     def dcv(i: int) -> DeviceClassifiedVariant:
         hit = dcv_cache.get(i)
         if hit is None:
-            var = _LazyVariant(col, int(rows[i]))
-            alleles = alleles_cache[int(rows[i])]
-            sample_counts = {g: int(sc[i, gi])
-                             for gi, g in enumerate(group_names)}
-            allele_counts = {
-                g: {alleles[ai]: int(c)
-                    for ai, c in enumerate(ac[i, gi]) if c > 0}
-                for gi, g in enumerate(group_names)}
-            conserved = {g: (None if consv[i, gi] < 0
-                             else alleles[consv[i, gi]])
-                         for gi, g in enumerate(group_names)}
-            diagnostic = {g: (None if diag[i, gi] < 0
-                              else alleles[diag[i, gi]])
-                          for gi, g in enumerate(group_names)}
-            hit = DeviceClassifiedVariant(var, groups, classify_kwargs,
-                                          sample_counts, allele_counts,
-                                          conserved, diagnostic)
+            # dict construction deferred: most context variants of a
+            # candidate window are never touched by the cascade tail
+            hit = DeviceClassifiedVariant(
+                _LazyVariant(col, int(rows[i])), groups, classify_kwargs,
+                builder=lambda i=i: _dicts_for(i))
             dcv_cache[i] = hit
         return hit
 
