@@ -146,6 +146,16 @@ def read_columnar(path, max_alleles=8, start=0, end=-1):
                    .decode().split("\0")[:-1] if c.sample_blob_len else [])
         chroms = (ctypes.string_at(c.chrom_blob, c.chrom_blob_len)
                   .decode().split("\0")[:-1] if c.chrom_blob_len else [])
+        if V == 0:
+            # empty range/file: the C++ vectors' data() may be NULL, which
+            # np.ctypeslib.as_array rejects even at length 0
+            return ColumnarVcf(samples, chroms,
+                               np.zeros(0, np.int32), np.zeros(0, np.int64),
+                               np.zeros(0), np.zeros(0),
+                               np.zeros(0, np.int32), [],
+                               np.zeros((0, S), np.int32),
+                               np.zeros((0, S), np.int32),
+                               np.zeros((0, S, A), np.int32))
         pos = np.ctypeslib.as_array(c.pos, (V,)).copy()
         qual = np.ctypeslib.as_array(c.qual, (V,)).copy()
         mq = np.ctypeslib.as_array(c.mq, (V,)).copy()

@@ -36,7 +36,8 @@ def enumerate_candidates(template: str, lo: int, hi: int, primer_size,
                          opt_size, opt_tm, reverse: bool):
     """All primers within template[lo:hi] passing the cheap filters —
     vectorized over every (position, length) with numpy; NN ΔH/ΔS window
-    sums use np.add.reduceat (sequential within each segment, so floats
+    sums come from shared accumulators advanced one dimer per size step
+    (each candidate's additions happen in its own 5'->3' order, so floats
     match the scalar oracle bit-for-bit; tests/test_thermo.py pins this).
 
     Returns a list of (penalty, start, length, seq, tm, gc) sorted by

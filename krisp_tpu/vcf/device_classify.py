@@ -52,9 +52,12 @@ class DeviceClassifiedVariant:
                     "diagnostic"):
             builder = object.__getattribute__(self, "_builder")
             if builder is not None:
-                self._builder = None
+                # clear only after success: a raising builder must propagate
+                # its own exception on every access, not decay to a bare
+                # AttributeError that getattr/hasattr consumers would swallow
                 (self.sample_counts, self.allele_counts, self.conserved,
                  self.diagnostic) = builder()
+                self._builder = None
                 return object.__getattribute__(self, name)
         raise AttributeError(name)
 

@@ -356,17 +356,44 @@ class VcfOffsetIndex:
         self._columnar = col if col is not None else False
         return col
 
+    def native_ok(self):
+        """Cached probe: can the native tokenizer parse THIS file (header
+        included, allele width within the device kernel's 32-bit mask)?
+        Parses only the first record's byte range — O(header + 1 record),
+        so the multicore driver can consult it without a full-file parse."""
+        cached = getattr(self, "_native_ok", None)
+        if cached is not None:
+            return cached
+        ok = False
+        if self._contig_order and self.max_alleles <= 32:
+            from ..io.native_vcf import read_columnar
+            c0 = self._contig_order[0]
+            start = int(self._off[c0][0])
+            probe = read_columnar(self.path, max(self.max_alleles, 1),
+                                  start=start, end=start + 1)
+            ok = probe is not None and probe.n_records == 1
+        self._native_ok = ok
+        return ok
+
     def _contig_range(self, contig):
         """[start, end) byte range of a contig's record block, or None when
-        the contig's records are not contiguous in the file."""
+        the contig's records are not contiguous in the file.  The block
+        ends at the first OTHER contig's record past the block's start
+        (``grouped`` guarantees this contig's own records are one run, but
+        an earlier-seen contig may resume after the run)."""
         if not self._grouped.get(contig, False):
             return None
+        import numpy as np
+
         start = int(self._off[contig][0])
         end = self._file_end
         for c in self._contig_order:
-            o = int(self._off[c][0])
-            if start < o < end:
-                end = o
+            if c == contig:
+                continue
+            off = self._off[c]
+            j = int(np.searchsorted(off, start, side="right"))
+            if j < off.shape[0]:
+                end = min(end, int(off[j]))
         return start, end
 
     def columnar_slice(self, contig):

@@ -201,10 +201,13 @@ def uses_device_fast_path(vcf_path, kwargs):
         return False
     if kwargs.get("min_reads", 10) < 1:
         return False
-    # device classification packs alleles into a 32-bit presence mask
-    if getattr(vcf_path, "max_alleles", 33) > 32:
+    if get_lib() is None:
         return False
-    return get_lib() is not None
+    # probe tokenizer + allele-width compatibility on this specific file
+    # (O(1 record)) — a True here must mean the device scan actually runs,
+    # or the multicore driver would give up its fork parallelism for a
+    # single-process host fallback
+    return vcf_path.native_ok()
 
 
 def report_diag_region(vcf_path, chunk, groups, reference, want_alignment,

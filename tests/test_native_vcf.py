@@ -69,3 +69,55 @@ def test_columnar_slice_matches_whole_file_rows(tmp_path):
         assert row == full.n_records
     finally:
         idx.cleanup()
+
+
+def test_ranged_read_empty_and_probe(tmp_path):
+    """A ranged parse yielding zero records returns an empty columnar (not
+    a crash on NULL vector data), and native_ok probes one record."""
+    import numpy as np
+    from krisp_tpu.vcf.parser import VcfOffsetIndex
+
+    if get_lib() is None:
+        pytest.skip("native VCF tokenizer unavailable")
+    idx = VcfOffsetIndex(VCF)
+    try:
+        assert idx.native_ok() and idx.native_ok()  # cached second call
+        huge = 1 << 40
+        col = read_columnar(idx.path, 8, start=huge, end=huge + 10)
+        assert col is not None and col.n_records == 0
+        assert col.ad.shape == (0, len(idx.samples), 8)
+    finally:
+        idx.cleanup()
+
+
+def test_contig_range_bounded_by_resuming_contig(tmp_path):
+    """A grouped contig followed by the RESUMPTION of an earlier contig
+    must not extend its byte range to EOF (B A B layout)."""
+    from krisp_tpu.vcf.parser import VcfOffsetIndex
+
+    vcf = tmp_path / "inter.vcf"
+    recs = ([("ctgB", p) for p in (10, 20)]
+            + [("ctgA", p) for p in (10, 20, 30)]
+            + [("ctgB", p) for p in (30, 40)])
+    lines = ["##fileformat=VCFv4.2",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1"]
+    for c, p in recs:
+        lines.append(f"{c}\t{p}\t.\tA\tG\t50\tPASS\tMQ=60\tGT:AD:DP:GQ"
+                     "\t0/0:9,0:9:99")
+    vcf.write_text("\n".join(lines) + "\n")
+    idx = VcfOffsetIndex(str(vcf))
+    try:
+        assert idx._grouped["ctgA"] and not idx._grouped["ctgB"]
+        start, end = idx._contig_range("ctgA")
+        assert start == int(idx._off["ctgA"][0])
+        # ends exactly where ctgB resumes, not at EOF
+        assert end == int(idx._off["ctgB"][2])
+        if get_lib() is not None:
+            sl = idx.columnar_slice("ctgA")
+            assert sl.n_records == 3
+            assert [sl.chroms[c] for c in sl.chrom_id] == ["ctgA"] * 3
+            # non-grouped contig falls back to the whole-file load
+            slb = idx.columnar_slice("ctgB")
+            assert slb.n_records == 7
+    finally:
+        idx.cleanup()
