@@ -198,6 +198,19 @@ def run_all(args):
         chunks = make_chunks(reference, contigs, chunk_size=100000,
                              flank_size=1000, contig_subset=args.chroms,
                              pos_subset=args.pos)
+        if search_args.get("engine") == "auto":
+            # resolve 'auto' against the records the scan will actually
+            # touch, not the whole file: a --pos/--chroms slice of a big
+            # VCF should not pay the device engine's compile latency
+            from ..vcf.report import AUTO_DEVICE_MIN_RECORDS
+            est = sum(vcf_index.n_records_in(c["contig"], c.get("start"),
+                                             c.get("end"))
+                      for c in chunks if c)
+            search_args["engine"] = ("device"
+                                     if est >= AUTO_DEVICE_MIN_RECORDS
+                                     else "host")
+            logger.info(f"Engine auto -> {search_args['engine']} "
+                        f"(~{est} records in scan range)")
 
     try:
         _scan_chunks(args, chunks, vcf_source, groups, reference,

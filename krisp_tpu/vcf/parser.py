@@ -295,6 +295,30 @@ class VcfOffsetIndex:
             return int(self._pos[contig].shape[0]) if contig in self._pos else 0
         return sum(int(p.shape[0]) for p in self._pos.values())
 
+    def n_records_in(self, contig, start=None, end=None):
+        """Approximate record count whose POS falls in the 0-based window
+        [start, end) — the engine auto-selector's estimate of how much a
+        chunked/--pos-restricted scan will actually touch (start-position
+        count; REF-length overlap is ignored)."""
+        import numpy as np
+
+        pos = self._pos.get(contig)
+        if pos is None:
+            return 0
+        if start is None and end is None:
+            return int(pos.shape[0])
+        cache = getattr(self, "_pos_sorted", None)
+        if cache is None:
+            cache = self._pos_sorted = {}
+        arr = cache.get(contig)
+        if arr is None:
+            arr = cache[contig] = np.sort(pos)
+        lo = 0 if start is None else int(np.searchsorted(arr, start + 1,
+                                                         "left"))
+        hi = (arr.shape[0] if end is None
+              else int(np.searchsorted(arr, end, "right")))
+        return max(hi - lo, 0)
+
     def fetch(self, contig, start=None, end=None):
         """Yield records overlapping [start, end) (pysam convention), via
         seek — no full-file re-scan."""

@@ -105,3 +105,30 @@ def test_gzip_temp_cleanup(tmp_path):
     assert [v.pos for v in idx.fetch("A", 0, 10)] == [1]
     idx.cleanup()
     assert not os.path.exists(tmp)
+
+
+def test_n_records_in_window_counts(tmp_path):
+    """Windowed record-count estimate (engine auto-selection input)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_vcf_multicontig import synth_inputs
+    from krisp_tpu.vcf.parser import VcfOffsetIndex
+
+    _, _, vcf = synth_inputs(tmp_path)
+    idx = VcfOffsetIndex(vcf)
+    try:
+        n = idx.n_records("ctgA")
+        assert idx.n_records_in("ctgA") == n
+        assert idx.n_records_in("ctgA", 0, 10**9) == n
+        assert idx.n_records_in("missing", 0, 100) == 0
+        # records are planted at POS 100,160,...: window [0,100) has none
+        # (POS 100 -> 0-based 99 is NOT < 100? it IS: 99 < 100)
+        assert idx.n_records_in("ctgA", 0, 100) == 1
+        assert idx.n_records_in("ctgA", 0, 99) == 0
+        assert idx.n_records_in("ctgA", 99, 160) == 2
+        # windows tile the contig -> counts add up
+        total = sum(idx.n_records_in("ctgA", s, s + 500)
+                    for s in range(0, 9000, 500))
+        assert total == n
+    finally:
+        idx.cleanup()
