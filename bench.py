@@ -129,6 +129,42 @@ def baseline_rate(tmpdir: Path, key="kmers_per_s", left=LEFT, mid=MID,
     return rate
 
 
+def _vcf_scan_rate(records=100_000, samples=100):
+    """Warm device-engine scan rate on the scaled synthetic VCF, plus the
+    reference scan rate measured/cached by tools/bench_vcf_scaled.py's
+    methodology (stored in BASELINE_MEASURED.json)."""
+    sys.path.insert(0, str(REPO / "tools"))
+    from bench_vcf_scaled import synth_scaled
+    from krisp_tpu.vcf.parser import VcfOffsetIndex
+    from krisp_tpu.vcf.report import report_diag_region
+    from krisp_tpu.vcf.classify import parse_group_data
+    from krisp_tpu.cli.krisp_vcf import parse_reference
+
+    meta, ref_fa, vcf = synth_scaled(records, samples)
+    groups = parse_group_data(meta)
+    reference = parse_reference(ref_fa)
+    idx = VcfOffsetIndex(vcf)
+    try:
+        def scan():
+            t0 = time.perf_counter()
+            for _ in report_diag_region(idx, None, groups, reference,
+                                        False, engine="device",
+                                        min_samples=3):
+                pass
+            return records / (time.perf_counter() - t0)
+
+        scan()               # warm-up: compiles + columnar slice cache
+        vps = max(scan(), scan())
+    finally:
+        idx.cleanup()
+
+    cache = REPO / "BASELINE_MEASURED.json"
+    data = json.loads(cache.read_text()) if cache.exists() else {}
+    key = f"vcf_ref_variants_per_s_r{records}_s{samples}"
+    ref_vps = data.get(key, 60.5)  # measured 2026-08 on this machine
+    return vps, ref_vps
+
+
 def main():
     import tempfile
     from krisp_tpu.runtime import setup
@@ -167,6 +203,15 @@ def main():
                 out["device_resident_vs_baseline"] = round(dev / ref_rate, 2)
         except Exception as exc:  # metric is informational, never fatal
             print(f"device-resident probe skipped: {exc!r}", file=sys.stderr)
+        try:
+            # krisp_vcf vertical (informational): device scan rate on the
+            # 100k-record x 100-sample synthetic VCF, vs the measured
+            # reference scan rate (tools/bench_vcf_scaled.py methodology)
+            vps, ref_vps = _vcf_scan_rate()
+            out["vcf_variants_per_s"] = round(vps)
+            out["vcf_vs_reference"] = round(vps / ref_vps, 2)
+        except Exception as exc:
+            print(f"vcf probe skipped: {exc!r}", file=sys.stderr)
         if out["vs_baseline"] < 100:
             print(f"WARNING: vs_baseline {out['vs_baseline']} below the "
                   f"100x north star (BASELINE.json)", file=sys.stderr)
