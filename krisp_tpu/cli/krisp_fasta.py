@@ -81,6 +81,10 @@ def _open_out(path, default):
     return open(path, "w"), True
 
 
+from ._pipe import pipe_safe
+
+
+@pipe_safe
 def main(argv=None):
     from ..runtime import setup as _setup_runtime
     _setup_runtime()

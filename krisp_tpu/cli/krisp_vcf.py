@@ -296,6 +296,10 @@ def _scan_chunks(args, chunks, vcf_source, groups, reference, group_names,
         logger.info("Total variants scanned: " + str(writer.total_variants()))
 
 
+from ._pipe import pipe_safe
+
+
+@pipe_safe
 def main(argv=None):
     args = parse_args(sys.argv[1:] if argv is None else argv)
     run_all(args)

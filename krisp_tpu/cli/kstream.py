@@ -9,6 +9,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from ._pipe import pipe_safe
+
 
 def parse_args(argv):
     parser = argparse.ArgumentParser(
@@ -57,6 +59,7 @@ def parse_args(argv):
     return parser.parse_args(argv)
 
 
+@pipe_safe
 def main(argv=None):
     from ..kstream import KStream
 

@@ -15,6 +15,8 @@ import sys
 from ..dna import revcomp
 from ..io.fasta import iter_fasta_records, simple_name
 
+from ._pipe import pipe_safe
+
 
 def find_all(haystack: str, needle: str):
     pos = haystack.find(needle)
@@ -42,6 +44,7 @@ def find_in_fasta(fasta_path, seq, padding=0):
             yield name, start + 1, end + 1, revcomp(sequence[start:end]).lower()
 
 
+@pipe_safe
 def grep_fasta_main(argv=None):
     p = argparse.ArgumentParser(
         prog="krisp_grep_fasta",
@@ -65,6 +68,7 @@ def _seq_to_dots(ref, seq):
     return "".join("." if r == s else s for r, s in zip(ref, seq))
 
 
+@pipe_safe
 def annotate_main(argv=None):
     p = argparse.ArgumentParser(
         prog="krisp_annotate",
