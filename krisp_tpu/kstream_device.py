@@ -126,13 +126,19 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
         n_unique = jnp.sum((cnt > 0).astype(jnp.int32))
         return packed, n_unique
 
+    import os
+    import time
+    timing = os.environ.get("KRISP_TPU_TIMING")
+    t0 = time.perf_counter()
     packed_d, n_unique_d = stage(padded)
-    n_unique = int(n_unique_d)
+    n_unique = int(n_unique_d)          # syncs the device program
+    t1 = time.perf_counter()
     cap = 1
     while cap < max(n_unique, 1):
         cap *= 2
     cap = min(cap, packed_d.shape[1])
     sub = np.asarray(packed_d[:, :cap])
+    t2 = time.perf_counter()
     words_h = sub[:-1]
     reps = sub[-1][:n_unique].astype(np.int64)
 
@@ -144,9 +150,17 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
         sh = np.uint32(32 - bit - bits)
         chars[:, i] = dna.DECODE2[(words_h[w][:n_unique] >> sh) & 3]
     chars[:, k] = ord("\n")
+    t3 = time.perf_counter()
 
     if (reps == 1).all():
         out_stream.write(chars.tobytes())
     else:
         out_stream.write(np.repeat(chars, reps, axis=0).tobytes())
+    if timing:
+        import sys as _sys
+        print(f"kstream-device: stage+sync {t1-t0:.3f}s  "
+              f"pull {t2-t1:.3f}s ({sub.nbytes/1e6:.1f} MB, "
+              f"cap {cap} of {n_unique} unique)  decode {t3-t2:.3f}s  "
+              f"expand+write {time.perf_counter()-t3:.3f}s",
+              file=_sys.stderr)
     return int(reps.sum())
