@@ -256,6 +256,29 @@ _INTERNAL_DS = -1000.0 * _INTERNAL_DG / _T37
 _BULGE_DS = -1000.0 * _BULGE_DG / _T37
 
 
+_KEYS_CACHE: dict = {}
+
+
+def _batch_keys(dkey, ikey, kkey, C, cell_count):
+    """Per-(layout, C) cached batched key vectors for _collect_runs: the
+    tiled diagonal/row/column keys depend only on the matrix layout and the
+    candidate count, and primer workloads reuse a handful of layouts
+    thousands of times."""
+    ck_key = (id(dkey), C, cell_count)
+    hit = _KEYS_CACHE.get(ck_key)
+    if hit is None:
+        ck = np.repeat(np.arange(C), cell_count)
+        span = int(dkey.max() - dkey.min()) + 1
+        dk = np.tile(dkey - dkey.min(), C) + ck * span
+        ik = np.tile(ikey, C)
+        kk = np.tile(kkey, C)
+        # dkey is pinned in the value so the id() key cannot be recycled
+        hit = (dkey, ck, dk, ik, kk)
+        if len(_KEYS_CACHE) < 4096:
+            _KEYS_CACHE[ck_key] = hit
+    return hit
+
+
 def _collect_runs(Mo, dho, dso, dkey, ikey, kkey, C, cell_count):
     """All maximal match-runs over C candidates' flattened matrices.
 
@@ -264,11 +287,7 @@ def _collect_runs(Mo, dho, dso, dkey, ikey, kkey, C, cell_count):
     or None when there are no matches."""
     if not Mo.any():
         return None
-    ck = np.repeat(np.arange(C), cell_count)
-    span = int(dkey.max() - dkey.min()) + 1
-    dk = np.tile(dkey - dkey.min(), C) + ck * span
-    ik = np.tile(ikey, C)
-    kk = np.tile(kkey, C)
+    _, ck, dk, ik, kk = _batch_keys(dkey, ikey, kkey, C, cell_count)
     prev = np.empty_like(Mo)
     prev[0] = False
     prev[1:] = Mo[:-1] & (dk[1:] == dk[:-1])
@@ -327,32 +346,37 @@ def _best_structures(runs, C, inner_desc, end_i=None, loops=True):
     zeros = (np.zeros(C), np.zeros(C))
     if runs is None:
         return zeros
-    nr = runs["dh"].shape[0]
-    # densify: top-R strongest (most negative dh) runs per candidate
-    order = np.lexsort((np.arange(nr), runs["dh"], runs["cand"]))
-    cc = runs["cand"][order]
-    rank = np.arange(nr) - np.searchsorted(cc, cc)  # rank within candidate
-    keepm = rank < _TOP_R
-    o = order[keepm]
-    cc = cc[keepm]
-    rk = rank[keepm]
+    dense = runs.get("_dense")  # ANY and END share one densify pass
+    if dense is None:
+        nr = runs["dh"].shape[0]
+        # densify: top-R strongest (most negative dh) runs per candidate
+        order = np.lexsort((np.arange(nr), runs["dh"], runs["cand"]))
+        cc = runs["cand"][order]
+        rank = np.arange(nr) - np.searchsorted(cc, cc)  # rank within cand
+        keepm = rank < _TOP_R
+        o = order[keepm]
+        cc = cc[keepm]
+        rk = rank[keepm]
+        R = _TOP_R
+        dh = np.zeros((C, R))
+        ds = np.zeros((C, R))
+        ln = np.zeros((C, R), np.int64)
+        i0 = np.zeros((C, R), np.int64)
+        i1 = np.zeros((C, R), np.int64)
+        k0 = np.zeros((C, R), np.int64)
+        k1 = np.zeros((C, R), np.int64)
+        valid = np.zeros((C, R), bool)
+        dh[cc, rk] = runs["dh"][o]
+        ds[cc, rk] = runs["ds"][o]
+        ln[cc, rk] = runs["len"][o]
+        i0[cc, rk] = runs["i0"][o]
+        i1[cc, rk] = runs["i1"][o]
+        k0[cc, rk] = runs["k0"][o]
+        k1[cc, rk] = runs["k1"][o]
+        valid[cc, rk] = True
+        runs["_dense"] = dense = (dh, ds, ln, i0, i1, k0, k1, valid)
+    dh, ds, ln, i0, i1, k0, k1, valid = dense
     R = _TOP_R
-    dh = np.zeros((C, R))
-    ds = np.zeros((C, R))
-    ln = np.zeros((C, R), np.int64)
-    i0 = np.zeros((C, R), np.int64)
-    i1 = np.zeros((C, R), np.int64)
-    k0 = np.zeros((C, R), np.int64)
-    k1 = np.zeros((C, R), np.int64)
-    valid = np.zeros((C, R), bool)
-    dh[cc, rk] = runs["dh"][o]
-    ds[cc, rk] = runs["ds"][o]
-    ln[cc, rk] = runs["len"][o]
-    i0[cc, rk] = runs["i0"][o]
-    i1[cc, rk] = runs["i1"][o]
-    k0[cc, rk] = runs["k0"][o]
-    k1[cc, rk] = runs["k1"][o]
-    valid[cc, rk] = True
 
     if end_i is not None:
         end_i = np.broadcast_to(np.asarray(end_i), (C,))
