@@ -90,6 +90,17 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
     layout = KeyLayout(k, 0, 0, bits, 1)
     mode = plan.mode
 
+    # Count embedding: valid keys occupy the top 2k bits of the word row,
+    # so the last word keeps ``spare`` zero low bits.  Small multiplicities
+    # ride there for free, shrinking the device->host pull (the measured
+    # bottleneck of this path, BASELINE.md) from W+1 to W u32 rows per
+    # unique k-mer.  The all-ones value is an overflow marker: those rows'
+    # exact counts come from a second (rare) pull of the count row.
+    n_words = (2 * k + 31) // 32
+    spare = 32 * n_words - 2 * k
+    embed = spare >= 2
+    emb_max = jnp.uint32((1 << spare) - 1) if embed else None
+
     @jax.jit
     def stage(buffer):
         ok, words = window_keys_bits(buffer, code_table, valid_table,
@@ -119,28 +130,46 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
         # sort sweeps them to the tail (heads keep their relative order:
         # they are already strictly increasing), so the unique table is a
         # PREFIX and the host pulls cap rows of packed words instead of
-        # the full window count of decoded text — the device->host pull is
-        # the measured bottleneck of this path (BASELINE.md)
+        # the full window count of decoded text
         words_c, (cnt_c,) = lsd_sort(words_out, [cnt])
-        packed = jnp.concatenate([jnp.stack(words_c), cnt_c[None]], axis=0)
         n_unique = jnp.sum((cnt > 0).astype(jnp.int32))
-        return packed, n_unique
+        if embed:
+            cnt_u = cnt_c.astype(jnp.uint32)
+            last = words_c[-1] | jnp.minimum(cnt_u, emb_max)
+            packed = jnp.stack(list(words_c[:-1]) + [last])
+            n_over = jnp.sum(((cnt_u >= emb_max) & (cnt_u > 0))
+                             .astype(jnp.int32))
+        else:
+            packed = jnp.concatenate([jnp.stack(words_c), cnt_c[None]],
+                                     axis=0)
+            n_over = jnp.int32(0)
+        stats = jnp.stack([n_unique, n_over])
+        return packed, cnt_c, stats
 
     import os
     import time
     timing = os.environ.get("KRISP_TPU_TIMING")
     t0 = time.perf_counter()
-    packed_d, n_unique_d = stage(padded)
-    n_unique = int(n_unique_d)          # syncs the device program
+    packed_d, cnt_d, stats_d = stage(padded)
+    stats = np.asarray(stats_d)         # one tiny pull syncs the program
+    n_unique, n_over = int(stats[0]), int(stats[1])
     t1 = time.perf_counter()
     cap = 1
     while cap < max(n_unique, 1):
         cap *= 2
     cap = min(cap, packed_d.shape[1])
     sub = np.asarray(packed_d[:, :cap])
-    t2 = time.perf_counter()
-    words_h = sub[:-1]
-    reps = sub[-1][:n_unique].astype(np.int64)
+    if embed:
+        words_h = sub
+        mask = np.uint32((1 << spare) - 1)
+        reps = (sub[-1][:n_unique] & mask).astype(np.int64)
+        if n_over:
+            # rare: some count saturated the spare bits; pull exact counts
+            exact = np.asarray(cnt_d[:cap])[:n_unique].astype(np.int64)
+            reps = np.where(reps == int(mask), exact, reps)
+    else:
+        words_h = sub[:-1]
+        reps = sub[-1][:n_unique].astype(np.int64)
 
     # host text decode at unique-table scale (vectorized per column)
     off_flank, _ = layout.base_offsets()

@@ -139,6 +139,48 @@ def test_device_fast_path_matches_reference(flags, tmp_path):
     assert out.read_text().splitlines() == want
 
 
+@pytest.mark.parametrize("k,body", [
+    # k=15: 2 spare bits in the single key word -> embedded counts with
+    # the all-ones overflow marker exercised (one 15-mer repeated 5x)
+    (15, ("ACGTACGTACGTACG" + "N") * 5 + "\nGGGTTTACACGTNAAACCCGGGTTTAC\n"),
+    # k=16: zero spare bits -> the legacy words+count row layout
+    (16, "ACGTACGTACGTACGTTTGGGTTTACACGTNA\nacgtACGTacgtACGTAC\n"),
+])
+def test_device_path_count_layouts(k, body, tmp_path):
+    """Byte parity across the embedded-count and legacy pull layouts."""
+    fasta = tmp_path / "in.fa"
+    fasta.write_text(f">a\n{body}\n")
+    flags = ["--kmers", str(k), "--disallow", "Nn", "--sort"]
+    out = tmp_path / "ours.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "krisp_tpu.cli.kstream", str(fasta), *flags,
+         "--output", str(out)],
+        capture_output=True, text=True,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 0, proc.stderr
+    want = run_reference(flags, fasta.read_text())
+    assert out.read_text().splitlines() == want
+
+
+def test_device_overflow_marker_counts(tmp_path):
+    """A 15-mer repeated past the 2-bit embed capacity round-trips its
+    exact multiplicity through the overflow side channel."""
+    import io
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from krisp_tpu.kstream_device import device_plan, run_device_kstream
+    reps = 7  # > emb_max (3) for k=15
+    fasta = tmp_path / "in.fa"
+    fasta.write_text(">a\n" + ("ACGTACGTACGTACG" + "N") * reps + "\n")
+    plan = device_plan(kmers=15, disallow="Nn", sort=True)
+    buf = io.BytesIO()
+    n = run_device_kstream(str(fasta), plan, buf)
+    lines = buf.getvalue().decode().splitlines()
+    assert n == reps
+    assert lines == ["ACGTACGTACGTACG"] * reps
+
+
 def test_device_path_falls_back_on_iupac(tmp_path):
     fasta = tmp_path / "in.fa"
     fasta.write_text(">a\nACGTRACGGTTACA\n")  # R forces the host path
