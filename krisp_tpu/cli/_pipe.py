@@ -20,12 +20,18 @@ def pipe_safe(fn):
         try:
             return fn(*args, **kwargs)
         except BrokenPipeError:
-            # Point stdout at devnull so the interpreter's exit-time flush
-            # of the dead pipe cannot raise a second time.
+            # If stdout itself is the dead pipe, point it at devnull so the
+            # interpreter's exit-time flush cannot raise a second time.
+            # (When stdout is healthy — e.g. the error came from elsewhere —
+            # leave it alone.)
             try:
-                os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
-            except OSError:
-                pass
+                sys.stdout.flush()
+            except (BrokenPipeError, OSError, ValueError):
+                try:
+                    os.dup2(os.open(os.devnull, os.O_WRONLY),
+                            sys.stdout.fileno())
+                except (OSError, ValueError):
+                    pass
             return 0
 
     return wrapper
