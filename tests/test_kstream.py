@@ -163,6 +163,53 @@ def test_device_path_count_layouts(k, body, tmp_path):
     assert out.read_text().splitlines() == want
 
 
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_device_path_vs_reference(seed, tmp_path):
+    """Randomized FASTA + random eligible flag set, byte parity against
+    the live reference through the device fast path.  Random k sweeps the
+    word-count/spare-bit space of the embedded-count pull layout."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(2, 40))
+    mode = rng.choice(["plain", "complements", "canonicals"])
+    soft = rng.choice(["none", "omit", "map"])
+    n_rec = int(rng.integers(1, 4))
+    body = []
+    for r in range(n_rec):
+        n = int(rng.integers(k, 400))
+        # ACGT-heavy with N runs and lowercase patches
+        s = rng.choice(list("ACGT"), size=n, p=[.3, .3, .2, .2])
+        for _ in range(int(rng.integers(0, 3))):
+            p = int(rng.integers(0, n))
+            s[p:p + int(rng.integers(1, 5))] = "N"
+        if soft != "none":
+            p = int(rng.integers(0, n))
+            q = p + int(rng.integers(1, 30))
+            s[p:q] = [c.lower() for c in s[p:q]]
+        body.append(f">r{r}\n" + "".join(s))
+    fasta = tmp_path / "in.fa"
+    fasta.write_text("\n".join(body) + "\n")
+    flags = ["--kmers", str(k), "--disallow", "Nn", "--sort"]
+    if mode == "complements":
+        flags.append("--complements")
+    elif mode == "canonicals":
+        flags.append("--canonicals")
+    if soft == "omit":
+        flags.append("--omit-softmask")
+    elif soft == "map":
+        flags.append("--map-softmask")
+    out = tmp_path / "ours.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "krisp_tpu.cli.kstream", str(fasta), *flags,
+         "--output", str(out)],
+        capture_output=True, text=True,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 0, proc.stderr
+    want = run_reference(flags, fasta.read_text())
+    assert out.read_text().splitlines() == want
+
+
 def test_device_overflow_marker_counts(tmp_path):
     """A 15-mer repeated past the 2-bit embed capacity round-trips its
     exact multiplicity through the overflow side channel."""
