@@ -165,10 +165,39 @@ def _vcf_scan_rate(records=100_000, samples=100):
     return vps, ref_vps
 
 
+def _device_watchdog(timeout_s: float):
+    """Fail loudly instead of hanging forever when the TPU tunnel is down.
+
+    PJRT client creation through the axon relay blocks indefinitely during
+    tunnel outages (observed >1h on this box).  A worker thread touches
+    jax.devices(); if it has not come back within ``timeout_s``, print a
+    diagnostic JSON line (so the bench driver records a cause, not a
+    timeout) and exit."""
+    import threading
+
+    ready = threading.Event()
+
+    def probe():
+        import jax
+        jax.devices()
+        ready.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ready.wait(timeout_s):
+        print(json.dumps({
+            "metric": "kmers_per_s_sort_intersect", "value": 0,
+            "unit": "kmers/s", "vs_baseline": 0.0,
+            "error": f"TPU backend init exceeded {timeout_s:.0f}s "
+                     "(axon tunnel down?)"}))
+        sys.stdout.flush()
+        os._exit(2)
+
+
 def main():
     import tempfile
     from krisp_tpu.runtime import setup
     setup()
+    _device_watchdog(float(os.environ.get("KRISP_BENCH_INIT_TIMEOUT", 900)))
     with tempfile.TemporaryDirectory() as td:
         tmpdir = Path(td)
         ref_rate = baseline_rate(tmpdir)
