@@ -30,3 +30,6 @@ def test_bench_meets_100x_floor():
     out = json.loads(line)
     assert out["vs_baseline"] >= 100, out
     assert out["amplicon_mode_vs_baseline"] >= 100, out
+    if "vcf_vs_reference" in out:  # informational probe, but when it
+        # runs it must clear the VERDICT r1 "Done" bar for the vertical
+        assert out["vcf_vs_reference"] >= 10, out
