@@ -245,21 +245,27 @@ def design_primers(template, target_start, target_len, tm=(53, 68),
     best = None
     CHUNK = 8
 
-    def _extend(cands, done, ok_list):
-        chunk = cands[done:done + CHUNK]
-        for c, th in zip(chunk, nn.batch_self_screens([c[3] for c in chunk])):
+    def _extend_both():
+        # one fused screen batch per round: left and right chunks share a
+        # single numpy pass (results are per-sequence, so batching is
+        # output-invariant — pinned by tests/test_thermo.py)
+        nonlocal l_done, r_done
+        lchunk = short_l[l_done:l_done + CHUNK]
+        rchunk = short_r[r_done:r_done + CHUNK]
+        ths = nn.batch_self_screens([c[3] for c in lchunk]
+                                    + [c[3] for c in rchunk])
+        for c, th in zip(lchunk, ths[:len(lchunk)]):
             if max(th) <= max_sec_tm:
-                ok_list.append((c, th))
-        return done + len(chunk)
+                lefts_ok.append((c, th))
+        for c, th in zip(rchunk, ths[len(lchunk):]):
+            if max(th) <= max_sec_tm:
+                rights_ok.append((c, th))
+        l_done += len(lchunk)
+        r_done += len(rchunk)
+        return bool(lchunk) or bool(rchunk)
 
     while True:
-        progressed = False
-        if l_done < len(short_l):
-            l_done = _extend(short_l, l_done, lefts_ok)
-            progressed = True
-        if r_done < len(short_r):
-            r_done = _extend(short_r, r_done, rights_ok)
-            progressed = True
+        progressed = _extend_both()
         for lc, lth in lefts_ok:
             for rc, rth in rights_ok:
                 l_pen, l_start, l_size = lc[0], lc[1], lc[2]
