@@ -210,6 +210,20 @@ def test_fuzz_device_path_vs_reference(seed, tmp_path):
     assert out.read_text().splitlines() == want
 
 
+def test_device_path_no_valid_windows(tmp_path):
+    """Records shorter than k produce an empty (not crashing) stream."""
+    import io
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from krisp_tpu.kstream_device import device_plan, run_device_kstream
+    fasta = tmp_path / "in.fa"
+    fasta.write_text(">a\nACG\n")
+    plan = device_plan(kmers=9, disallow="Nn", sort=True)
+    buf = io.BytesIO()
+    assert run_device_kstream(str(fasta), plan, buf) == 0
+    assert buf.getvalue() == b""
+
+
 def test_device_overflow_marker_counts(tmp_path):
     """A 15-mer repeated past the 2-bit embed capacity round-trips its
     exact multiplicity through the overflow side channel."""
