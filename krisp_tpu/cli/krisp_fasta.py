@@ -12,6 +12,8 @@ import gzip
 import sys
 import time
 
+from ._pipe import pipe_safe
+
 
 def parse_args(argv):
     parser = argparse.ArgumentParser(
@@ -79,9 +81,6 @@ def _open_out(path, default):
     if path.endswith(".gz"):
         return gzip.open(path, "wt"), True
     return open(path, "w"), True
-
-
-from ._pipe import pipe_safe
 
 
 @pipe_safe

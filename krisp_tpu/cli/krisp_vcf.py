@@ -17,6 +17,8 @@ import queue as queue_mod
 import sys
 from contextlib import contextmanager
 
+from ._pipe import pipe_safe
+
 logger = logging.getLogger("krisp_tpu.krisp_vcf")
 
 
@@ -295,8 +297,6 @@ def _scan_chunks(args, chunks, vcf_source, groups, reference, group_names,
             writer.finish()
         logger.info("Total variants scanned: " + str(writer.total_variants()))
 
-
-from ._pipe import pipe_safe
 
 
 @pipe_safe
