@@ -63,6 +63,12 @@ def parse_args(argv):
     p.add_argument("--gc_clamp", type=int, default=1, metavar="INT")
     p.add_argument("--max_end_gc", type=int, default=4, metavar="INT")
     p.add_argument("--force", action="store_true", default=False)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="Continue an interrupted scan from its last "
+                        "completed chunk (requires --out_csv; progress is "
+                        "tracked in <out_csv>.progress). The finished "
+                        "outputs are byte-identical to an uninterrupted "
+                        "run.")
     p.add_argument("--engine", type=str, choices=["auto", "host", "device"],
                    default="auto",
                    help="Variant classification engine: exact host path or "
@@ -117,8 +123,8 @@ def parse_reference(path):
 
 
 @contextmanager
-def stream_writer(file_path=None, default_stream=sys.stdout):
-    handle = default_stream if file_path is None else open(file_path, "w")
+def stream_writer(file_path=None, default_stream=sys.stdout, mode="w"):
+    handle = default_stream if file_path is None else open(file_path, mode)
     try:
         yield handle
     finally:
@@ -227,7 +233,19 @@ def _scan_chunks(args, chunks, vcf_source, groups, reference, group_names,
     from ..vcf.report import (ResultWriter, report_diag_region,
                               uses_device_fast_path)
 
-    multicore = args.vcf != "-" and args.cores > 1
+    resume = getattr(args, "resume", False)
+    if resume and not args.out_csv:
+        raise SystemExit("--resume requires --out_csv (stdout cannot be "
+                         "truncated back to a chunk boundary)")
+
+    multicore = args.vcf != "-" and args.cores > 1 and not resume
+    if resume and args.cores > 1:
+        # the worker pool writes results in arrival order, which has no
+        # stable chunk boundaries to checkpoint; resumable scans run the
+        # in-process loop (long scans use the device engine, which is
+        # in-process anyway)
+        logger.info("--resume: scanning in-process "
+                    "(--cores applies to non-resumable runs)")
     if multicore and uses_device_fast_path(vcf_source, search_args):
         # The device engine scans the whole file in one process (columnar
         # parse + compiled programs are cached per process); forking a spawn
@@ -286,15 +304,35 @@ def _scan_chunks(args, chunks, vcf_source, groups, reference, group_names,
             writer.finish()
         logger.info("Total variants scanned: " + str(writer.total_variants()))
     else:
-        with stream_writer(args.out_csv, sys.stdout) as out_stream:
+        progress = None
+        csv_mode, align_mode = "w", "w"
+        if resume:
+            from ..vcf.resume import ScanProgress
+            progress = ScanProgress(args.out_csv, args, chunks)
+            if progress.load():
+                progress.truncate_outputs(args.out_csv, args.out_align)
+                csv_mode = align_mode = "a"
+                logger.info(f"Resuming at chunk {progress.next_chunk}/"
+                            f"{progress.n_chunks}")
+        with stream_writer(args.out_csv, sys.stdout,
+                           mode=csv_mode) as out_stream:
             writer = ResultWriter(out_stream, group_names,
-                                  align_path=args.out_align)
-            for chunk in chunks:
+                                  align_path=args.out_align,
+                                  align_mode=align_mode)
+            if progress is not None:
+                progress.restore_writer(writer)
+            for ci, chunk in enumerate(chunks):
+                if progress is not None and ci < progress.next_chunk:
+                    continue
                 for result in report_diag_region(vcf_source, chunk, groups,
                                                  reference, want_alignment,
                                                  **search_args):
                     writer.write(result)
+                if progress is not None:
+                    progress.mark_done(ci, writer)
             writer.finish()
+        if progress is not None:
+            progress.finish()
         logger.info("Total variants scanned: " + str(writer.total_variants()))
 
 

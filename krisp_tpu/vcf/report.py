@@ -102,7 +102,8 @@ class ResultWriter:
     """Single-writer CSV/alignment/status aggregation
     (krisp_vcf.py:1217-1271)."""
 
-    def __init__(self, output_stream, groups, align_path=None):
+    def __init__(self, output_stream, groups, align_path=None,
+                 align_mode="w"):
         self.result_header_printed = False
         self.stat_header_printed = False
         self.output_stream = output_stream
@@ -111,7 +112,7 @@ class ResultWriter:
         self.groups = list(groups)
         self.group_counts = {g: 0 for g in self.groups}
         self.align_path = align_path
-        self.out_align = open(align_path, "w") if align_path else None
+        self.out_align = open(align_path, align_mode) if align_path else None
 
     def print_result(self, result):
         if not self.result_header_printed:
