@@ -20,13 +20,15 @@ class _Boom(RuntimeError):
     pass
 
 
-def test_resume_after_midchunk_crash(tmp_path, monkeypatch):
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_resume_after_midchunk_crash(tmp_path, monkeypatch, engine):
     meta, ref, vcf = synth_inputs(tmp_path)
+    eng = ["--engine", engine]
 
     # uninterrupted run -> golden bytes
     full_csv = str(tmp_path / "full.csv")
     full_align = str(tmp_path / "full.align")
-    run_all(_args(meta, ref, vcf, full_csv, full_align))
+    run_all(_args(meta, ref, vcf, full_csv, full_align, eng))
     want_csv = open(full_csv).read()
     want_align = open(full_align).read()
     assert want_csv  # sanity: the synthetic input produces results
@@ -50,7 +52,8 @@ def test_resume_after_midchunk_crash(tmp_path, monkeypatch):
 
     monkeypatch.setattr(report_mod, "report_diag_region", flaky)
     with pytest.raises(_Boom):
-        run_all(_args(meta, ref, vcf, out_csv, out_align, ["--resume"]))
+        run_all(_args(meta, ref, vcf, out_csv, out_align,
+                      ["--resume", *eng]))
     assert calls["n"] == 2  # the crash happened in the second chunk
     monkeypatch.setattr(report_mod, "report_diag_region", real_scan)
 
@@ -58,7 +61,8 @@ def test_resume_after_midchunk_crash(tmp_path, monkeypatch):
     assert progress.exists()
 
     # resume -> must converge to the uninterrupted bytes and clean up
-    run_all(_args(meta, ref, vcf, out_csv, out_align, ["--resume"]))
+    run_all(_args(meta, ref, vcf, out_csv, out_align,
+                  ["--resume", *eng]))
     assert open(out_csv).read() == want_csv
     assert open(out_align).read() == want_align
     assert not progress.exists()
