@@ -383,7 +383,8 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
                                for i in range(e + 1, min(e + flank, Vr))),
                 downstream=deque(dcv(i)
                                  for i in range(j - 1,
-                                                max(j - flank, 0) - 1, -1)))
+                                                max(j - flank, 0) - 1, -1))
+            ).freeze()  # deques built fresh per candidate, never mutated
             yield cascade_tail(window, groups, reference,
                                crrna_len=crrna_len,
                                var_location=var_location,

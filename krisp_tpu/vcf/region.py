@@ -91,14 +91,54 @@ class VariantWindow:
 
     # -- sequence inference (parity: krisp_vcf.py:359-443) ------------------
 
+    def freeze(self):
+        """Mark this window's deques as immutable-after-construction,
+        enabling cached position arrays in ``sequence()``.
+
+        Only for windows whose upstream/downstream deques are NOT the
+        live sliding-window state: ``sliding_window`` yields windows that
+        share its mutating deques (reference semantics — a later
+        ``sequence()`` call sees the moved window), so those must never
+        freeze.  The vectorized prefilter (fastscan.py) builds each
+        candidate window fresh and never mutates it."""
+        self._frozen = True
+        return self
+
+    def _frozen_arrays(self):
+        cache = getattr(self, "_frozen", None)
+        if cache is None or cache is False:
+            return None
+        if cache is True:
+            import numpy as np
+            all_vars = (list(self.downstream) + list(self.variants)
+                        + list(self.upstream))
+            n = len(all_vars)
+            starts = np.fromiter((v.variant.pos for v in all_vars),
+                                 np.int64, n) - 1
+            ends = starts + np.fromiter((v.variant.rlen for v in all_vars),
+                                        np.int64, n) - 1
+            self._frozen = cache = (all_vars, starts, ends)
+        return cache
+
     def sequence(self, reference, start, end, group=None, annotate=False):
         """Infer the group consensus over reference coords [start, end]
         (0-based inclusive), applying variants in reverse sorted order."""
-        all_vars = list(self.downstream) + list(self.variants) + list(self.upstream)
-        v_starts = [v.variant.pos - 1 for v in all_vars]
-        v_ends = [v.variant.pos + v.variant.rlen - 2 for v in all_vars]
-        in_range = [v for v, vs, ve in zip(all_vars, v_starts, v_ends)
-                    if start <= ve <= end or start <= vs <= end]
+        frozen = self._frozen_arrays()
+        if frozen is not None:
+            # identical selection predicate, vectorized over the cached
+            # position arrays (the cascade tail calls sequence() several
+            # times per candidate window with the same variant set)
+            all_vars, starts_a, ends_a = frozen
+            mask = (((start <= ends_a) & (ends_a <= end))
+                    | ((start <= starts_a) & (starts_a <= end)))
+            in_range = [all_vars[i] for i in mask.nonzero()[0]]
+        else:
+            all_vars = (list(self.downstream) + list(self.variants)
+                        + list(self.upstream))
+            v_starts = [v.variant.pos - 1 for v in all_vars]
+            v_ends = [v.variant.pos + v.variant.rlen - 2 for v in all_vars]
+            in_range = [v for v, vs, ve in zip(all_vars, v_starts, v_ends)
+                        if start <= ve <= end or start <= vs <= end]
 
         if len({v.variant.chrom for v in in_range}) > 1:
             raise ValueError("Variants cannot span multiple chromosomes")
@@ -218,13 +258,19 @@ class DiagnosticRegion(VariantWindow):
     @staticmethod
     def from_window(region, p3, crrna_seq, downstream_seq, upstream_seq,
                     temp_range, crrna_range, min_bases):
-        return DiagnosticRegion(
+        out = DiagnosticRegion(
             variants=region.variants, group=region.group,
             reference=region.reference, upstream=region.upstream,
             downstream=region.downstream, p3=p3, crrna_seq=crrna_seq,
             downstream_seq=downstream_seq, upstream_seq=upstream_seq,
             temp_range=temp_range, crrna_range=crrna_range,
             min_bases=min_bases)
+        if getattr(region, "_frozen", None):
+            # frozen (prefilter-built) windows share immutable deques;
+            # live sliding windows must stay unfrozen (shared mutating
+            # deques are the reference's own semantics)
+            out.freeze()
+        return out
 
     def left_range(self):
         start = self.ref_pos_from_group_offset(
