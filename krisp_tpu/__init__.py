@@ -7,4 +7,4 @@ on-device sort, segment-reduction intersection, vectorized variant
 classification, and a self-contained thermodynamic primer-design engine.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
