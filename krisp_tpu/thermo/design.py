@@ -279,8 +279,8 @@ def design_primers(template, target_start, target_len, tm=(53, 68),
                 key = (l_start, l_size, r_start, r_size)
                 th2 = compl_memo.get(key)
                 if th2 is None:
-                    th2 = (nn.pair_any_th(lc[3], rc[3]),
-                           nn.pair_end_th(lc[3], rc[3]))
+                    # one pass computes both ANY and END
+                    th2 = nn.pair_screens(lc[3], rc[3])
                     compl_memo[key] = th2
                 compl_any, compl_end = th2
                 if compl_any > max_sec_tm or compl_end > max_sec_tm:
