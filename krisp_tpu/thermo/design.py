@@ -204,14 +204,6 @@ def _max_poly_x(seq: str) -> int:
     return best
 
 
-def _passes_structure(seq: str, max_sec_tm: float):
-    sa = nn.self_any_th(seq)
-    se = nn.self_end_th(seq)
-    hp = nn.hairpin_th(seq)
-    ok = sa <= max_sec_tm and se <= max_sec_tm and hp <= max_sec_tm
-    return ok, (sa, se, hp)
-
-
 def design_primers(template, target_start, target_len, tm=(53, 68),
                    gc=(40, 70), amp_size=(80, 300), primer_size=(25, 35),
                    max_sec_tm=40, gc_clamp=1, max_end_gc=4,
