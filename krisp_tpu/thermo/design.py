@@ -33,7 +33,7 @@ def _revcomp(seq: str) -> str:
 
 def enumerate_candidates(template: str, lo: int, hi: int, primer_size,
                          tm_range, gc_range, gc_clamp, max_end_gc,
-                         opt_size, opt_tm, reverse: bool):
+                         opt_size, opt_tm, reverse: bool, limit=None):
     """All primers within template[lo:hi] passing the cheap filters —
     vectorized over every (position, length) with numpy; NN ΔH/ΔS window
     sums come from shared accumulators advanced one dimer per size step
@@ -150,14 +150,31 @@ def enumerate_candidates(template: str, lo: int, hi: int, primer_size,
         tok = (tm_val >= tm_range[0]) & (tm_val <= tm_range[1])
         pen = np.abs(tm_val - opt_tm) + abs(size - opt_size)
         gcv = gc_val[keep]
-        for idx in np.nonzero(tok)[0]:
-            s = int(ks[idx])
-            seq = (rc_region[n - s - size:n - s] if reverse
-                   else region[s:s + size])
-            out.append((float(pen[idx]), lo + s, size, seq,
-                        float(tm_val[idx]), float(gcv[idx])))
-    out.sort(key=lambda c: (c[0], c[1], c[2]))
-    return out
+        sel = np.nonzero(tok)[0]
+        if sel.size:
+            out.append((pen[sel], ks[sel], size, tm_val[sel], gcv[sel]))
+
+    if not out:
+        return []
+    pen_a = np.concatenate([c[0] for c in out])
+    s_a = np.concatenate([c[1] for c in out])
+    size_a = np.concatenate([np.full(c[0].shape[0], c[2]) for c in out])
+    tm_a = np.concatenate([c[3] for c in out])
+    gc_a = np.concatenate([c[4] for c in out])
+    # total order (penalty, start, size) — identical to sorting the tuple
+    # list (the 3-key is unique per candidate: start+size identify it)
+    order = np.lexsort((size_a, s_a, pen_a))
+    if limit is not None:
+        order = order[:limit]
+    result = []
+    for idx in order:
+        s = int(s_a[idx])
+        size = int(size_a[idx])
+        seq = (rc_region[n - s - size:n - s] if reverse
+               else region[s:s + size])
+        result.append((float(pen_a[idx]), lo + s, size, seq,
+                       float(tm_a[idx]), float(gc_a[idx])))
+    return result
 
 
 def enumerate_candidates_scalar(template: str, lo: int, hi: int, primer_size,
@@ -215,12 +232,16 @@ def design_primers(template, target_start, target_len, tm=(53, 68),
     opt_tm = (tm[0] + tm[1]) / 2
     target_end = target_start + target_len  # exclusive
 
+    # only the top ``max_candidates`` by penalty are ever screened; the
+    # limit skips tuple/sequence materialization for the rejected tail
     lefts = enumerate_candidates(template, 0, target_start, primer_size,
                                  tm, gc, gc_clamp, max_end_gc, opt_size,
-                                 opt_tm, reverse=False)
+                                 opt_tm, reverse=False,
+                                 limit=max_candidates)
     rights = enumerate_candidates(template, target_end, n, primer_size,
                                   tm, gc, gc_clamp, max_end_gc, opt_size,
-                                  opt_tm, reverse=True)
+                                  opt_tm, reverse=True,
+                                  limit=max_candidates)
 
     # Staged structure screening in penalty order with a sound lower-bound
     # early stop: a pair involving an unscreened candidate can never beat
