@@ -83,6 +83,16 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
     padded[:buf.size] = buf
 
     bits = 2
+    # HBM guard: the one-shot program materializes the full window table
+    # (fwd+rc rows x key words + counts, double-buffered through the LSD
+    # sort).  Past the budget, fall back to the host pipeline, which
+    # spills to disk (external_sort) at any input size.
+    import os as _os
+    _w = (2 * k + 31) // 32
+    est_bytes = int(padded.size) * 2 * (_w + 1) * 4 * 3
+    budget = int(_os.environ.get("KRISP_TPU_HBM_BUDGET", 8 << 30))
+    if est_bytes > budget:
+        return None
     code_table = dna.CODE2_TABLE
     comp_table = dna.COMP2_TABLE
     valid_table = dna.base_validity_table(bits, disallow="Nn",
@@ -150,8 +160,13 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
     import time
     timing = os.environ.get("KRISP_TPU_TIMING")
     t0 = time.perf_counter()
-    packed_d, cnt_d, stats_d = stage(padded)
-    stats = np.asarray(stats_d)         # one tiny pull syncs the program
+    try:
+        packed_d, cnt_d, stats_d = stage(padded)
+        stats = np.asarray(stats_d)     # one tiny pull syncs the program
+    except Exception as exc:            # device OOM etc. -> host fallback
+        if "RESOURCE_EXHAUSTED" in str(exc) or "Out of memory" in str(exc):
+            return None
+        raise
     n_unique, n_over = int(stats[0]), int(stats[1])
     t1 = time.perf_counter()
     cap = 1
