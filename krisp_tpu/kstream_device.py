@@ -57,12 +57,6 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
     (binary).  Returns line count, or None when the input content forces a
     fallback to the host pipeline (IUPAC residues, RNA, lowercase without a
     softmask policy)."""
-    import jax
-    import jax.numpy as jnp
-    from .ops.encode import window_keys_bits, KeyLayout
-    from .ops.sort import lsd_sort
-    from .ops.intersect import SENTINEL, dedup_sorted
-
     k = plan.k
     buf = load_buffer(path)
 
@@ -85,30 +79,83 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
     bits = 2
     # HBM guard: the one-shot program materializes the full window table
     # (fwd+rc rows x key words + counts, double-buffered through the LSD
-    # sort).  Past the budget, fall back to the host pipeline, which
-    # spills to disk (external_sort) at any input size.
+    # sort).  Past the budget, switch to the segmented path: device-sorted
+    # unique runs spilled to disk, merged on the host (the external-sort
+    # architecture with device-accelerated run generation).
     import os as _os
     _w = (2 * k + 31) // 32
     est_bytes = int(padded.size) * 2 * (_w + 1) * 4 * 3
     budget = int(_os.environ.get("KRISP_TPU_HBM_BUDGET", 8 << 30))
     if est_bytes > budget:
-        return None
+        return _run_segmented(buf, plan, out_stream, budget)
+    mode = plan.mode
+    spare, embed = _embed_params(k, bits)
+    stage = _build_stage(k, mode, bits, plan.omit_soft)
+
+    import os
+    import time
+    timing = os.environ.get("KRISP_TPU_TIMING")
+    t0 = time.perf_counter()
+    try:
+        pulled = _run_stage(stage, padded, embed, spare)
+    except Exception as exc:            # device OOM etc. -> host fallback
+        if "RESOURCE_EXHAUSTED" in str(exc) or "Out of memory" in str(exc):
+            return None
+        raise
+    words_h, reps, n_unique, sub_nbytes, cap = pulled
+    t1 = time.perf_counter()
+
+    chars = _decode_chars(words_h, n_unique, k, bits, newline=True)
+    t3 = time.perf_counter()
+
+    if (reps == 1).all():
+        out_stream.write(chars.tobytes())
+    else:
+        out_stream.write(np.repeat(chars, reps, axis=0).tobytes())
+    if timing:
+        import sys as _sys
+        print(f"kstream-device: stage+pull {t1-t0:.3f}s "
+              f"({sub_nbytes/1e6:.1f} MB, cap {cap} of {n_unique} unique)  "
+              f"decode {t3-t1:.3f}s  "
+              f"expand+write {time.perf_counter()-t3:.3f}s",
+              file=_sys.stderr)
+    return int(reps.sum())
+
+
+def _embed_params(k, bits):
+    """(spare bits in the last key word, whether counts embed there)."""
+    n_words = (bits * k + 31) // 32
+    spare = 32 * n_words - bits * k
+    return spare, spare >= 2
+
+
+def _build_stage(k, mode, bits, omit_soft, start_limit=None):
+    """Jitted device program: windows -> mode keys -> sort -> dedup ->
+    compaction, counts embedded in the spare key bits when possible.
+
+    ``start_limit``: only windows STARTING at buffer index < start_limit
+    are counted — the segmented path gives each segment an overlap tail of
+    k-1 bases for context while the tail's window starts belong to the
+    next segment.
+
+    Count embedding: valid keys occupy the top bits*k bits of the word
+    row, so the last word keeps ``spare`` zero low bits.  Small
+    multiplicities ride there for free, shrinking the device->host pull
+    (the measured bottleneck of this path, BASELINE.md) from W+1 to W u32
+    rows per unique k-mer.  The all-ones value is an overflow marker:
+    those rows' exact counts come from a second (rare) pull of the count
+    row."""
+    import jax
+    import jax.numpy as jnp
+    from .ops.encode import window_keys_bits
+    from .ops.sort import lsd_sort
+    from .ops.intersect import SENTINEL, dedup_sorted
+
     code_table = dna.CODE2_TABLE
     comp_table = dna.COMP2_TABLE
     valid_table = dna.base_validity_table(bits, disallow="Nn",
-                                          omit_soft=plan.omit_soft)
-    layout = KeyLayout(k, 0, 0, bits, 1)
-    mode = plan.mode
-
-    # Count embedding: valid keys occupy the top 2k bits of the word row,
-    # so the last word keeps ``spare`` zero low bits.  Small multiplicities
-    # ride there for free, shrinking the device->host pull (the measured
-    # bottleneck of this path, BASELINE.md) from W+1 to W u32 rows per
-    # unique k-mer.  The all-ones value is an overflow marker: those rows'
-    # exact counts come from a second (rare) pull of the count row.
-    n_words = (2 * k + 31) // 32
-    spare = 32 * n_words - 2 * k
-    embed = spare >= 2
+                                          omit_soft=omit_soft)
+    spare, embed = _embed_params(k, bits)
     emb_max = jnp.uint32((1 << spare) - 1) if embed else None
 
     @jax.jit
@@ -119,6 +166,8 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
         fwd = [w[:n_win] for w in words]
         rc = [w[n_win:] for w in words]
         okw = ok[:n_win]
+        if start_limit is not None:
+            okw = okw & (jnp.arange(n_win) < start_limit)
         if mode == "plain":
             use, okk = fwd, okw
         elif mode == "complements":
@@ -156,19 +205,15 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
         stats = jnp.stack([n_unique, n_over])
         return packed, cnt_c, stats
 
-    import os
-    import time
-    timing = os.environ.get("KRISP_TPU_TIMING")
-    t0 = time.perf_counter()
-    try:
-        packed_d, cnt_d, stats_d = stage(padded)
-        stats = np.asarray(stats_d)     # one tiny pull syncs the program
-    except Exception as exc:            # device OOM etc. -> host fallback
-        if "RESOURCE_EXHAUSTED" in str(exc) or "Out of memory" in str(exc):
-            return None
-        raise
+    return stage
+
+
+def _run_stage(stage, padded, embed, spare):
+    """Dispatch + pull one stage run.  Returns (words_h rows, reps int64,
+    n_unique, pulled bytes, cap)."""
+    packed_d, cnt_d, stats_d = stage(padded)
+    stats = np.asarray(stats_d)         # one tiny pull syncs the program
     n_unique, n_over = int(stats[0]), int(stats[1])
-    t1 = time.perf_counter()
     cap = 1
     while cap < max(n_unique, 1):
         cap *= 2
@@ -185,26 +230,80 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
     else:
         words_h = sub[:-1]
         reps = sub[-1][:n_unique].astype(np.int64)
+    return words_h, reps, n_unique, sub.nbytes, cap
 
-    # host text decode at unique-table scale (vectorized per column)
+
+def _decode_chars(words_h, n_unique, k, bits, newline):
+    """Vectorized text decode of the unique key table."""
+    from .ops.encode import KeyLayout
+
+    layout = KeyLayout(k, 0, 0, bits, 1)
     off_flank, _ = layout.base_offsets()
-    chars = np.empty((n_unique, k + 1), np.uint8)
+    chars = np.empty((n_unique, k + (1 if newline else 0)), np.uint8)
     for i, off in enumerate(off_flank):
         w, bit = off // 32, off % 32
         sh = np.uint32(32 - bit - bits)
         chars[:, i] = dna.DECODE2[(words_h[w][:n_unique] >> sh) & 3]
-    chars[:, k] = ord("\n")
-    t3 = time.perf_counter()
+    if newline:
+        chars[:, k] = ord("\n")
+    return chars
 
-    if (reps == 1).all():
-        out_stream.write(chars.tobytes())
-    else:
-        out_stream.write(np.repeat(chars, reps, axis=0).tobytes())
-    if timing:
-        import sys as _sys
-        print(f"kstream-device: stage+sync {t1-t0:.3f}s  "
-              f"pull {t2-t1:.3f}s ({sub.nbytes/1e6:.1f} MB, "
-              f"cap {cap} of {n_unique} unique)  decode {t3-t2:.3f}s  "
-              f"expand+write {time.perf_counter()-t3:.3f}s",
-              file=_sys.stderr)
-    return int(reps.sum())
+
+def _run_segmented(buf, plan: DevicePlan, out_stream, budget):
+    """Inputs past the HBM budget: fixed-size segments (k-1 overlap for
+    window context) each sorted/deduped on device, unique (k-mer, count)
+    runs spilled to disk, then one host merge summing counts of k-mers
+    that recur across segments.  Byte-identical to the one-shot path."""
+    import heapq
+    import itertools
+    import tempfile
+
+    k = plan.k
+    bits = 2
+    n_words = (bits * k + 31) // 32
+    per_window = 2 * (n_words + 1) * 4 * 3
+    S = max(int(budget) // per_window, max(k, 4096))
+    if buf.size <= S:                    # only one segment: not actually
+        S = buf.size                     # over budget; still correct
+    P = bucket_size(S + k - 1)
+    spare, embed = _embed_params(k, bits)
+    stage = _build_stage(k, plan.mode, bits, plan.omit_soft, start_limit=S)
+
+    runs = []
+    with tempfile.TemporaryDirectory(prefix="kstream_seg_") as td:
+        for si, off in enumerate(range(0, int(buf.size), S)):
+            seg = buf[off:off + S + k - 1]
+            padded = np.zeros(P, np.uint8)
+            padded[:seg.size] = seg
+            words_h, reps, n_unique, _, _ = _run_stage(stage, padded,
+                                                       embed, spare)
+            if n_unique == 0:
+                continue
+            chars = _decode_chars(words_h, n_unique, k, bits, newline=False)
+            txt = f"{td}/run{si}.kmers"
+            cnt = f"{td}/run{si}.npy"
+            with open(txt, "wb") as fh:
+                fh.write(chars.tobytes())
+            np.save(cnt, reps)
+            runs.append((txt, cnt))
+
+        def run_iter(txt_path, cnt_path):
+            counts = np.load(cnt_path)
+            with open(txt_path, "rb") as fh:
+                i = 0
+                while True:
+                    block = fh.read(k * 65536)
+                    if not block:
+                        break
+                    for j in range(0, len(block), k):
+                        yield block[j:j + k], int(counts[i])
+                        i += 1
+
+        total = 0
+        merged = heapq.merge(*(run_iter(t, c) for t, c in runs),
+                             key=lambda t: t[0])
+        for kmer, grp in itertools.groupby(merged, key=lambda t: t[0]):
+            n = sum(c for _, c in grp)
+            out_stream.write((kmer + b"\n") * n)
+            total += n
+    return total

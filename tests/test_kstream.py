@@ -210,6 +210,61 @@ def test_fuzz_device_path_vs_reference(seed, tmp_path):
     assert out.read_text().splitlines() == want
 
 
+@pytest.mark.parametrize("flags", [
+    ["--kmers", "9", "--disallow", "Nn", "--sort"],
+    ["--kmers", "9", "--disallow", "Nn", "--sort", "--complements"],
+    ["--kmers", "9", "--disallow", "Nn", "--sort", "--canonicals"],
+    ["--kmers", "15", "--disallow", "Nn", "--sort"],
+])
+def test_segmented_device_path_parity(flags, tmp_path):
+    """A tiny KRISP_TPU_HBM_BUDGET forces the segmented run-merge path;
+    output stays byte-identical, including counts of k-mers recurring
+    across segment boundaries."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    # low-complexity body so many k-mers recur in distant segments
+    body = "".join(rng.choice(list("ACGT"), p=[.4, .4, .1, .1])
+                   for _ in range(3000))
+    body = body[:500] + body[:300] + body[500:]   # explicit repeats
+    fasta = tmp_path / "in.fa"
+    fasta.write_text(f">a\n{body}\n>b\n{body[1000:1400]}\n")
+    out = tmp_path / "ours.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "krisp_tpu.cli.kstream", str(fasta), *flags,
+         "--output", str(out)],
+        capture_output=True, text=True,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu",
+             # ~5 segments for this input
+             "KRISP_TPU_HBM_BUDGET": "100000"})
+    assert proc.returncode == 0, proc.stderr
+    want = run_reference(flags, fasta.read_text())
+    assert out.read_text().splitlines() == want
+
+
+def test_segmented_matches_oneshot_directly(tmp_path):
+    """Library-level: segmented output bytes == one-shot output bytes."""
+    import io
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from krisp_tpu import kstream_device as kd
+    rng = np.random.default_rng(11)
+    body = "".join(rng.choice(list("ACGTN")) for _ in range(5000))
+    fasta = tmp_path / "in.fa"
+    fasta.write_text(f">a\n{body}\n")
+    plan = kd.device_plan(kmers=12, canonicals=True, disallow="Nn",
+                          sort=True)
+    one = io.BytesIO()
+    n1 = kd.run_device_kstream(str(fasta), plan, one)
+    from krisp_tpu.io.fasta import load_buffer
+    buf = load_buffer(str(fasta))
+    seg = io.BytesIO()
+    n2 = kd._run_segmented(buf, plan, seg, budget=60000)
+    assert n1 == n2
+    assert one.getvalue() == seg.getvalue()
+
+
 def test_device_path_no_valid_windows(tmp_path):
     """Records shorter than k produce an empty (not crashing) stream."""
     import io
