@@ -304,6 +304,10 @@ def _run_segmented(buf, plan: DevicePlan, out_stream, budget):
                              key=lambda t: t[0])
         for kmer, grp in itertools.groupby(merged, key=lambda t: t[0]):
             n = sum(c for _, c in grp)
-            out_stream.write((kmer + b"\n") * n)
             total += n
+            line = kmer + b"\n"
+            while n > 0:                 # bounded expansion buffers
+                m = min(n, 65536)
+                out_stream.write(line * m)
+                n -= m
     return total
