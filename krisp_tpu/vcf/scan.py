@@ -14,17 +14,31 @@ from .region import VariantWindow, DiagnosticRegion, consv_border_n
 
 def edit_distance(a: str, b: str) -> int:
     """Levenshtein distance (replaces the reference's nltk dependency,
-    krisp_vcf.py:19,864; identical metric: unit costs, no transpositions)."""
+    krisp_vcf.py:19,864; identical metric: unit costs, no transpositions).
+
+    Vectorized row recurrence: after taking the elementwise min of the
+    deletion and substitution candidates, the insertion chain
+    ``row[j] = min(tmp[j], row[j-1]+1)`` closes in one prefix scan because
+    ``row[j] = j + min_{i<=j}(tmp[i]-i)``.  Integer-exact, equal to the
+    scalar DP (pinned by tests)."""
+    import numpy as np
+
     if len(a) < len(b):
         a, b = b, a
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[-1] + 1,
-                           prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+    if not b:
+        return len(a)
+    bb = np.frombuffer(b.encode(), np.uint8)
+    m = bb.size
+    js = np.arange(m + 1)
+    base = np.empty(m + 1, np.int64)
+    prev = js.astype(np.int64)
+    for i, ca in enumerate(a.encode(), 1):
+        # candidates without the insertion chain: deletion / substitution
+        base[0] = i
+        base[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (bb != ca))
+        # cur[j] = min_{t<=j} (base[t] + (j-t)) = j + prefix-min(base - t)
+        prev = js + np.minimum.accumulate(base - js)
+    return int(prev[-1])
 
 
 def find_diag_region(variants, groups, reference=None, nontarget=None,
