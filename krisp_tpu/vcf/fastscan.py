@@ -68,28 +68,49 @@ def _build_samples(col, v):
 class _LazyVariant:
     """parser.VcfVariant work-alike over columnar arrays.
 
-    The per-sample dict (the O(samples) part) is built only on first
-    access — the cascade tail touches it only for survivors (exact
-    rehydration / missing_samp_ids), so candidate-context variants stay
-    O(1) to materialize."""
+    Everything except the window-geometry field (``pos``) materializes on
+    first access: candidate-context variants are touched only by the
+    position walks (sequence()/consv_border_n), and the per-sample dict
+    (the O(samples) part) only by survivors (exact rehydration /
+    missing_samp_ids) — so the ~300 context variants per candidate stay
+    O(1) to construct."""
 
-    __slots__ = ("_col", "_row", "chrom", "pos", "id", "ref", "alts",
-                 "qual", "mq", "_samples")
+    __slots__ = ("_col", "_row", "pos", "id", "_samples", "_alleles")
 
     def __init__(self, col, v):
         self._col = col
-        self._row = v
-        alleles = col.alleles[v]
-        self.chrom = col.chroms[int(col.chrom_id[v])]
+        self._row = int(v)
         self.pos = int(col.pos[v])
         self.id = "."
-        self.ref = alleles[0]
-        self.alts = tuple(alleles[1:])
-        qual = float(col.qual[v])
-        mq = float(col.mq[v])
-        self.qual = None if np.isnan(qual) else qual
-        self.mq = None if np.isnan(mq) else mq
         self._samples = None
+        self._alleles = None
+
+    def _all(self):
+        if self._alleles is None:
+            self._alleles = self._col.alleles[self._row]
+        return self._alleles
+
+    @property
+    def chrom(self):
+        return self._col.chroms[int(self._col.chrom_id[self._row])]
+
+    @property
+    def ref(self):
+        return self._all()[0]
+
+    @property
+    def alts(self):
+        return tuple(self._all()[1:])
+
+    @property
+    def qual(self):
+        q = float(self._col.qual[self._row])
+        return None if np.isnan(q) else q
+
+    @property
+    def mq(self):
+        m = float(self._col.mq[self._row])
+        return None if np.isnan(m) else m
 
     @property
     def samples(self):
@@ -99,11 +120,11 @@ class _LazyVariant:
 
     @property
     def alleles(self):
-        return (self.ref,) + self.alts
+        return tuple(self._all())
 
     @property
     def rlen(self):
-        return len(self.ref)
+        return int(self._col.rlen[self._row])
 
     @property
     def info(self):
