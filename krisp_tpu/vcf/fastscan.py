@@ -249,30 +249,34 @@ def _window_types(starts, ends, delta, is_diag, is_consv, span, min_vars):
         dsum[i + 1] = dsum[i] + (1 if is_diag[i] else 0)
         usum[i + 1] = usum[i] + (0 if is_consv[i] else 1)
 
+    from collections import deque
+
     types = [0] * V
     jstart = [0] * V
     j = 0
-    curmax = None  # max(ends[j..e]); None -> recompute
-    curmin = None  # min(starts[j..e])
+    # monotonic deques: window extrema in O(1) per pop (the naive
+    # max(ends[j:e+1]) rescan is O(V*w) on dense overlapping indels)
+    maxdq: deque = deque()   # indices, ends decreasing
+    mindq: deque = deque()   # indices, starts increasing
     for e in range(V):
-        if j > e or curmax is None:  # empty window; restart extrema
-            curmax = ends[e]
-            curmin = starts[e]
-        else:
-            if ends[e] > curmax:
-                curmax = ends[e]
-            if starts[e] < curmin:
-                curmin = starts[e]
+        ee = ends[e]
+        while maxdq and ends[maxdq[-1]] <= ee:
+            maxdq.pop()
+        maxdq.append(e)
+        se = starts[e]
+        while mindq and starts[mindq[-1]] >= se:
+            mindq.pop()
+        mindq.append(e)
         while j <= e:
-            length = curmax - curmin + 1 + dpre[e + 1] - dpre[j]
+            length = (ends[maxdq[0]] - starts[mindq[0]] + 1
+                      + dpre[e + 1] - dpre[j])
             if length <= span:
                 break
             j += 1
-            if j <= e:
-                curmax = max(ends[j:e + 1])
-                curmin = min(starts[j:e + 1])
-            else:
-                curmax = curmin = None  # emptied; restart at next append
+            if maxdq[0] < j:
+                maxdq.popleft()
+            if mindq[0] < j:
+                mindq.popleft()
         jstart[e] = j
         if j > e:
             types[e] = 0
