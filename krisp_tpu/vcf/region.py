@@ -213,7 +213,9 @@ class VariantWindow:
 def consv_border_n(group, border_var, nearby_vars, max_offset):
     """Max adjacent conserved run in ref and group coordinates
     (parity: krisp_vcf.py:579-609)."""
-    nearby = list(nearby_vars)
+    # deques index and iterate directly; only materialize other iterables
+    nearby = (nearby_vars if hasattr(nearby_vars, "__getitem__")
+              else list(nearby_vars))
     if nearby and border_var.variant.pos < nearby[0].variant.pos:
         ref_diff_offset = (border_var.max_allele_len(group)
                            - len(border_var.variant.ref))
