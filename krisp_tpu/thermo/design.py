@@ -61,6 +61,12 @@ def enumerate_candidates(template: str, lo: int, hi: int, primer_size,
     new_run[1:] = raw[1:] != raw[:-1]
     run_start = np.maximum.accumulate(np.where(new_run, pos_i, -1))
     runlen = pos_i - run_start + 1
+    # a window [s, s+size) contains an equal run longer than MAX_POLY_X
+    # (clipped at the window start) iff some p in [s+MAX_POLY_X, s+size)
+    # has runlen[p] > MAX_POLY_X: the clipped run ending at p has length
+    # min(runlen[p], p-s+1), and p >= s+MAX_POLY_X makes the clip >= the
+    # threshold — an O(1)-per-window prefix-sum test
+    over_poly = np.concatenate([[0], np.cumsum(runlen > MAX_POLY_X)])
 
     # NN dimer tables for the plus strand and (for reverse candidates) the
     # reverse-complement strand, with a 0 sentinel so reduceat boundaries
@@ -80,7 +86,6 @@ def enumerate_candidates(template: str, lo: int, hi: int, primer_size,
 
     out = []
     rc_region = _revcomp(region) if reverse else None
-    win = np.lib.stride_tricks.sliding_window_view
 
     # Shared ΔH/ΔS accumulators over ALL start positions, advanced one
     # dimer per size step: after K steps acc[j] = dh[j] + dh[j+1] + ... +
@@ -104,9 +109,9 @@ def enumerate_candidates(template: str, lo: int, hi: int, primer_size,
     for size in range(primer_size[0], min(primer_size[1], n) + 1):
         starts = np.arange(n - size + 1)
         keep = (acgt_bad[starts + size] - acgt_bad[starts]) == 0
-        # MAX_POLY_X: longest equal run clipped at the window start
-        eff = np.minimum(win(runlen, size), np.arange(size) + 1)
-        keep &= eff.max(axis=1) <= MAX_POLY_X
+        if size > MAX_POLY_X:
+            keep &= (over_poly[starts + size]
+                     - over_poly[starts + MAX_POLY_X]) == 0
         gc_cnt = gc_pre[starts + size] - gc_pre[starts]
         gc_val = 100.0 * gc_cnt / size
         keep &= (gc_val >= gc_range[0]) & (gc_val <= gc_range[1])
@@ -221,66 +226,86 @@ def _max_poly_x(seq: str) -> int:
     return best
 
 
-def design_primers(template, target_start, target_len, tm=(53, 68),
-                   gc=(40, 70), amp_size=(80, 300), primer_size=(25, 35),
-                   max_sec_tm=40, gc_clamp=1, max_end_gc=4,
-                   max_candidates=64, _exhaustive=False):
-    """Pick the best primer pair flanking the target; primer3-shaped dict."""
-    template = "".join(template)
-    n = len(template)
-    opt_size = (primer_size[0] + primer_size[1]) / 2
-    opt_tm = (tm[0] + tm[1]) / 2
-    target_end = target_start + target_len  # exclusive
+class _DesignJob:
+    """One design_primers instance as an incremental state machine, so a
+    batch driver can fuse the structure-screen rounds of MANY templates
+    into single numpy passes (``batch_self_screens`` results are invariant
+    to batch composition — pinned by tests/test_thermo.py).
 
-    # only the top ``max_candidates`` by penalty are ever screened; the
-    # limit skips tuple/sequence materialization for the rejected tail
-    lefts = enumerate_candidates(template, 0, target_start, primer_size,
-                                 tm, gc, gc_clamp, max_end_gc, opt_size,
-                                 opt_tm, reverse=False,
-                                 limit=max_candidates)
-    rights = enumerate_candidates(template, target_end, n, primer_size,
-                                  tm, gc, gc_clamp, max_end_gc, opt_size,
-                                  opt_tm, reverse=True,
-                                  limit=max_candidates)
+    Protocol: while not ``done``, call ``request()`` for the sequences the
+    next screen round needs, then ``feed()`` with their (any, end, hairpin)
+    triples; ``output()`` yields the primer3-shaped dict.  The round
+    structure, early-stop bound, and pair iteration order are identical to
+    the serial loop this replaces, so results are bit-equal."""
 
-    # Staged structure screening in penalty order with a sound lower-bound
-    # early stop: a pair involving an unscreened candidate can never beat
-    # ``short_l[l_done].pen + short_r[0].pen`` (and symmetrically), so once
-    # the best found pair is at or below that bound, the remaining screens
-    # cannot change the selection — identical output to screening all
-    # ``max_candidates``, usually after one small chunk.
-    short_l = lefts[:max_candidates]
-    short_r = rights[:max_candidates]
-    l_done = r_done = 0
-    lefts_ok: list = []
-    rights_ok: list = []
-    compl_memo: dict = {}
-    best = None
     CHUNK = 8
 
-    def _extend_both():
-        # one fused screen batch per round: left and right chunks share a
-        # single numpy pass (results are per-sequence, so batching is
-        # output-invariant — pinned by tests/test_thermo.py)
-        nonlocal l_done, r_done
-        lchunk = short_l[l_done:l_done + CHUNK]
-        rchunk = short_r[r_done:r_done + CHUNK]
-        ths = nn.batch_self_screens([c[3] for c in lchunk]
-                                    + [c[3] for c in rchunk])
-        for c, th in zip(lchunk, ths[:len(lchunk)]):
-            if max(th) <= max_sec_tm:
-                lefts_ok.append((c, th))
-        for c, th in zip(rchunk, ths[len(lchunk):]):
-            if max(th) <= max_sec_tm:
-                rights_ok.append((c, th))
-        l_done += len(lchunk)
-        r_done += len(rchunk)
-        return bool(lchunk) or bool(rchunk)
+    def __init__(self, template, target_start, target_len, tm=(53, 68),
+                 gc=(40, 70), amp_size=(80, 300), primer_size=(25, 35),
+                 max_sec_tm=40, gc_clamp=1, max_end_gc=4,
+                 max_candidates=64, _exhaustive=False):
+        template = "".join(template)
+        self.template = template
+        self.amp_size = amp_size
+        self.max_sec_tm = max_sec_tm
+        self._exhaustive = _exhaustive
+        n = len(template)
+        opt_size = (primer_size[0] + primer_size[1]) / 2
+        opt_tm = (tm[0] + tm[1]) / 2
+        target_end = target_start + target_len  # exclusive
 
-    while True:
-        progressed = _extend_both()
-        for lc, lth in lefts_ok:
-            for rc, rth in rights_ok:
+        # only the top ``max_candidates`` by penalty are ever screened; the
+        # limit skips tuple/sequence materialization for the rejected tail
+        self.short_l = enumerate_candidates(
+            template, 0, target_start, primer_size, tm, gc, gc_clamp,
+            max_end_gc, opt_size, opt_tm, reverse=False,
+            limit=max_candidates)
+        self.short_r = enumerate_candidates(
+            template, target_end, n, primer_size, tm, gc, gc_clamp,
+            max_end_gc, opt_size, opt_tm, reverse=True,
+            limit=max_candidates)
+
+        # Staged structure screening in penalty order with a sound lower-
+        # bound early stop: a pair involving an unscreened candidate can
+        # never beat ``short_l[l_done].pen + short_r[0].pen`` (and
+        # symmetrically), so once the best found pair is at or below that
+        # bound the remaining screens cannot change the selection —
+        # identical output to screening all ``max_candidates``, usually
+        # after one small chunk.
+        self.l_done = self.r_done = 0
+        self.lefts_ok: list = []
+        self.rights_ok: list = []
+        self.compl_memo: dict = {}
+        self.best = None
+        self.done = False
+
+    def request(self):
+        """Sequences the next screen round needs (left chunk + right
+        chunk, fused into one batch)."""
+        lchunk = self.short_l[self.l_done:self.l_done + self.CHUNK]
+        rchunk = self.short_r[self.r_done:self.r_done + self.CHUNK]
+        self._lchunk, self._rchunk = lchunk, rchunk
+        return [c[3] for c in lchunk] + [c[3] for c in rchunk]
+
+    def feed(self, ths):
+        """Consume the screen results for the last ``request()`` and run
+        the pair-evaluation round (identical order/logic to the serial
+        loop)."""
+        lchunk, rchunk = self._lchunk, self._rchunk
+        for c, th in zip(lchunk, ths[:len(lchunk)]):
+            if max(th) <= self.max_sec_tm:
+                self.lefts_ok.append((c, th))
+        for c, th in zip(rchunk, ths[len(lchunk):]):
+            if max(th) <= self.max_sec_tm:
+                self.rights_ok.append((c, th))
+        self.l_done += len(lchunk)
+        self.r_done += len(rchunk)
+        progressed = bool(lchunk) or bool(rchunk)
+
+        amp_size, max_sec_tm = self.amp_size, self.max_sec_tm
+        best = self.best
+        for lc, lth in self.lefts_ok:
+            for rc, rth in self.rights_ok:
                 l_pen, l_start, l_size = lc[0], lc[1], lc[2]
                 r_pen, r_start, r_size = rc[0], rc[1], rc[2]
                 product = (r_start + r_size) - l_start
@@ -290,77 +315,110 @@ def design_primers(template, target_start, target_len, tm=(53, 68),
                 if best is not None and pair_pen >= best["penalty"]:
                     continue
                 key = (l_start, l_size, r_start, r_size)
-                th2 = compl_memo.get(key)
+                th2 = self.compl_memo.get(key)
                 if th2 is None:
                     # one pass computes both ANY and END
                     th2 = nn.pair_screens(lc[3], rc[3])
-                    compl_memo[key] = th2
+                    self.compl_memo[key] = th2
                 compl_any, compl_end = th2
                 if compl_any > max_sec_tm or compl_end > max_sec_tm:
                     continue
                 best = {"penalty": pair_pen, "left": (lc, lth),
                         "right": (rc, rth), "product": product,
                         "compl_any": compl_any, "compl_end": compl_end}
+        self.best = best
+
         lb = None
-        if l_done < len(short_l) and short_r:
-            lb = short_l[l_done][0] + short_r[0][0]
-        if r_done < len(short_r) and short_l:
-            lb2 = short_l[0][0] + short_r[r_done][0]
+        if self.l_done < len(self.short_l) and self.short_r:
+            lb = self.short_l[self.l_done][0] + self.short_r[0][0]
+        if self.r_done < len(self.short_r) and self.short_l:
+            lb2 = self.short_l[0][0] + self.short_r[self.r_done][0]
             lb = lb2 if lb is None else min(lb, lb2)
-        if (not _exhaustive and best is not None
+        if (not self._exhaustive and best is not None
                 and (lb is None or best["penalty"] < lb)):
             # strict: an unscreened pair tying on penalty could precede in
             # the full iteration order, so ties keep screening
-            break
-        if not progressed:
-            break
+            self.done = True
+        elif not progressed:
+            self.done = True
 
-    out = {}
-    if best is None:
-        out["PRIMER_PAIR_NUM_RETURNED"] = 0
-        out["PRIMER_LEFT_NUM_RETURNED"] = 0
-        out["PRIMER_RIGHT_NUM_RETURNED"] = 0
+    def output(self):
+        out = {}
+        best = self.best
+        if best is None:
+            out["PRIMER_PAIR_NUM_RETURNED"] = 0
+            out["PRIMER_LEFT_NUM_RETURNED"] = 0
+            out["PRIMER_RIGHT_NUM_RETURNED"] = 0
+            return out
+
+        (l_pen, l_start, l_size, l_seq, l_tm, l_gc), (l_sa, l_se, l_hp) = \
+            best["left"]
+        (r_pen, r_start, r_size, r_seq, r_tm, r_gc), (r_sa, r_se, r_hp) = \
+            best["right"]
+        big_neg = -1.7976931348623157e+308  # primer3's "not computed"
+
+        def oligo(prefix, pen, seq, tm_v, gc_v, sa, se, hp):
+            out[f"{prefix}_PENALTY"] = round(pen, 5)
+            out[f"{prefix}_SEQUENCE"] = seq
+            out[f"{prefix}_TM"] = round(tm_v, 5)
+            out[f"{prefix}_GC_PERCENT"] = round(gc_v, 5)
+            out[f"{prefix}_SELF_ANY_TH"] = sa
+            out[f"{prefix}_SELF_END_TH"] = se
+            out[f"{prefix}_HAIRPIN_TH"] = hp
+            out[f"{prefix}_POSITION_PENALTY"] = 0.0
+            out[f"{prefix}_END_STABILITY"] = nn.end_stability(seq)
+            out[f"{prefix}_TEMPLATE_MISPRIMING"] = big_neg
+            out[f"{prefix}_TEMPLATE_MISPRIMING_TH"] = big_neg
+
+        out["PRIMER_PAIR_NUM_RETURNED"] = 1
+        out["PRIMER_LEFT_NUM_RETURNED"] = 1
+        out["PRIMER_RIGHT_NUM_RETURNED"] = 1
+        out["PRIMER_LEFT_0"] = [l_start, l_size]
+        # primer3 convention: right primer position = its 3'-most plus-
+        # strand index (the reference decodes it as such,
+        # krisp_vcf.py:660-666)
+        out["PRIMER_RIGHT_0"] = [r_start + r_size - 1, r_size]
+        oligo("PRIMER_LEFT_0", l_pen, l_seq, l_tm, l_gc, l_sa, l_se, l_hp)
+        oligo("PRIMER_RIGHT_0", r_pen, r_seq, r_tm, r_gc, r_sa, r_se, r_hp)
+        out["PRIMER_PAIR_0_PENALTY"] = round(best["penalty"], 5)
+        out["PRIMER_PAIR_0_COMPL_ANY_TH"] = best["compl_any"]
+        out["PRIMER_PAIR_0_COMPL_END_TH"] = best["compl_end"]
+        out["PRIMER_PAIR_0_PRODUCT_SIZE"] = best["product"]
+        product_seq = self.template[l_start:r_start + r_size]
+        prod_tm = nn.tm_santalucia(product_seq, dna_nM=50.0)
+        out["PRIMER_PAIR_0_PRODUCT_TM"] = round(prod_tm, 5)
+        out["PRIMER_PAIR_0_PRODUCT_TM_OLIGO_TM_DIFF"] = round(
+            prod_tm - min(l_tm, r_tm), 5)
+        out["PRIMER_PAIR_0_T_OPT_A"] = round(
+            0.3 * min(l_tm, r_tm) + 0.7 * prod_tm - 14.9, 5)
+        out["PRIMER_PAIR_0_TEMPLATE_MISPRIMING"] = big_neg
         return out
 
-    (l_pen, l_start, l_size, l_seq, l_tm, l_gc), (l_sa, l_se, l_hp) = best["left"]
-    (r_pen, r_start, r_size, r_seq, r_tm, r_gc), (r_sa, r_se, r_hp) = best["right"]
-    big_neg = -1.7976931348623157e+308  # primer3's "not computed" sentinel
 
-    def oligo(prefix, pen, seq, tm_v, gc_v, sa, se, hp):
-        out[f"{prefix}_PENALTY"] = round(pen, 5)
-        out[f"{prefix}_SEQUENCE"] = seq
-        out[f"{prefix}_TM"] = round(tm_v, 5)
-        out[f"{prefix}_GC_PERCENT"] = round(gc_v, 5)
-        out[f"{prefix}_SELF_ANY_TH"] = sa
-        out[f"{prefix}_SELF_END_TH"] = se
-        out[f"{prefix}_HAIRPIN_TH"] = hp
-        out[f"{prefix}_POSITION_PENALTY"] = 0.0
-        out[f"{prefix}_END_STABILITY"] = nn.end_stability(seq)
-        out[f"{prefix}_TEMPLATE_MISPRIMING"] = big_neg
-        out[f"{prefix}_TEMPLATE_MISPRIMING_TH"] = big_neg
+def design_primers_batch(jobs_args, **kwargs):
+    """Design primer pairs for many (template, target_start, target_len)
+    jobs, fusing each screen round across every live job into ONE
+    ``batch_self_screens`` pass.  Per-job results are bit-identical to
+    ``design_primers`` run serially (the rounds, early stops, and pair
+    orders are per-job state; only the numpy batching is shared)."""
+    jobs = [_DesignJob(*a, **kwargs) for a in jobs_args]
+    live = [j for j in jobs if not j.done]
+    while live:
+        reqs = [j.request() for j in live]
+        flat = [s for r in reqs for s in r]
+        ths = nn.batch_self_screens(flat)
+        off = 0
+        for j, r in zip(live, reqs):
+            j.feed(ths[off:off + len(r)])
+            off += len(r)
+        live = [j for j in live if not j.done]
+    return [j.output() for j in jobs]
 
-    out["PRIMER_PAIR_NUM_RETURNED"] = 1
-    out["PRIMER_LEFT_NUM_RETURNED"] = 1
-    out["PRIMER_RIGHT_NUM_RETURNED"] = 1
-    out["PRIMER_LEFT_0"] = [l_start, l_size]
-    # primer3 convention: right primer position = its 3'-most plus-strand
-    # index (the reference decodes it as such, krisp_vcf.py:660-666)
-    out["PRIMER_RIGHT_0"] = [r_start + r_size - 1, r_size]
-    oligo("PRIMER_LEFT_0", l_pen, l_seq, l_tm, l_gc, l_sa, l_se, l_hp)
-    oligo("PRIMER_RIGHT_0", r_pen, r_seq, r_tm, r_gc, r_sa, r_se, r_hp)
-    out["PRIMER_PAIR_0_PENALTY"] = round(best["penalty"], 5)
-    out["PRIMER_PAIR_0_COMPL_ANY_TH"] = best["compl_any"]
-    out["PRIMER_PAIR_0_COMPL_END_TH"] = best["compl_end"]
-    out["PRIMER_PAIR_0_PRODUCT_SIZE"] = best["product"]
-    product_seq = template[l_start:r_start + r_size]
-    prod_tm = nn.tm_santalucia(product_seq, dna_nM=50.0)
-    out["PRIMER_PAIR_0_PRODUCT_TM"] = round(prod_tm, 5)
-    out["PRIMER_PAIR_0_PRODUCT_TM_OLIGO_TM_DIFF"] = round(
-        prod_tm - min(l_tm, r_tm), 5)
-    out["PRIMER_PAIR_0_T_OPT_A"] = round(
-        0.3 * min(l_tm, r_tm) + 0.7 * prod_tm - 14.9, 5)
-    out["PRIMER_PAIR_0_TEMPLATE_MISPRIMING"] = big_neg
-    return out
+
+def design_primers(template, target_start, target_len, **kwargs):
+    """Pick the best primer pair flanking the target; primer3-shaped dict."""
+    return design_primers_batch([(template, target_start, target_len)],
+                                **kwargs)[0]
 
 
 def run_primer3(template, target_start, target_len, options=None, tm=(53, 68),
@@ -412,6 +470,25 @@ def run_primer3(template, target_start, target_len, options=None, tm=(53, 68),
                 parse_primer3_settings(options)))
         return design_primers("".join(template), target_start, target_len,
                               **kwargs)
+
+
+def run_primer3_batch(jobs, options=None, **kwargs):
+    """Batched ``run_primer3`` over (template, target_start, target_len)
+    jobs: the self-contained engine fuses each structure-screen round
+    across every job into one numpy pass.  When the real primer3-py
+    bindings are importable they are preferred (bit parity with
+    libprimer3), falling back to one serial call per job."""
+    try:
+        import primer3  # noqa: F401  (the C library, if the env has it)
+        return [run_primer3(t, s, ln, options=options, **kwargs)
+                for (t, s, ln) in jobs]
+    except ImportError:
+        kw = dict(kwargs)
+        if options is not None:
+            kw.update(engine_params_from_settings(
+                parse_primer3_settings(options)))
+        return design_primers_batch(
+            [("".join(t), s, ln) for (t, s, ln) in jobs], **kw)
 
 
 def design_primers_for_group(group, **p3_args):

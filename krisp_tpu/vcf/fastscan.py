@@ -32,7 +32,8 @@ from .classify import ClassifiedVariant
 from .device_classify import DeviceClassifiedVariant
 from .parser import VcfVariant, SampleData
 from .region import VariantWindow
-from .scan import cascade_tail
+from .scan import cascade_pre, cascade_finish, PendingDesign
+from ..thermo.design import run_primer3_batch
 
 # flyweight rejected-window markers: the report layer only reads .type
 _TYPE_NAMES = {1: "Undiagnostic", 2: "Unconserved", 3: "Misplaced"}
@@ -391,6 +392,28 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
         return hit
 
     from collections import deque
+
+    # Windows that reach primer design are buffered (in stream order) and
+    # designed in batches, fusing the thermodynamic screen rounds of many
+    # templates into single numpy passes (design_primers_batch) — the
+    # per-window results are bit-identical to serial cascade_tail calls.
+    # Rejections pass straight through while nothing is buffered, so the
+    # typed stream order is preserved exactly.
+    DESIGN_BATCH = 32
+    buf: list = []
+    npending = 0
+
+    def _flush(buf):
+        jobs = [x.design_job for x in buf if isinstance(x, PendingDesign)]
+        outs = iter(run_primer3_batch(jobs, tm=tm, gc=gc,
+                                      amp_size=amp_size,
+                                      primer_size=primer_size,
+                                      max_sec_tm=max_sec_tm,
+                                      gc_clamp=gc_clamp,
+                                      max_end_gc=max_end_gc))
+        return [cascade_finish(x, next(outs))
+                if isinstance(x, PendingDesign) else x for x in buf]
+
     Vr = rows.shape[0]
     for e in range(Vr):
         for gi, g in enumerate(group_names):
@@ -398,7 +421,10 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
             if t == 0:
                 continue
             if t != 4:
-                yield _REJ[t]
+                if buf:
+                    buf.append(_REJ[t])
+                else:
+                    yield _REJ[t]
                 continue
             j = jstart_g[gi][e]
             window = VariantWindow(
@@ -410,13 +436,23 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
                                  for i in range(j - 1,
                                                 max(j - flank, 0) - 1, -1))
             ).freeze()  # deques built fresh per candidate, never mutated
-            yield cascade_tail(window, groups, reference,
-                               crrna_len=crrna_len,
-                               var_location=var_location,
-                               min_bases=min_bases, amp_size=amp_size,
-                               tm=tm, gc=gc, primer_size=primer_size,
-                               max_sec_tm=max_sec_tm, gc_clamp=gc_clamp,
-                               max_end_gc=max_end_gc)
+            region = cascade_pre(window, groups, reference,
+                                 crrna_len=crrna_len,
+                                 var_location=var_location,
+                                 min_bases=min_bases, amp_size=amp_size)
+            if isinstance(region, PendingDesign):
+                buf.append(region)
+                npending += 1
+                if npending >= DESIGN_BATCH:
+                    yield from _flush(buf)
+                    buf = []
+                    npending = 0
+            elif buf:
+                buf.append(region)
+            else:
+                yield region
+    if buf:
+        yield from _flush(buf)
 
 
 def chunk_rows(col, chunk):

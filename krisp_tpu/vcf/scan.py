@@ -51,8 +51,6 @@ def find_diag_region(variants, groups, reference=None, nontarget=None,
                      force=False, engine="host"):
     """Yield every window, tagged with .type; survivors are
     DiagnosticRegion instances (type == 'Diagnostic')."""
-    from ..thermo.design import run_primer3
-
     offset_left = var_location[0] - 1
     offset_right = crrna_len - var_location[1]
     window_width = crrna_len - offset_right - offset_left
@@ -97,6 +95,27 @@ def find_diag_region(variants, groups, reference=None, nontarget=None,
                            gc_clamp=gc_clamp, max_end_gc=max_end_gc)
 
 
+class PendingDesign:
+    """A window that passed cascade steps 4-6 and now only needs primer
+    design: everything ``cascade_finish`` needs to type the region once a
+    primer3 result arrives.  Lets the fast scan fuse the design screens of
+    MANY windows into shared numpy rounds (design_primers_batch)."""
+
+    __slots__ = ("region", "template_seq", "start_crrna_tmp", "crrna_seq",
+                 "downstream_seq", "upstream_seq", "temp_range",
+                 "crrna_range", "min_dist")
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw[k])
+
+    @property
+    def design_job(self):
+        """(template, target_start, target_len) for run_primer3[_batch]."""
+        return (self.template_seq, self.start_crrna_tmp,
+                len(self.crrna_seq))
+
+
 def cascade_tail(region, groups, reference, *, crrna_len, var_location,
                  min_bases, amp_size, tm, gc, primer_size, max_sec_tm,
                  gc_clamp, max_end_gc):
@@ -109,6 +128,25 @@ def cascade_tail(region, groups, reference, *, crrna_len, var_location,
     Parity: krisp_vcf.py:795-916."""
     from ..thermo.design import run_primer3
 
+    pending = cascade_pre(region, groups, reference, crrna_len=crrna_len,
+                          var_location=var_location, min_bases=min_bases,
+                          amp_size=amp_size)
+    if not isinstance(pending, PendingDesign):
+        return pending
+    p3_out = run_primer3(pending.template_seq,
+                         target_start=pending.start_crrna_tmp,
+                         target_len=len(pending.crrna_seq), tm=tm, gc=gc,
+                         amp_size=amp_size, primer_size=primer_size,
+                         max_sec_tm=max_sec_tm, gc_clamp=gc_clamp,
+                         max_end_gc=max_end_gc)
+    return cascade_finish(pending, p3_out)
+
+
+def cascade_pre(region, groups, reference, *, crrna_len, var_location,
+                min_bases, amp_size):
+    """Cascade steps 4-6 (conserved overhangs/flanks, crRNA edit
+    distance): returns the typed region on rejection, else a
+    ``PendingDesign`` carrying the primer3 inputs."""
     offset_right = crrna_len - var_location[1]
 
     overhang_left = crrna_len - region.region_length() - offset_right
@@ -169,18 +207,25 @@ def cascade_tail(region, groups, reference, *, crrna_len, var_location,
     template_seq = downstream_seq + crrna_seq + upstream_seq
     start_crrna_tmp = len(downstream_seq)
 
-    p3_out = run_primer3(template_seq, target_start=start_crrna_tmp,
-                         target_len=len(crrna_seq), tm=tm, gc=gc,
-                         amp_size=amp_size, primer_size=primer_size,
-                         max_sec_tm=max_sec_tm, gc_clamp=gc_clamp,
-                         max_end_gc=max_end_gc)
+    return PendingDesign(
+        region=region, template_seq=template_seq,
+        start_crrna_tmp=start_crrna_tmp, crrna_seq=crrna_seq,
+        downstream_seq=downstream_seq, upstream_seq=upstream_seq,
+        temp_range=[start_tmp_ref, end_tmp_ref],
+        crrna_range=[start_crrna_ref, end_crrna_ref], min_dist=min_dist)
+
+
+def cascade_finish(pending, p3_out):
+    """Cascade step 7: type the region from its primer3 result."""
+    region = pending.region
     if p3_out["PRIMER_PAIR_NUM_RETURNED"] == 0:
         region.type = "No primers"
         return region
 
     region.type = "Diagnostic"
     return DiagnosticRegion.from_window(
-        region, p3=p3_out, crrna_seq=crrna_seq,
-        downstream_seq=downstream_seq, upstream_seq=upstream_seq,
-        temp_range=[start_tmp_ref, end_tmp_ref],
-        crrna_range=[start_crrna_ref, end_crrna_ref], min_bases=min_dist)
+        region, p3=p3_out, crrna_seq=pending.crrna_seq,
+        downstream_seq=pending.downstream_seq,
+        upstream_seq=pending.upstream_seq,
+        temp_range=pending.temp_range,
+        crrna_range=pending.crrna_range, min_bases=pending.min_dist)
