@@ -279,40 +279,48 @@ def _batch_keys(dkey, ikey, kkey, C, cell_count):
     return hit
 
 
-def _collect_runs(Mo, dho, dso, dkey, ikey, kkey, C, cell_count):
+def _collect_runs(Mo, Bo, dh_rows, ds_rows, dkey, ikey, kkey, C,
+                  cell_count):
     """All maximal match-runs over C candidates' flattened matrices.
+
+    ``Mo``/``Bo`` are the match and stack-contribution masks in scan
+    order; per-cell ΔH/ΔS contributions are gathered lazily from the
+    (C, L) ``dh_rows``/``ds_rows`` tables at the match cells only — the
+    matrices are sparse, so everything after the flatten touches just the
+    nonzero cells.  The bincount accumulation order over a run's cells is
+    the scan order, identical to the dense version it replaced (dropping
+    the zero-contribution cells cannot change a float sum), so results
+    stay bit-equal.
 
     Returns dict of per-run arrays (in scan order): cand, dh, ds, len,
     i0/i1 (first coordinate at run start/end), k0/k1 (second coordinate),
     or None when there are no matches."""
-    if not Mo.any():
+    nz = np.flatnonzero(Mo)
+    if nz.size == 0:
         return None
     _, ck, dk, ik, kk = _batch_keys(dkey, ikey, kkey, C, cell_count)
-    prev = np.empty_like(Mo)
-    prev[0] = False
-    prev[1:] = Mo[:-1] & (dk[1:] == dk[:-1])
-    start = Mo & ~prev
-    nxt = np.empty_like(Mo)
-    nxt[-1] = False
-    nxt[:-1] = Mo[1:] & (dk[1:] == dk[:-1])
-    end = Mo & ~nxt
-    rid = np.cumsum(start) - 1
+    cknz = ck[nz]
+    iknz = ik[nz]
+    kknz = kk[nz]
+    new = np.empty(nz.size, bool)
+    new[0] = True
+    # a run continues across consecutive scan cells on the same diagonal
+    new[1:] = (nz[1:] != nz[:-1] + 1) | (dk[nz[1:]] != dk[nz[:-1]])
+    rid = np.cumsum(new) - 1
     nr = int(rid[-1]) + 1
-    sel = Mo
-    runs = {
-        "dh": np.bincount(rid[sel], weights=dho[sel], minlength=nr),
-        "ds": np.bincount(rid[sel], weights=dso[sel], minlength=nr),
-        "len": np.bincount(rid[sel], minlength=nr),
-        "cand": np.empty(nr, np.int64),
-        "i0": np.empty(nr, np.int64), "k0": np.empty(nr, np.int64),
-        "i1": np.empty(nr, np.int64), "k1": np.empty(nr, np.int64),
+    vals = np.where(Bo[nz], dh_rows[cknz, iknz], 0.0)
+    vals_ds = np.where(Bo[nz], ds_rows[cknz, iknz], 0.0)
+    last = np.empty(nz.size, bool)
+    last[:-1] = new[1:]
+    last[-1] = True
+    return {
+        "dh": np.bincount(rid, weights=vals, minlength=nr),
+        "ds": np.bincount(rid, weights=vals_ds, minlength=nr),
+        "len": np.bincount(rid, minlength=nr),
+        "cand": cknz[new],
+        "i0": iknz[new], "k0": kknz[new],
+        "i1": iknz[last], "k1": kknz[last],
     }
-    runs["cand"][rid[start]] = ck[start]
-    runs["i0"][rid[start]] = ik[start]
-    runs["k0"][rid[start]] = kk[start]
-    runs["i1"][rid[end]] = ik[end]
-    runs["k1"][rid[end]] = kk[end]
-    return runs
 
 
 _LOG_C4 = None
@@ -469,12 +477,10 @@ def batch_self_screens(seqs, loops=True):
     M = comp[:, :, None] == b[:, None, :]
     both = np.zeros_like(M)
     both[:, 1:, 1:] = M[:, 1:, 1:] & M[:, :-1, :-1]
-    cdh = np.where(both, dh_row[:, :, None], 0.0)
-    cds = np.where(both, ds_row[:, :, None], 0.0)
     order, dkey, ikey = _duplex_order(L, L)
     flat = M.reshape(C, L * L)[:, order].ravel()
-    runs = _collect_runs(flat, cdh.reshape(C, L * L)[:, order].ravel(),
-                         cds.reshape(C, L * L)[:, order].ravel(),
+    bflat = both.reshape(C, L * L)[:, order].ravel()
+    runs = _collect_runs(flat, bflat, dh_row, ds_row,
                          dkey, ikey, ikey - dkey, C, L * L)
     any_dh, any_ds = _best_structures(runs, C, inner_desc=False, loops=loops)
     end_dh, end_ds = _best_structures(runs, C, inner_desc=False,
@@ -486,12 +492,10 @@ def batch_self_screens(seqs, loops=True):
         & ((yy[None, :] - yy[:, None]) > 3)
     hboth = np.zeros_like(H)
     hboth[:, 1:, :-1] = H[:, 1:, :-1] & H[:, :-1, 1:]
-    hdh = np.where(hboth, dh_row[:, :, None], 0.0)
-    hds = np.where(hboth, ds_row[:, :, None], 0.0)
     horder, qkey, xkey = _hairpin_order(L)
     hflat = H.reshape(C, L * L)[:, horder].ravel()
-    hruns = _collect_runs(hflat, hdh.reshape(C, L * L)[:, horder].ravel(),
-                          hds.reshape(C, L * L)[:, horder].ravel(),
+    hbflat = hboth.reshape(C, L * L)[:, horder].ravel()
+    hruns = _collect_runs(hflat, hbflat, dh_row, ds_row,
                           qkey, xkey, qkey - xkey, C, L * L)
     hp_dh, hp_ds = _best_structures(hruns, C, inner_desc=True, loops=loops)
 
@@ -567,12 +571,10 @@ def pair_screens(s1: str, s2: str, loops=True):
     dim = a[:-1].astype(np.int32) * 5 + a[1:]
     dh_row[1:] = _DH_LUT[dim]
     ds_row[1:] = _DS_LUT[dim]
-    cdh = np.where(both, dh_row[:, None], 0.0)
-    cds = np.where(both, ds_row[:, None], 0.0)
     order, dkey, ikey = _duplex_order(n, m)
-    runs = _collect_runs(M.ravel()[order], cdh.ravel()[order],
-                         cds.ravel()[order], dkey, ikey, ikey - dkey, 1,
-                         n * m)
+    runs = _collect_runs(M.ravel()[order], both.ravel()[order],
+                         dh_row[None], ds_row[None],
+                         dkey, ikey, ikey - dkey, 1, n * m)
     any_dh, any_ds = _best_structures(runs, 1, inner_desc=False, loops=loops)
     end_dh, end_ds = _best_structures(runs, 1, inner_desc=False,
                                       end_i=n - 1, loops=loops)
