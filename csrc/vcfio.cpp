@@ -257,4 +257,48 @@ void kvcf_free(KVcf* v) {
     delete reinterpret_cast<KVcfImpl*>(v);
 }
 
+// Sliding-window replay for the scan prefilter — the exact two-pointer /
+// monotonic-deque algorithm of krisp_tpu/vcf/fastscan.py:_window_types
+// (which stays as the Python oracle; equality is fuzz-pinned by
+// tests/test_native_vcf.py).  Types every (end) window of the group's
+// sliding deque: 0 empty, 1 Undiagnostic, 2 Unconserved, 3 Misplaced,
+// 4 candidate.  Reference deque semantics: krisp_vcf.py:171-218.
+void kvcf_window_types(const int64_t* starts, const int64_t* ends,
+                       const int64_t* delta, const uint8_t* is_diag,
+                       const uint8_t* is_consv, int64_t V, int64_t span,
+                       int64_t min_vars, int8_t* types, int64_t* jstart) {
+    std::vector<int64_t> dpre(V + 1, 0), dsum(V + 1, 0), usum(V + 1, 0);
+    for (int64_t i = 0; i < V; ++i) {
+        dpre[i + 1] = dpre[i] + delta[i];
+        dsum[i + 1] = dsum[i] + (is_diag[i] ? 1 : 0);
+        usum[i + 1] = usum[i] + (is_consv[i] ? 0 : 1);
+    }
+    // monotonic index deques as ring-less arrays (each e enters once)
+    std::vector<int64_t> maxdq(V), mindq(V);
+    int64_t mx0 = 0, mx1 = 0, mn0 = 0, mn1 = 0, j = 0;
+    for (int64_t e = 0; e < V; ++e) {
+        const int64_t ee = ends[e];
+        while (mx1 > mx0 && ends[maxdq[mx1 - 1]] <= ee) --mx1;
+        maxdq[mx1++] = e;
+        const int64_t se = starts[e];
+        while (mn1 > mn0 && starts[mindq[mn1 - 1]] >= se) --mn1;
+        mindq[mn1++] = e;
+        while (j <= e) {
+            const int64_t length = ends[maxdq[mx0]] - starts[mindq[mn0]]
+                                   + 1 + dpre[e + 1] - dpre[j];
+            if (length <= span) break;
+            ++j;
+            if (maxdq[mx0] < j) ++mx0;
+            if (mindq[mn0] < j) ++mn0;
+        }
+        jstart[e] = j;
+        if (j > e) { types[e] = 0; continue; }
+        const int64_t nd = dsum[e + 1] - dsum[j];
+        if (nd < min_vars) types[e] = 1;
+        else if (usum[e + 1] - usum[j] > 0) types[e] = 2;
+        else if (nd == 1 && !is_diag[e]) types[e] = 3;
+        else types[e] = 4;
+    }
+}
+
 }  // extern "C"

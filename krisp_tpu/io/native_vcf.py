@@ -80,8 +80,42 @@ def get_lib():
         lib.kvcf_read_range.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                         ctypes.c_int64, ctypes.c_int64]
         lib.kvcf_free.argtypes = [ctypes.POINTER(_KVcf)]
+        lib.kvcf_window_types.restype = None
+        lib.kvcf_window_types.argtypes = (
+            [ctypes.POINTER(ctypes.c_int64)] * 3
+            + [ctypes.POINTER(ctypes.c_uint8)] * 2
+            + [ctypes.c_int64] * 3
+            + [ctypes.POINTER(ctypes.c_int8),
+               ctypes.POINTER(ctypes.c_int64)])
         _lib = lib
         return lib
+
+
+def window_types_native(starts, ends, delta, is_diag, is_consv, span,
+                        min_vars):
+    """Native sliding-window replay (csrc kvcf_window_types); None when
+    the library is unavailable.  Bit-equal to fastscan._window_types
+    (fuzz-pinned by tests/test_native_vcf.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    delta = np.ascontiguousarray(delta, np.int64)
+    is_diag = np.ascontiguousarray(is_diag, np.uint8)
+    is_consv = np.ascontiguousarray(is_consv, np.uint8)
+    V = starts.shape[0]
+    types = np.empty(V, np.int8)
+    jstart = np.empty(V, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.kvcf_window_types(
+        starts.ctypes.data_as(i64p), ends.ctypes.data_as(i64p),
+        delta.ctypes.data_as(i64p), is_diag.ctypes.data_as(u8p),
+        is_consv.ctypes.data_as(u8p), V, int(span), int(min_vars),
+        types.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        jstart.ctypes.data_as(i64p))
+    return types, jstart
 
 
 class ColumnarVcf:

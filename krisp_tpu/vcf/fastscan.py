@@ -345,19 +345,26 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
     group_len = np.where(gl < 0, rlen[:, None], gl)
     delta_np = group_len - rlen[:, None]           # (Vr, G)
 
-    starts = starts_np.tolist()
-    ends = ends_np.tolist()
     is_diag_np = diag >= 0
     is_consv_np = consv >= 0
 
+    from ..io.native_vcf import window_types_native
     types_g = []
     jstart_g = []
+    starts = ends = None
     for gi in range(G):
-        t, j = _window_types(starts, ends, delta_np[:, gi].tolist(),
-                             is_diag_np[:, gi].tolist(),
-                             is_consv_np[:, gi].tolist(), span, min_vars)
-        types_g.append(t)
-        jstart_g.append(j)
+        tj = window_types_native(starts_np, ends_np, delta_np[:, gi],
+                                 is_diag_np[:, gi], is_consv_np[:, gi],
+                                 span, min_vars)
+        if tj is None:  # no native lib: the Python oracle is the fallback
+            if starts is None:
+                starts = starts_np.tolist()
+                ends = ends_np.tolist()
+            tj = _window_types(starts, ends, delta_np[:, gi].tolist(),
+                               is_diag_np[:, gi].tolist(),
+                               is_consv_np[:, gi].tolist(), span, min_vars)
+        types_g.append(tj[0])
+        jstart_g.append(tj[1])
 
     # lazy per-row device-classified variant objects (only candidates'
     # context windows materialize)

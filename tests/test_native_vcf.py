@@ -121,3 +121,34 @@ def test_contig_range_bounded_by_resuming_contig(tmp_path):
             assert slb.n_records == 7
     finally:
         idx.cleanup()
+
+
+def test_native_window_types_matches_python_fuzz():
+    """kvcf_window_types == fastscan._window_types on random overlapping
+    windows, including negative indel deltas and clustered positions."""
+    import numpy as np
+
+    from krisp_tpu.io.native_vcf import window_types_native
+    from krisp_tpu.vcf.fastscan import _window_types
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        V = int(rng.integers(1, 400))
+        gaps = rng.integers(0, 6, V)          # dense -> overlapping windows
+        starts = np.cumsum(gaps).astype(np.int64)
+        rlen = rng.integers(1, 9, V).astype(np.int64)
+        ends = starts + rlen - 1
+        delta = rng.integers(-4, 7, V).astype(np.int64)
+        is_diag = rng.random(V) < 0.3
+        is_consv = rng.random(V) < 0.85
+        span = int(rng.integers(5, 40))
+        min_vars = int(rng.integers(1, 3))
+        nt, nj = window_types_native(starts, ends, delta, is_diag,
+                                     is_consv, span, min_vars)
+        pt, pj = _window_types(starts.tolist(), ends.tolist(),
+                               delta.tolist(), is_diag.tolist(),
+                               is_consv.tolist(), span, min_vars)
+        assert nt.tolist() == pt
+        assert nj.tolist() == pj
