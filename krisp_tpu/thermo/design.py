@@ -232,11 +232,13 @@ class _DesignJob:
     into single numpy passes (``batch_self_screens`` results are invariant
     to batch composition — pinned by tests/test_thermo.py).
 
-    Protocol: while not ``done``, call ``request()`` for the sequences the
-    next screen round needs, then ``feed()`` with their (any, end, hairpin)
-    triples; ``output()`` yields the primer3-shaped dict.  The round
-    structure, early-stop bound, and pair iteration order are identical to
-    the serial loop this replaces, so results are bit-equal."""
+    Protocol: drive the ``run()`` generator — it yields
+    ``("self", [seqs])`` and ``("pair", (s1, s2))`` screen requests and
+    receives the results via ``send()``; when it returns, ``output()``
+    yields the primer3-shaped dict.  The round structure, early-stop
+    bound, and pair iteration order are identical to the serial loop this
+    replaces (the generator preserves the exact control flow across
+    suspensions), so results are bit-equal."""
 
     CHUNK = 8
 
@@ -277,70 +279,69 @@ class _DesignJob:
         self.rights_ok: list = []
         self.compl_memo: dict = {}
         self.best = None
-        self.done = False
 
-    def request(self):
-        """Sequences the next screen round needs (left chunk + right
-        chunk, fused into one batch)."""
-        lchunk = self.short_l[self.l_done:self.l_done + self.CHUNK]
-        rchunk = self.short_r[self.r_done:self.r_done + self.CHUNK]
-        self._lchunk, self._rchunk = lchunk, rchunk
-        return [c[3] for c in lchunk] + [c[3] for c in rchunk]
+    def run(self):
+        """Generator: yields screen requests, receives results, returns
+        when the selection is final (identical control flow to the serial
+        loop — suspension points only replace direct nn calls)."""
+        while True:
+            lchunk = self.short_l[self.l_done:self.l_done + self.CHUNK]
+            rchunk = self.short_r[self.r_done:self.r_done + self.CHUNK]
+            # one fused screen batch per round: left and right chunks
+            # share a single pass (results are per-sequence, so batching
+            # is output-invariant — pinned by tests/test_thermo.py)
+            ths = yield ("self", [c[3] for c in lchunk]
+                         + [c[3] for c in rchunk])
+            for c, th in zip(lchunk, ths[:len(lchunk)]):
+                if max(th) <= self.max_sec_tm:
+                    self.lefts_ok.append((c, th))
+            for c, th in zip(rchunk, ths[len(lchunk):]):
+                if max(th) <= self.max_sec_tm:
+                    self.rights_ok.append((c, th))
+            self.l_done += len(lchunk)
+            self.r_done += len(rchunk)
+            progressed = bool(lchunk) or bool(rchunk)
 
-    def feed(self, ths):
-        """Consume the screen results for the last ``request()`` and run
-        the pair-evaluation round (identical order/logic to the serial
-        loop)."""
-        lchunk, rchunk = self._lchunk, self._rchunk
-        for c, th in zip(lchunk, ths[:len(lchunk)]):
-            if max(th) <= self.max_sec_tm:
-                self.lefts_ok.append((c, th))
-        for c, th in zip(rchunk, ths[len(lchunk):]):
-            if max(th) <= self.max_sec_tm:
-                self.rights_ok.append((c, th))
-        self.l_done += len(lchunk)
-        self.r_done += len(rchunk)
-        progressed = bool(lchunk) or bool(rchunk)
+            amp_size, max_sec_tm = self.amp_size, self.max_sec_tm
+            best = self.best
+            for lc, lth in self.lefts_ok:
+                for rc, rth in self.rights_ok:
+                    l_pen, l_start, l_size = lc[0], lc[1], lc[2]
+                    r_pen, r_start, r_size = rc[0], rc[1], rc[2]
+                    product = (r_start + r_size) - l_start
+                    if not (amp_size[0] <= product <= amp_size[1]):
+                        continue
+                    pair_pen = l_pen + r_pen
+                    if best is not None and pair_pen >= best["penalty"]:
+                        continue
+                    key = (l_start, l_size, r_start, r_size)
+                    th2 = self.compl_memo.get(key)
+                    if th2 is None:
+                        # one pass computes both ANY and END
+                        th2 = yield ("pair", (lc[3], rc[3]))
+                        self.compl_memo[key] = th2
+                    compl_any, compl_end = th2
+                    if compl_any > max_sec_tm or compl_end > max_sec_tm:
+                        continue
+                    best = {"penalty": pair_pen, "left": (lc, lth),
+                            "right": (rc, rth), "product": product,
+                            "compl_any": compl_any, "compl_end": compl_end}
+            self.best = best
 
-        amp_size, max_sec_tm = self.amp_size, self.max_sec_tm
-        best = self.best
-        for lc, lth in self.lefts_ok:
-            for rc, rth in self.rights_ok:
-                l_pen, l_start, l_size = lc[0], lc[1], lc[2]
-                r_pen, r_start, r_size = rc[0], rc[1], rc[2]
-                product = (r_start + r_size) - l_start
-                if not (amp_size[0] <= product <= amp_size[1]):
-                    continue
-                pair_pen = l_pen + r_pen
-                if best is not None and pair_pen >= best["penalty"]:
-                    continue
-                key = (l_start, l_size, r_start, r_size)
-                th2 = self.compl_memo.get(key)
-                if th2 is None:
-                    # one pass computes both ANY and END
-                    th2 = nn.pair_screens(lc[3], rc[3])
-                    self.compl_memo[key] = th2
-                compl_any, compl_end = th2
-                if compl_any > max_sec_tm or compl_end > max_sec_tm:
-                    continue
-                best = {"penalty": pair_pen, "left": (lc, lth),
-                        "right": (rc, rth), "product": product,
-                        "compl_any": compl_any, "compl_end": compl_end}
-        self.best = best
-
-        lb = None
-        if self.l_done < len(self.short_l) and self.short_r:
-            lb = self.short_l[self.l_done][0] + self.short_r[0][0]
-        if self.r_done < len(self.short_r) and self.short_l:
-            lb2 = self.short_l[0][0] + self.short_r[self.r_done][0]
-            lb = lb2 if lb is None else min(lb, lb2)
-        if (not self._exhaustive and best is not None
-                and (lb is None or best["penalty"] < lb)):
-            # strict: an unscreened pair tying on penalty could precede in
-            # the full iteration order, so ties keep screening
-            self.done = True
-        elif not progressed:
-            self.done = True
+            lb = None
+            if self.l_done < len(self.short_l) and self.short_r:
+                lb = self.short_l[self.l_done][0] + self.short_r[0][0]
+            if self.r_done < len(self.short_r) and self.short_l:
+                lb2 = self.short_l[0][0] + self.short_r[self.r_done][0]
+                lb = lb2 if lb is None else min(lb, lb2)
+            if (not self._exhaustive and best is not None
+                    and (lb is None or best["penalty"] < lb)):
+                # strict: an unscreened pair tying on penalty could
+                # precede in the full iteration order, so ties keep
+                # screening
+                return
+            if not progressed:
+                return
 
     def output(self):
         out = {}
@@ -397,21 +398,46 @@ class _DesignJob:
 
 def design_primers_batch(jobs_args, **kwargs):
     """Design primer pairs for many (template, target_start, target_len)
-    jobs, fusing each screen round across every live job into ONE
-    ``batch_self_screens`` pass.  Per-job results are bit-identical to
-    ``design_primers`` run serially (the rounds, early stops, and pair
-    orders are per-job state; only the numpy batching is shared)."""
+    jobs, fusing each screen round across every live job: one
+    ``batch_self_screens`` pass for all candidate-chunk requests and one
+    ``pair_screens_batch`` pass for all pair requests per driver round.
+    Per-job results are bit-identical to ``design_primers`` run serially
+    (rounds, early stops, and pair orders are per-job generator state;
+    only the numpy batching is shared — both batchings are composition-
+    invariant, pinned by tests/test_thermo.py)."""
     jobs = [_DesignJob(*a, **kwargs) for a in jobs_args]
-    live = [j for j in jobs if not j.done]
+    live = []
+    for j in jobs:
+        g = j.run()
+        try:
+            live.append((g, g.send(None)))
+        except StopIteration:
+            pass
     while live:
-        reqs = [j.request() for j in live]
-        flat = [s for r in reqs for s in r]
-        ths = nn.batch_self_screens(flat)
-        off = 0
-        for j, r in zip(live, reqs):
-            j.feed(ths[off:off + len(r)])
-            off += len(r)
-        live = [j for j in live if not j.done]
+        results = [None] * len(live)
+        selfs = [(i, r[1]) for i, (_, r) in enumerate(live)
+                 if r[0] == "self"]
+        if selfs:
+            ths = nn.batch_self_screens([s for _, seqs in selfs
+                                         for s in seqs])
+            off = 0
+            for i, seqs in selfs:
+                results[i] = ths[off:off + len(seqs)]
+                off += len(seqs)
+        prs = [(i, r[1]) for i, (_, r) in enumerate(live)
+               if r[0] == "pair"]
+        if prs:
+            for (i, _), th2 in zip(prs,
+                                   nn.pair_screens_batch([p for _, p
+                                                          in prs])):
+                results[i] = th2
+        nxt = []
+        for (g, _), res in zip(live, results):
+            try:
+                nxt.append((g, g.send(res)))
+            except StopIteration:
+                pass
+        live = nxt
     return [j.output() for j in jobs]
 
 

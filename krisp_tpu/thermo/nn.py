@@ -554,32 +554,62 @@ def self_end_th(seq: str, loops=True) -> float:
     return batch_self_screens([seq], loops=loops)[0][1]
 
 
+def pair_screens_batch(pairs, loops=True):
+    """[(PAIR_COMPL_ANY_TH, PAIR_COMPL_END_TH)] for a batch of primer
+    pairs in one numpy pass, under the same structure model as the self
+    screens (single helix or two helices joined by one bulge/internal
+    loop when ``loops``).
+
+    Padding keeps every real cell's (i, k) coordinates: s1 pads at its 3'
+    end, the reversed s2 pads past its end, and pad code 4 never
+    complements — so run sets, scan order among real cells (the (d, i)
+    sort keys are unchanged), and therefore results are bit-equal to the
+    single-pair call (pinned by tests/test_thermo.py)."""
+    C = len(pairs)
+    if C == 0:
+        return []
+    a_lens = np.array([len(p[0]) for p in pairs])
+    b_lens = np.array([len(p[1]) for p in pairs])
+    ok = (a_lens >= 2) & (b_lens >= 2)
+    L1 = int(a_lens.max()) if a_lens.size else 0
+    L2 = int(b_lens.max()) if b_lens.size else 0
+    if L1 < 2 or L2 < 2 or not ok.any():
+        return [(0.0, 0.0)] * C
+    codes_a = np.full((C, L1), 4, np.int8)
+    brev = np.full((C, L2), 4, np.int8)
+    for k, (s1, s2) in enumerate(pairs):
+        if not ok[k]:
+            continue
+        codes_a[k, :len(s1)] = _codes(s1)
+        brev[k, :len(s2)] = _codes(s2)[::-1]
+    dim = codes_a[:, :-1].astype(np.int32) * 5 + codes_a[:, 1:]
+    dh_row = np.zeros((C, L1))
+    ds_row = np.zeros((C, L1))
+    dh_row[:, 1:] = _DH_LUT[dim]
+    ds_row[:, 1:] = _DS_LUT[dim]
+    M = _COMP_CODE[codes_a][:, :, None] == brev[:, None, :]
+    both = np.zeros_like(M)
+    both[:, 1:, 1:] = M[:, 1:, 1:] & M[:, :-1, :-1]
+    order, dkey, ikey = _duplex_order(L1, L2)
+    flat = M.reshape(C, L1 * L2)[:, order].ravel()
+    bflat = both.reshape(C, L1 * L2)[:, order].ravel()
+    runs = _collect_runs(flat, bflat, dh_row, ds_row,
+                         dkey, ikey, ikey - dkey, C, L1 * L2)
+    any_dh, any_ds = _best_structures(runs, C, inner_desc=False,
+                                      loops=loops)
+    end_dh, end_ds = _best_structures(runs, C, inner_desc=False,
+                                      end_i=a_lens - 1, loops=loops)
+    return [(0.0, 0.0) if not ok[ci]
+            else (round(duplex_tm(any_dh[ci], any_ds[ci]), 5),
+                  round(duplex_tm(end_dh[ci], end_ds[ci]), 5))
+            for ci in range(C)]
+
+
 def pair_screens(s1: str, s2: str, loops=True):
     """(PAIR_COMPL_ANY_TH, PAIR_COMPL_END_TH) for a primer pair under the
     same structure model as the self screens (single helix or two helices
     joined by one bulge/internal loop when ``loops``)."""
-    a = _codes(s1)
-    b = _codes(s2)[::-1]
-    n, m = a.size, b.size
-    if n < 2 or m < 2:
-        return (0.0, 0.0)
-    M = _COMP_CODE[a][:, None] == b[None, :]
-    both = np.zeros_like(M)
-    both[1:, 1:] = M[1:, 1:] & M[:-1, :-1]
-    dh_row = np.zeros(n)
-    ds_row = np.zeros(n)
-    dim = a[:-1].astype(np.int32) * 5 + a[1:]
-    dh_row[1:] = _DH_LUT[dim]
-    ds_row[1:] = _DS_LUT[dim]
-    order, dkey, ikey = _duplex_order(n, m)
-    runs = _collect_runs(M.ravel()[order], both.ravel()[order],
-                         dh_row[None], ds_row[None],
-                         dkey, ikey, ikey - dkey, 1, n * m)
-    any_dh, any_ds = _best_structures(runs, 1, inner_desc=False, loops=loops)
-    end_dh, end_ds = _best_structures(runs, 1, inner_desc=False,
-                                      end_i=n - 1, loops=loops)
-    return (round(duplex_tm(any_dh[0], any_ds[0]), 5),
-            round(duplex_tm(end_dh[0], end_ds[0]), 5))
+    return pair_screens_batch([(s1, s2)], loops=loops)[0]
 
 
 def pair_any_th(seq1: str, seq2: str, loops=True) -> float:

@@ -209,3 +209,24 @@ def test_loop_joined_structures_detected():
     b = nn.batch_self_screens(seqs, loops=False)
     stricter = sum(x[0] > y[0] or x[2] > y[2] for x, y in zip(a, b))
     assert stricter >= 10
+
+
+def test_pair_screens_batch_matches_singles():
+    """Batch composition and padding must not change pair screen values
+    (mixed lengths, degenerate pairs, random sequences)."""
+    import numpy as np
+    from krisp_tpu.thermo import nn
+    rng = np.random.default_rng(13)
+    pairs = []
+    for _ in range(40):
+        n = int(rng.integers(2, 36))
+        m = int(rng.integers(2, 36))
+        pairs.append(("".join(rng.choice(list("ACGT"), n)),
+                      "".join(rng.choice(list("ACGT"), m))))
+    pairs.append(("A", "ACGTACGT"))      # degenerate s1
+    pairs.append(("ACGTACGT", "G"))      # degenerate s2
+    for loops in (True, False):
+        batch = nn.pair_screens_batch(pairs, loops=loops)
+        singles = [nn.pair_screens_batch([p], loops=loops)[0]
+                   for p in pairs]
+        assert batch == singles
