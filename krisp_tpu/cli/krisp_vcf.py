@@ -168,8 +168,14 @@ def _worker(result_queue, log_queue, failure_event, vcf_path, chunk, groups,
 
 
 def run_all(args):
+    from ..runtime import setup as _setup_runtime
     from ..vcf.classify import parse_group_data
     from ..vcf.report import ResultWriter, make_chunks, report_diag_region
+
+    # persistent compile cache + JAX_PLATFORMS override for the device
+    # engine (the other CLIs do this too; without it a cold device scan
+    # pays the full TPU compile every invocation)
+    _setup_runtime()
 
     global logger
     logger = configure_logger(args)
