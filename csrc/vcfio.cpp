@@ -54,6 +54,9 @@ struct KVcf {
     int32_t* dp;              // [n_records * n_samples]; -1 missing
     int32_t* gq;              // [n_records * n_samples]; -1 missing
     int32_t* ad;              // [n_records * n_samples * max_alleles]; 0 missing
+    int32_t* rlen;            // [n_records] REF allele length
+    int32_t* alen;            // [n_records * max_alleles] allele length;
+                              // '*' counts 0, padding -1
 };
 
 struct KVcfImpl {
@@ -61,7 +64,7 @@ struct KVcfImpl {
     std::string sample_blob, chrom_blob, allele_blob;
     std::vector<int64_t> pos, allele_off;
     std::vector<double> qual, mq;
-    std::vector<int32_t> n_alleles, chrom_id, dp, gq, ad;
+    std::vector<int32_t> n_alleles, chrom_id, dp, gq, ad, rlen, alen;
 };
 
 static bool read_line(gzFile f, std::string& line) {
@@ -161,11 +164,18 @@ KVcf* kvcf_read_range(const char* path, int max_alleles,
         int32_t na = 1;
         impl->allele_blob += fields[3];
         impl->allele_blob += '\0';
+        impl->rlen.push_back((int32_t)fields[3].size());
+        impl->alen.resize(impl->alen.size() + max_alleles, -1);
+        int32_t* arow = impl->alen.data() + impl->alen.size() - max_alleles;
+        if (max_alleles > 0)
+            arow[0] = (fields[3] == "*") ? 0 : (int32_t)fields[3].size();
         if (fields[4] != "." && !fields[4].empty()) {
             split(fields[4], ',', alts);
             for (auto& a : alts) {
                 impl->allele_blob += a;
                 impl->allele_blob += '\0';
+                if (na < max_alleles)
+                    arow[na] = (a == "*") ? 0 : (int32_t)a.size();
                 ++na;
             }
         }
@@ -245,6 +255,8 @@ KVcf* kvcf_read_range(const char* path, int max_alleles,
     p.dp = impl->dp.data();
     p.gq = impl->gq.data();
     p.ad = impl->ad.data();
+    p.rlen = impl->rlen.data();
+    p.alen = impl->alen.data();
     return &p;
 }
 

@@ -44,6 +44,8 @@ class _KVcf(ctypes.Structure):
         ("dp", ctypes.POINTER(ctypes.c_int32)),
         ("gq", ctypes.POINTER(ctypes.c_int32)),
         ("ad", ctypes.POINTER(ctypes.c_int32)),
+        ("rlen", ctypes.POINTER(ctypes.c_int32)),
+        ("alen", ctypes.POINTER(ctypes.c_int32)),
     ]
 
 
@@ -118,11 +120,88 @@ def window_types_native(starts, ends, delta, is_diag, is_consv, span,
     return types, jstart
 
 
+class _NativeOwner:
+    """Frees one native KVcf when the last zero-copy view over it dies
+    (every view's ``base`` chain holds a reference here)."""
+
+    __slots__ = ("_lib", "_ptr")
+
+    def __init__(self, lib, ptr):
+        self._lib = lib
+        self._ptr = ptr
+
+    def __del__(self):
+        try:
+            self._lib.kvcf_free(self._ptr)
+        except Exception:
+            pass
+
+
+_NP_OF_CTYPE = {ctypes.c_int32: np.int32, ctypes.c_int64: np.int64,
+                ctypes.c_double: np.float64}
+
+
+def _view(cptr, shape, owner):
+    """Zero-copy numpy view over a native array, lifetime-tied to owner."""
+    n = 1
+    for s in shape:
+        n *= s
+    if n == 0:  # zero samples/alleles: data() may be NULL
+        return np.zeros(shape, _NP_OF_CTYPE[cptr._type_])
+    buf = (cptr._type_ * n).from_address(
+        ctypes.addressof(cptr.contents))
+    buf._owner = owner  # numpy base -> ctypes buf -> owner -> kvcf_free
+    return np.ctypeslib.as_array(buf).reshape(shape)
+
+
+class _LazyAlleles:
+    """Per-record allele tuples decoded on demand from the native
+    NUL-separated blob (most records' allele strings are never read by the
+    scan; eager decode was ~25% of the columnar load)."""
+
+    __slots__ = ("_blob", "_off", "_n", "_bounds")
+
+    def __init__(self, blob, allele_off, n_alleles):
+        self._blob = blob          # bytes, NUL after every allele string
+        self._off = allele_off     # string index of record's first allele
+        self._n = n_alleles
+        self._bounds = None
+
+    def _byte_bounds(self):
+        if self._bounds is None:
+            nul = np.nonzero(np.frombuffer(self._blob, np.uint8) == 0)[0]
+            starts = np.empty_like(nul)
+            starts[0] = 0
+            starts[1:] = nul[:-1] + 1
+            self._bounds = (starts, nul)
+        return self._bounds
+
+    def __len__(self):
+        return len(self._off)
+
+    def __getitem__(self, v):
+        if isinstance(v, slice):
+            return [self[i] for i in range(*v.indices(len(self._off)))]
+        starts, stops = self._byte_bounds()
+        o = int(self._off[v])
+        blob = self._blob
+        return tuple(blob[starts[j]:stops[j]].decode()
+                     for j in range(o, o + int(self._n[v])))
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self._off)))
+
+    def __eq__(self, other):
+        if isinstance(other, (list, tuple)):
+            return list(self) == list(other)
+        return NotImplemented
+
+
 class ColumnarVcf:
     """Whole-file columnar VCF (native parse); None when unavailable."""
 
     def __init__(self, samples, chroms, chrom_id, pos, qual, mq, n_alleles,
-                 alleles, dp, gq, ad):
+                 alleles, dp, gq, ad, rlen=None, alen=None):
         self.samples = samples
         self.chroms = chroms
         self.chrom_id = chrom_id
@@ -130,10 +209,14 @@ class ColumnarVcf:
         self.qual = qual
         self.mq = mq
         self.n_alleles = n_alleles
-        self.alleles = alleles      # list of tuples per record
+        self.alleles = alleles      # per-record allele tuples (maybe lazy)
         self.dp = dp                # (V, S) int32, -1 missing
         self.gq = gq
         self.ad = ad                # (V, S, A) int32
+        if rlen is not None:
+            self._rlen = rlen
+        if alen is not None:
+            self._alen = alen
 
     @property
     def n_records(self):
@@ -173,41 +256,40 @@ def read_columnar(path, max_alleles=8, start=0, end=-1):
                               int(start), int(end))
     if not ptr:
         return None
-    try:
-        c = ptr.contents
-        V, S, A = int(c.n_records), int(c.n_samples), int(c.max_alleles)
-        samples = (ctypes.string_at(c.sample_blob, c.sample_blob_len)
-                   .decode().split("\0")[:-1] if c.sample_blob_len else [])
-        chroms = (ctypes.string_at(c.chrom_blob, c.chrom_blob_len)
-                  .decode().split("\0")[:-1] if c.chrom_blob_len else [])
-        if V == 0:
-            # empty range/file: the C++ vectors' data() may be NULL, which
-            # np.ctypeslib.as_array rejects even at length 0
-            return ColumnarVcf(samples, chroms,
-                               np.zeros(0, np.int32), np.zeros(0, np.int64),
-                               np.zeros(0), np.zeros(0),
-                               np.zeros(0, np.int32), [],
-                               np.zeros((0, S), np.int32),
-                               np.zeros((0, S), np.int32),
-                               np.zeros((0, S, A), np.int32))
-        pos = np.ctypeslib.as_array(c.pos, (V,)).copy()
-        qual = np.ctypeslib.as_array(c.qual, (V,)).copy()
-        mq = np.ctypeslib.as_array(c.mq, (V,)).copy()
-        n_alleles = np.ctypeslib.as_array(c.n_alleles, (V,)).copy()
-        chrom_id = np.ctypeslib.as_array(c.chrom_id, (V,)).copy()
-        blob = ctypes.string_at(c.allele_blob, c.allele_blob_len)
-        allele_strings = blob.decode().split("\0")[:-1]
-        allele_off = np.ctypeslib.as_array(c.allele_off, (V,)).copy()
-        alleles = [tuple(allele_strings[allele_off[v]:
-                                        allele_off[v] + n_alleles[v]])
-                   for v in range(V)]
-        dp = np.ctypeslib.as_array(c.dp, (V, S)).copy() if V else \
-            np.zeros((0, S), np.int32)
-        gq = np.ctypeslib.as_array(c.gq, (V, S)).copy() if V else \
-            np.zeros((0, S), np.int32)
-        ad = np.ctypeslib.as_array(c.ad, (V, S, A)).copy() if V else \
-            np.zeros((0, S, A), np.int32)
-    finally:
+    c = ptr.contents
+    V, S, A = int(c.n_records), int(c.n_samples), int(c.max_alleles)
+    samples = (ctypes.string_at(c.sample_blob, c.sample_blob_len)
+               .decode().split("\0")[:-1] if c.sample_blob_len else [])
+    chroms = (ctypes.string_at(c.chrom_blob, c.chrom_blob_len)
+              .decode().split("\0")[:-1] if c.chrom_blob_len else [])
+    if V == 0:
+        # empty range/file: the C++ vectors' data() may be NULL, which
+        # np.ctypeslib.as_array rejects even at length 0
         lib.kvcf_free(ptr)
+        return ColumnarVcf(samples, chroms,
+                           np.zeros(0, np.int32), np.zeros(0, np.int64),
+                           np.zeros(0), np.zeros(0),
+                           np.zeros(0, np.int32), [],
+                           np.zeros((0, S), np.int32),
+                           np.zeros((0, S), np.int32),
+                           np.zeros((0, S, A), np.int32))
+    # zero-copy views over the native arrays: the parse result is consumed
+    # once by the vectorized scan, so the former eager full-array copies
+    # (the AD cube alone is V*S*A*4 bytes) bought nothing; every view's
+    # base chain keeps `owner` (and so the native buffers) alive
+    owner = _NativeOwner(lib, ptr)
+    pos = _view(c.pos, (V,), owner)
+    qual = _view(c.qual, (V,), owner)
+    mq = _view(c.mq, (V,), owner)
+    n_alleles = _view(c.n_alleles, (V,), owner)
+    chrom_id = _view(c.chrom_id, (V,), owner)
+    blob = ctypes.string_at(c.allele_blob, c.allele_blob_len)
+    allele_off = _view(c.allele_off, (V,), owner)
+    alleles = _LazyAlleles(blob, allele_off, n_alleles)
+    dp = _view(c.dp, (V, S), owner)
+    gq = _view(c.gq, (V, S), owner)
+    ad = _view(c.ad, (V, S, A), owner)
+    rlen = _view(c.rlen, (V,), owner)
+    alen = _view(c.alen, (V, A), owner)
     return ColumnarVcf(samples, chroms, chrom_id, pos, qual, mq, n_alleles,
-                       alleles, dp, gq, ad)
+                       alleles, dp, gq, ad, rlen=rlen, alen=alen)
