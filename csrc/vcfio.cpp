@@ -26,6 +26,7 @@
 #include <cstring>
 #include <cmath>
 #include <string>
+#include <string_view>
 #include <vector>
 
 #include <zlib.h>
@@ -96,9 +97,28 @@ static void split(const std::string& s, char sep,
     }
 }
 
-static int32_t to_i32(const std::string& t) {
+// in-place tokenization: views into the line buffer, zero copies (the
+// sample-field split dominated the parse at 100+ samples per record)
+static void split_sv(std::string_view s, char sep,
+                     std::vector<std::string_view>& out) {
+    out.clear();
+    size_t start = 0;
+    while (true) {
+        size_t p = s.find(sep, start);
+        if (p == std::string_view::npos) {
+            out.push_back(s.substr(start));
+            return;
+        }
+        out.push_back(s.substr(start, p - start));
+        start = p + 1;
+    }
+}
+
+// numeric views point into the NUL-terminated line buffer, so strtol/
+// strtod stop at the following delimiter without overrunning
+static int32_t sv_i32(std::string_view t) {
     if (t.empty() || t == ".") return -1;
-    return (int32_t)strtol(t.c_str(), nullptr, 10);
+    return (int32_t)strtol(t.data(), nullptr, 10);
 }
 
 KVcf* kvcf_read_range(const char* path, int max_alleles,
@@ -109,7 +129,8 @@ KVcf* kvcf_read_range(const char* path, int max_alleles,
 
     auto* impl = new KVcfImpl();
     std::string line;
-    std::vector<std::string> fields, fmt, toks, adtoks, alts;
+    std::vector<std::string> fields;
+    std::vector<std::string_view> fsv, fmt, toks, adtoks, alts;
     std::vector<std::string> chroms;
     int n_samples = 0;
     bool header_done = false;
@@ -140,21 +161,21 @@ KVcf* kvcf_read_range(const char* path, int max_alleles,
         }
         if (!header_done) { gzclose(f); delete impl; return nullptr; }
 
-        split(line, '\t', fields);
-        if (fields.size() < 8) continue;
+        split_sv(line, '\t', fsv);
+        if (fsv.size() < 8) continue;
 
         // CHROM interning
         int32_t cid = -1;
         for (size_t i = 0; i < chroms.size(); ++i)
-            if (chroms[i] == fields[0]) { cid = (int32_t)i; break; }
+            if (chroms[i] == fsv[0]) { cid = (int32_t)i; break; }
         if (cid < 0) {
             cid = (int32_t)chroms.size();
-            chroms.push_back(fields[0]);
-            impl->chrom_blob += fields[0];
+            chroms.emplace_back(fsv[0]);
+            impl->chrom_blob += fsv[0];
             impl->chrom_blob += '\0';
         }
         impl->chrom_id.push_back(cid);
-        impl->pos.push_back(strtoll(fields[1].c_str(), nullptr, 10));
+        impl->pos.push_back(strtoll(fsv[1].data(), nullptr, 10));
 
         // alleles: REF + ALTs
         impl->allele_off.push_back(
@@ -162,16 +183,16 @@ KVcf* kvcf_read_range(const char* path, int max_alleles,
                 ? 0
                 : impl->allele_off.back() + impl->n_alleles.back());
         int32_t na = 1;
-        impl->allele_blob += fields[3];
+        impl->allele_blob += fsv[3];
         impl->allele_blob += '\0';
-        impl->rlen.push_back((int32_t)fields[3].size());
+        impl->rlen.push_back((int32_t)fsv[3].size());
         impl->alen.resize(impl->alen.size() + max_alleles, -1);
         int32_t* arow = impl->alen.data() + impl->alen.size() - max_alleles;
         if (max_alleles > 0)
-            arow[0] = (fields[3] == "*") ? 0 : (int32_t)fields[3].size();
-        if (fields[4] != "." && !fields[4].empty()) {
-            split(fields[4], ',', alts);
-            for (auto& a : alts) {
+            arow[0] = (fsv[3] == "*") ? 0 : (int32_t)fsv[3].size();
+        if (fsv[4] != "." && !fsv[4].empty()) {
+            split_sv(fsv[4], ',', alts);
+            for (auto a : alts) {
                 impl->allele_blob += a;
                 impl->allele_blob += '\0';
                 if (na < max_alleles)
@@ -181,16 +202,16 @@ KVcf* kvcf_read_range(const char* path, int max_alleles,
         }
         impl->n_alleles.push_back(na);
 
-        impl->qual.push_back(fields[5] == "." ? NAN
-                             : strtod(fields[5].c_str(), nullptr));
+        impl->qual.push_back(fsv[5] == "." ? NAN
+                             : strtod(fsv[5].data(), nullptr));
         double mqv = NAN;
-        const std::string& info = fields[7];
+        std::string_view info = fsv[7];
         size_t mp = 0;
         while (true) {
             mp = info.find("MQ=", mp);
-            if (mp == std::string::npos) break;
+            if (mp == std::string_view::npos) break;
             if (mp == 0 || info[mp - 1] == ';') {
-                mqv = strtod(info.c_str() + mp + 3, nullptr);
+                mqv = strtod(info.data() + mp + 3, nullptr);
                 break;
             }
             ++mp;
@@ -199,33 +220,31 @@ KVcf* kvcf_read_range(const char* path, int max_alleles,
 
         // FORMAT indices
         int dpi = -1, gqi = -1, adi = -1;
-        if (fields.size() > 8) {
-            split(fields[8], ':', fmt);
+        if (fsv.size() > 8) {
+            split_sv(fsv[8], ':', fmt);
             for (size_t i = 0; i < fmt.size(); ++i) {
                 if (fmt[i] == "DP") dpi = (int)i;
                 else if (fmt[i] == "GQ") gqi = (int)i;
                 else if (fmt[i] == "AD") adi = (int)i;
             }
         }
-        for (int s = 0; s < n_samples; ++s) {
+        size_t ad_base = impl->ad.size();
+        impl->ad.resize(ad_base + (size_t)n_samples * max_alleles, 0);
+        for (int s = 0; s < n_samples; ++s, ad_base += max_alleles) {
             int32_t dv = -1, gv = -1;
             size_t col = 9 + s;
-            if (col < fields.size()) {
-                split(fields[col], ':', toks);
-                if (dpi >= 0 && dpi < (int)toks.size()) dv = to_i32(toks[dpi]);
-                if (gqi >= 0 && gqi < (int)toks.size()) gv = to_i32(toks[gqi]);
-                size_t ad_base = impl->ad.size();
-                impl->ad.resize(ad_base + max_alleles, 0);
+            if (col < fsv.size()) {
+                split_sv(fsv[col], ':', toks);
+                if (dpi >= 0 && dpi < (int)toks.size()) dv = sv_i32(toks[dpi]);
+                if (gqi >= 0 && gqi < (int)toks.size()) gv = sv_i32(toks[gqi]);
                 if (adi >= 0 && adi < (int)toks.size() && toks[adi] != ".") {
-                    split(toks[adi], ',', adtoks);
+                    split_sv(toks[adi], ',', adtoks);
                     for (int a = 0; a < (int)adtoks.size() && a < max_alleles;
                          ++a) {
-                        int32_t v = to_i32(adtoks[a]);
+                        int32_t v = sv_i32(adtoks[a]);
                         impl->ad[ad_base + a] = v < 0 ? 0 : v;
                     }
                 }
-            } else {
-                impl->ad.resize(impl->ad.size() + max_alleles, 0);
             }
             impl->dp.push_back(dv);
             impl->gq.push_back(gv);
