@@ -288,6 +288,171 @@ void kvcf_free(KVcf* v) {
     delete reinterpret_cast<KVcfImpl*>(v);
 }
 
+// One-pass byte-offset index (replaces the VcfOffsetIndex Python scan,
+// krisp_tpu/vcf/parser.py): inflate (or read plain), optionally write the
+// decompressed copy to out_plain, and record per-record (chrom_id, POS,
+// line byte offset, REF length) plus the global allele-count maximum.
+// Offsets are into the decompressed stream = out_plain's bytes.
+
+struct KIdx {
+    char* sample_blob;        // #CHROM columns 10+, NUL separated
+    size_t sample_blob_len;
+    char* chrom_blob;         // distinct contigs, first-seen order
+    size_t chrom_blob_len;
+    int64_t n_records;
+    int32_t max_alleles;
+    int64_t file_end;         // decompressed byte length
+    int32_t* chrom_id;        // [n_records]
+    int64_t* pos;             // [n_records] 1-based POS
+    int64_t* off;             // [n_records] line start byte offset
+    int32_t* rlen;            // [n_records] REF length
+};
+
+struct KIdxImpl {
+    KIdx pub;
+    std::string sample_blob, chrom_blob;
+    std::vector<int32_t> chrom_id, rlen;
+    std::vector<int64_t> pos, off;
+};
+
+void kvcf_index_free(KIdx* p) {
+    if (!p) return;
+    delete reinterpret_cast<KIdxImpl*>(p);
+}
+
+KIdx* kvcf_index(const char* path, const char* out_plain) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return nullptr;
+    gzbuffer(f, 1 << 20);
+    FILE* out = nullptr;
+    if (out_plain && out_plain[0]) {
+        out = fopen(out_plain, "wb");
+        if (!out) { gzclose(f); return nullptr; }
+    }
+
+    auto* impl = new KIdxImpl();
+    std::vector<std::string> chroms;
+    int32_t max_alleles = 0;
+    bool bad = false;
+
+    auto process = [&](const char* lp, size_t ln, int64_t loff) {
+        if (ln == 0) return;
+        if (lp[0] == '#') {
+            if (ln >= 6 && memcmp(lp, "#CHROM", 6) == 0) {
+                std::string_view l(lp, ln);
+                if (!l.empty() && l.back() == '\r') l.remove_suffix(1);
+                size_t start = 0;
+                int fi = 0;
+                while (true) {
+                    size_t t = l.find('\t', start);
+                    std::string_view tok =
+                        t == std::string_view::npos
+                            ? l.substr(start) : l.substr(start, t - start);
+                    if (fi >= 9) {
+                        impl->sample_blob += tok;
+                        impl->sample_blob += '\0';
+                    }
+                    if (t == std::string_view::npos) break;
+                    start = t + 1;
+                    ++fi;
+                }
+            }
+            return;
+        }
+        bool blank = true;
+        for (size_t i = 0; i < ln; ++i)
+            if (lp[i] != ' ' && lp[i] != '\t' && lp[i] != '\r') {
+                blank = false;
+                break;
+            }
+        if (blank) return;
+        std::string_view l(lp, ln);
+        size_t t1 = l.find('\t');
+        size_t t2 = t1 == std::string_view::npos ? t1 : l.find('\t', t1 + 1);
+        size_t t3 = t2 == std::string_view::npos ? t2 : l.find('\t', t2 + 1);
+        size_t t4 = t3 == std::string_view::npos ? t3 : l.find('\t', t3 + 1);
+        size_t t5 = t4 == std::string_view::npos ? t4 : l.find('\t', t4 + 1);
+        if (t5 == std::string_view::npos) { bad = true; return; }
+        std::string_view chrom = l.substr(0, t1);
+        std::string_view ref = l.substr(t3 + 1, t4 - t3 - 1);
+        std::string_view alt = l.substr(t4 + 1, t5 - t4 - 1);
+        int32_t cid = -1;
+        for (size_t i = 0; i < chroms.size(); ++i)
+            if (chroms[i] == chrom) { cid = (int32_t)i; break; }
+        if (cid < 0) {
+            cid = (int32_t)chroms.size();
+            chroms.emplace_back(chrom);
+            impl->chrom_blob += chrom;
+            impl->chrom_blob += '\0';
+        }
+        impl->chrom_id.push_back(cid);
+        // POS is tab-delimited, so strtoll stops without a NUL copy
+        impl->pos.push_back(strtoll(lp + t1 + 1, nullptr, 10));
+        impl->off.push_back(loff);
+        impl->rlen.push_back((int32_t)ref.size());
+        int32_t na = 1;
+        if (!alt.empty() && alt != ".") {
+            na = 2;
+            for (char c : alt)
+                if (c == ',') ++na;
+        }
+        if (na > max_alleles) max_alleles = na;
+    };
+
+    std::vector<char> buf(1 << 20);
+    std::string pending;
+    int64_t pending_off = 0;
+    int64_t global = 0;
+    while (!bad) {
+        int n = gzread(f, buf.data(), (unsigned)buf.size());
+        if (n < 0) bad = true;
+        if (n <= 0) break;
+        if (out && fwrite(buf.data(), 1, (size_t)n, out) != (size_t)n) {
+            bad = true;
+            break;
+        }
+        const char* p = buf.data();
+        const char* end = p + n;
+        const char* cur = p;
+        while (cur < end && !bad) {
+            const char* nl = (const char*)memchr(cur, '\n', end - cur);
+            if (!nl) {
+                if (pending.empty()) pending_off = global + (cur - p);
+                pending.append(cur, end - cur);
+                break;
+            }
+            if (!pending.empty()) {
+                pending.append(cur, nl - cur);
+                process(pending.data(), pending.size(), pending_off);
+                pending.clear();
+            } else {
+                process(cur, (size_t)(nl - cur), global + (cur - p));
+            }
+            cur = nl + 1;
+        }
+        global += n;
+    }
+    if (!bad && !pending.empty())
+        process(pending.data(), pending.size(), pending_off);
+    gzclose(f);
+    if (out) fclose(out);
+    if (bad) { delete impl; return nullptr; }
+
+    KIdx& p = impl->pub;
+    p.sample_blob = impl->sample_blob.data();
+    p.sample_blob_len = impl->sample_blob.size();
+    p.chrom_blob = impl->chrom_blob.data();
+    p.chrom_blob_len = impl->chrom_blob.size();
+    p.n_records = (int64_t)impl->pos.size();
+    p.max_alleles = max_alleles;
+    p.file_end = global;
+    p.chrom_id = impl->chrom_id.data();
+    p.pos = impl->pos.data();
+    p.off = impl->off.data();
+    p.rlen = impl->rlen.data();
+    return &p;
+}
+
 // Sliding-window replay for the scan prefilter — the exact two-pointer /
 // monotonic-deque algorithm of krisp_tpu/vcf/fastscan.py:_window_types
 // (which stays as the Python oracle; equality is fuzz-pinned by

@@ -49,6 +49,22 @@ class _KVcf(ctypes.Structure):
     ]
 
 
+class _KIdx(ctypes.Structure):
+    _fields_ = [
+        ("sample_blob", ctypes.POINTER(ctypes.c_char)),
+        ("sample_blob_len", ctypes.c_size_t),
+        ("chrom_blob", ctypes.POINTER(ctypes.c_char)),
+        ("chrom_blob_len", ctypes.c_size_t),
+        ("n_records", ctypes.c_int64),
+        ("max_alleles", ctypes.c_int32),
+        ("file_end", ctypes.c_int64),
+        ("chrom_id", ctypes.POINTER(ctypes.c_int32)),
+        ("pos", ctypes.POINTER(ctypes.c_int64)),
+        ("off", ctypes.POINTER(ctypes.c_int64)),
+        ("rlen", ctypes.POINTER(ctypes.c_int32)),
+    ]
+
+
 def _build() -> bool:
     _LIB_DIR.mkdir(exist_ok=True)
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC),
@@ -82,6 +98,9 @@ def get_lib():
         lib.kvcf_read_range.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                         ctypes.c_int64, ctypes.c_int64]
         lib.kvcf_free.argtypes = [ctypes.POINTER(_KVcf)]
+        lib.kvcf_index.restype = ctypes.POINTER(_KIdx)
+        lib.kvcf_index.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.kvcf_index_free.argtypes = [ctypes.POINTER(_KIdx)]
         lib.kvcf_window_types.restype = None
         lib.kvcf_window_types.argtypes = (
             [ctypes.POINTER(ctypes.c_int64)] * 3
@@ -91,6 +110,42 @@ def get_lib():
                ctypes.POINTER(ctypes.c_int64)])
         _lib = lib
         return lib
+
+
+def read_index(path, out_plain=None):
+    """One native pass over a VCF: per-record (chrom_id, pos, byte offset,
+    REF length), contig/sample names, global max allele count, and — when
+    ``out_plain`` is given — the decompressed bytes written there (the
+    offsets address that stream).  None when the library is unavailable or
+    the file is malformed (callers fall back to the Python indexer)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ptr = lib.kvcf_index(str(path).encode(),
+                         str(out_plain).encode() if out_plain else b"")
+    if not ptr:
+        return None
+    try:
+        c = ptr.contents
+        V = int(c.n_records)
+        samples = (ctypes.string_at(c.sample_blob, c.sample_blob_len)
+                   .decode().split("\0")[:-1] if c.sample_blob_len else [])
+        chroms = (ctypes.string_at(c.chrom_blob, c.chrom_blob_len)
+                  .decode().split("\0")[:-1] if c.chrom_blob_len else [])
+
+        def arr(p, dt):
+            return (np.ctypeslib.as_array(p, (V,)).copy() if V
+                    else np.zeros(0, dt))
+
+        return {"samples": samples, "chroms": chroms,
+                "max_alleles": int(c.max_alleles),
+                "file_end": int(c.file_end),
+                "chrom_id": arr(c.chrom_id, np.int32),
+                "pos": arr(c.pos, np.int64),
+                "off": arr(c.off, np.int64),
+                "rlen": arr(c.rlen, np.int32)}
+    finally:
+        lib.kvcf_index_free(ptr)
 
 
 def window_types_native(starts, ends, delta, is_diag, is_consv, span,

@@ -209,26 +209,49 @@ class VcfOffsetIndex:
         import numpy as np
 
         self.source = path
-        raw = open(path, "rb")
-        magic = raw.read(2)
-        raw.seek(0)
-        if magic == b"\x1f\x8b":
+        with open(path, "rb") as raw:
+            is_gz = raw.read(2) == b"\x1f\x8b"
+
+        # native fast path: inflate + temp-file write + record offsets in
+        # one C pass (csrc kvcf_index); the Python scan below is the
+        # oracle/fallback (equality pinned by tests/test_vcf_index.py)
+        from ..io.native_vcf import read_index
+        tmp_name = None
+        if is_gz:
+            import tempfile
+            fh = tempfile.NamedTemporaryFile(
+                mode="wb", suffix=".vcf", dir=workdir, delete=False,
+                prefix="krisp_tpu_idx_")
+            fh.close()
+            tmp_name = fh.name
+        native = read_index(path, tmp_name)
+        if native is not None:
+            self.path = tmp_name if is_gz else path
+            self._owns_file = is_gz
+            self._init_from_native(native)
+            return
+        if tmp_name is not None:
+            import os
+            try:
+                os.unlink(tmp_name)
+            except OSError:
+                pass
+
+        if is_gz:
             import tempfile
             tmp = tempfile.NamedTemporaryFile(
                 mode="wb", suffix=".vcf", dir=workdir, delete=False,
                 prefix="krisp_tpu_idx_")
-            with gzip.open(raw) as zin:
+            with gzip.open(open(path, "rb")) as zin:
                 while True:
                     block = zin.read(1 << 24)
                     if not block:
                         break
                     tmp.write(block)
             tmp.close()
-            raw.close()
             self.path = tmp.name
             self._owns_file = True
         else:
-            raw.close()
             self.path = path
             self._owns_file = False
 
@@ -284,6 +307,42 @@ class VcfOffsetIndex:
             self._pos[c] = arr[:, 0]
             self._off[c] = arr[:, 1]
             self._sorted[c] = bool((arr[1:, 0] >= arr[:-1, 0]).all())
+
+    def _init_from_native(self, native):
+        """Populate the index from the arrays of one kvcf_index pass —
+        field-for-field equal to the Python scan in __init__."""
+        import numpy as np
+
+        self.samples = native["samples"]
+        self.max_alleles = native["max_alleles"]
+        self._file_end = native["file_end"]
+        order = native["chroms"]
+        self._contig_order = order
+        cid, pos = native["chrom_id"], native["pos"]
+        off, rlen = native["off"], native["rlen"]
+        # a contig is "grouped" iff its records form ONE contiguous run
+        if cid.shape[0]:
+            heads = np.concatenate(
+                [[0], np.nonzero(np.diff(cid))[0] + 1])
+            runs = np.bincount(cid[heads], minlength=len(order))
+        else:
+            runs = np.zeros(len(order), np.int64)
+        self._grouped = {c: bool(runs[ci] <= 1)
+                         for ci, c in enumerate(order)}
+        self._pos = {}
+        self._off = {}
+        self._sorted = {}
+        self._max_rlen = {}
+        self._max_end = {}
+        for ci, c in enumerate(order):
+            m = cid == ci
+            p = pos[m]
+            r = rlen[m]
+            self._pos[c] = p
+            self._off[c] = off[m]
+            self._sorted[c] = bool((p[1:] >= p[:-1]).all())
+            self._max_rlen[c] = int(r.max()) if r.shape[0] else 0
+            self._max_end[c] = int((p - 1 + r).max()) if p.shape[0] else 0
 
     @property
     def contigs(self):

@@ -132,3 +132,43 @@ def test_n_records_in_window_counts(tmp_path):
         assert total == n
     finally:
         idx.cleanup()
+
+
+def _full_state(idx):
+    return (idx.samples, idx.max_alleles, idx._file_end, idx._contig_order,
+            idx._grouped, idx._max_rlen, idx._max_end, idx._sorted,
+            {c: idx._pos[c].tolist() for c in idx._contig_order},
+            {c: idx._off[c].tolist() for c in idx._contig_order})
+
+
+def test_native_index_equals_python_scan(tmp_path, monkeypatch):
+    """The kvcf_index C pass must reproduce the Python indexer's state
+    field-for-field (gz with decompressed temp copy, plain file, and an
+    interleaved-contig layout where grouped=False)."""
+    from test_vcf_multicontig import synth_inputs
+    import krisp_tpu.io.native_vcf as native_vcf
+
+    _, _, synth_vcf = synth_inputs(tmp_path)
+    plain = tmp_path / "interleaved.vcf"
+    plain.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\n"
+        "B\t5\t.\tAC\tA\t50\t.\tMQ=40\tGT:DP:GQ:AD\t0:9:40:9,0\t1:9:40:0,9\n"
+        "A\t7\t.\tG\tC,T\t50\t.\tMQ=40\tGT:DP:GQ:AD\t0:9:40:9,0,0\t"
+        "1:9:40:0,9,0\n"
+        "\n"
+        "B\t2\t.\tT\t.\t.\t.\t.\tGT:DP:GQ:AD\t0:9:40:9\t0:9:40:9\n")
+    for vcf in [VCF, str(synth_vcf), str(plain)]:
+        assert native_vcf.get_lib() is not None
+        nat = VcfOffsetIndex(vcf)
+        with monkeypatch.context() as mp:
+            mp.setattr(native_vcf, "read_index", lambda *a, **k: None)
+            py = VcfOffsetIndex(vcf)
+        try:
+            assert _full_state(nat) == _full_state(py)
+            if nat.path != vcf:  # gz input: decompressed copies byte-equal
+                with open(nat.path, "rb") as a, open(py.path, "rb") as b:
+                    assert a.read() == b.read()
+        finally:
+            nat.cleanup()
+            py.cleanup()
