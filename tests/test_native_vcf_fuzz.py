@@ -23,8 +23,10 @@ ctg1\t300\t.\tG\tA\t900\tPASS\tMQ=60\tGT:AD:DP:GQ\t./.:.:.:.\t0/0:50,0:50:99
 DRIVER = r"""
 import sys
 sys.path.insert(0, "/root/repo")
-from krisp_tpu.io.native_vcf import read_columnar
+from krisp_tpu.io.native_vcf import read_columnar, read_index
 try:
+    # the one-pass indexer sees the untrusted bytes first in every scan
+    read_index(sys.argv[1], sys.argv[1] + ".plain")
     col = read_columnar(sys.argv[1], 4)
     print("parsed" if col is not None else "rejected")
 except Exception as exc:
@@ -98,6 +100,27 @@ def test_pathological_shapes(tmp_path):
     }
     for name, data in cases.items():
         path = tmp_path / f"{name}.vcf"
+        path.write_bytes(data)
+        out = _run(path)
+        assert out in ("parsed", "rejected") or out.startswith("exception"), \
+            (name, out)
+
+
+def test_gzip_pathologies(tmp_path):
+    """The indexer inflates gzip itself; damaged streams must reject, not
+    crash, and VcfOffsetIndex must fall back to the Python scan cleanly."""
+    import gzip
+
+    whole = gzip.compress(VALID)
+    cases = {
+        "gz_ok": whole,
+        "gz_truncated": whole[: len(whole) // 2],
+        "gz_corrupt": whole[:20] + bytes(16) + whole[36:],
+        "gz_empty_member": gzip.compress(b""),
+        "not_really_gz": b"\x1f\x8b" + b"junk" * 50,
+    }
+    for name, data in cases.items():
+        path = tmp_path / f"{name}.vcf.gz"
         path.write_bytes(data)
         out = _run(path)
         assert out in ("parsed", "rejected") or out.startswith("exception"), \
