@@ -25,12 +25,11 @@ import jax
 import jax.numpy as jnp
 
 
-def _classify_impl(dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
-                   n_groups: int, min_samples=5, min_reads=10,
-                   min_geno_qual=40, min_freq=0.1, min_map_qual=30,
-                   min_var_qual=10, min_samp_prop=0.9):
-    V, S, A = ad.shape
-
+def _accumulate(dp, gq, ad, n_alleles, group_id, n_groups: int,
+                min_reads, min_geno_qual, min_freq):
+    """The sample-axis reductions: (sample_counts[V,G], allele_counts
+    [V,G,A]).  Integer sums, so any partition of the sample axis (e.g. a
+    sharded cohort with a ``psum``) reproduces them bit-for-bit."""
     gate = (dp >= min_reads) & (gq >= min_geno_qual)          # (V,S)
     member = (group_id[None, :, None]
               == jnp.arange(n_groups, dtype=jnp.int32)[None, None, :])  # (1,S,G)
@@ -39,6 +38,7 @@ def _classify_impl(dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
                             axis=1)                            # (V,G)
 
     depth_sum = jnp.sum(ad, axis=2, keepdims=True)             # (V,S,1)
+    A = ad.shape[2]
     allele_idx = jnp.arange(A, dtype=jnp.int32)
     keep = ((ad > 0)
             & (ad.astype(jnp.float32)
@@ -49,7 +49,16 @@ def _classify_impl(dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
     allele_counts = jnp.sum(
         (counted[:, :, None, :] & member[:, :, :, None]).astype(jnp.int32),
         axis=1)                                                # (V,G,A)
+    return sample_counts, allele_counts
 
+
+def _finalize(sample_counts, allele_counts, mq, qual, group_sizes,
+              n_groups: int, min_samples, min_map_qual, min_var_qual,
+              min_samp_prop):
+    """Per-variant classification from the accumulated counts (no sample
+    axis left — pure (V,G[,A]) math)."""
+    A = allele_counts.shape[2]
+    allele_idx = jnp.arange(A, dtype=jnp.int32)
     present = allele_counts > 0
     n_distinct = jnp.sum(present.astype(jnp.int32), axis=2)    # (V,G)
     single_allele = jnp.argmax(present, axis=2).astype(jnp.int32)
@@ -85,6 +94,18 @@ def _classify_impl(dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
             "allele_counts": allele_counts,
             "conserved": conserved,
             "diagnostic": diagnostic}
+
+
+def _classify_impl(dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
+                   n_groups: int, min_samples=5, min_reads=10,
+                   min_geno_qual=40, min_freq=0.1, min_map_qual=30,
+                   min_var_qual=10, min_samp_prop=0.9):
+    sample_counts, allele_counts = _accumulate(
+        dp, gq, ad, n_alleles, group_id, n_groups, min_reads,
+        min_geno_qual, min_freq)
+    return _finalize(sample_counts, allele_counts, mq, qual, group_sizes,
+                     n_groups, min_samples, min_map_qual, min_var_qual,
+                     min_samp_prop)
 
 
 @partial(jax.jit, static_argnames=("n_groups",))

@@ -147,6 +147,21 @@ def _variant_from_columnar(col, v):
                       sample_names=list(col.samples))
 
 
+def _scan_mesh():
+    """Device mesh for the classification batches: explicit request via
+    KRISP_TPU_DEVICES, else every available device.  None = one device
+    (the common case on a single chip)."""
+    import os
+
+    import jax
+    env = os.environ.get("KRISP_TPU_DEVICES")
+    n = min(int(env) if env else jax.device_count(), jax.device_count())
+    if n <= 1:
+        return None
+    from ..parallel.distributed import make_mesh
+    return make_mesh(n)
+
+
 def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
     """Device classification of the selected rows, in padded batches
     (stable shapes -> one compile per batch size).
@@ -154,8 +169,18 @@ def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
     All batch dispatches are queued before any result is pulled (JAX
     dispatch is async, so host slicing/upload of batch i+1 overlaps device
     compute of batch i), and each batch returns ONE packed array — the
-    pull count per chunk is the wall-clock driver on the tunneled v5e."""
+    pull count per chunk is the wall-clock driver on the tunneled v5e.
+    On a multi-device mesh each batch is sharded variant-parallel
+    (parallel/vcf_shard.py), bit-identical to the single-chip kernel."""
     from ..ops.vcfclass import classify_batch_packed
+
+    mesh = _scan_mesh()
+    if mesh is not None:
+        from functools import partial
+
+        from ..parallel.vcf_shard import classify_batch_packed_sharded
+        classify_batch_packed = partial(classify_batch_packed_sharded,
+                                        mesh, shard="variants")
 
     S = len(col.samples)
     A = col.ad.shape[2]
