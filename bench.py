@@ -165,6 +165,59 @@ def _vcf_scan_rate(records=100_000, samples=100):
     return vps, ref_vps
 
 
+def _kstream_rate(tmpdir: Path, k=28, size=2_000_000):
+    """kstream vertical: ``--kmers 28 --disallow Nn --sort --canonicals``
+    over a 2 Mb FASTA — ours through the device fast path (byte-identical
+    to the string pipeline, tests/test_kstream_device.py), the reference
+    CLI measured live on a smaller input and cached (rates compare
+    size-independently, as with the other baselines)."""
+    from krisp_tpu.kstream_device import device_plan, run_device_kstream
+
+    flags = ["--kmers", str(k), "--disallow", "Nn", "--sort",
+             "--canonicals"]
+    paths = synth_genomes(tmpdir / "kstream", size)
+
+    cache = REPO / "BASELINE_MEASURED.json"
+    data = json.loads(cache.read_text()) if cache.exists() else {}
+    ref_rate = data.get("kstream_ref_kmers_per_s")
+    if ref_rate is None:
+        ref_size = 500_000
+        ref_paths = synth_genomes(tmpdir / "kstream_ref", ref_size)
+        text = Path(ref_paths[0]).read_text()
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, "-m", "krisp.kstream.kstream", *flags],
+            input=text.encode(), stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            env={"PYTHONPATH": "/root/reference/src",
+                 "PATH": "/usr/bin:/bin"}, timeout=3600)
+        dt = time.perf_counter() - t0
+        if proc.returncode != 0:
+            raise RuntimeError(proc.stderr[-500:].decode())
+        ref_rate = (ref_size - k + 1) / dt
+        data["kstream_ref_kmers_per_s"] = ref_rate
+        try:
+            cache.write_text(json.dumps(data))
+        except OSError:
+            pass
+
+    class _Sink:
+        def write(self, b):
+            return len(b)
+
+    plan = device_plan(kmers=[k], canonicals=True, disallow="Nn", sort=True)
+    assert plan is not None
+    n = run_device_kstream(paths[0], plan, _Sink())   # warm-up compile
+    if n is None:
+        raise RuntimeError("device kstream fell back to the host pipeline")
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_device_kstream(paths[0], plan, _Sink())
+        best = min(best or 1e9, time.perf_counter() - t0)
+    return n / best, ref_rate
+
+
 def _device_watchdog(timeout_s: float):
     """Fail loudly instead of hanging forever when the TPU tunnel is down.
 
@@ -253,6 +306,14 @@ def main():
             out["vcf_vs_reference"] = round(vps / ref_vps, 2)
         except Exception as exc:
             print(f"vcf probe skipped: {exc!r}", file=sys.stderr)
+        try:
+            # kstream vertical (informational): device fast-path rate on a
+            # 2 Mb FASTA vs the reference kstream CLI measured live
+            ks_rate, ks_ref = _kstream_rate(tmpdir)
+            out["kstream_kmers_per_s"] = round(ks_rate)
+            out["kstream_vs_reference"] = round(ks_rate / ks_ref, 2)
+        except Exception as exc:
+            print(f"kstream probe skipped: {exc!r}", file=sys.stderr)
         if out["vs_baseline"] < 100:
             print(f"WARNING: vs_baseline {out['vs_baseline']} below the "
                   f"100x north star (BASELINE.json)", file=sys.stderr)
