@@ -73,6 +73,10 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
     if present[~allowed].any():
         return None
 
+    mesh = _kstream_mesh()
+    if mesh is not None:
+        return _run_sharded(buf, plan, out_stream, mesh)
+
     padded = np.zeros(bucket_size(buf.size), np.uint8)
     padded[:buf.size] = buf
 
@@ -247,6 +251,38 @@ def _decode_chars(words_h, n_unique, k, bits, newline):
     if newline:
         chars[:, k] = ord("\n")
     return chars
+
+
+def _kstream_mesh():
+    """Device mesh for the sharded kstream path: explicit request via
+    KRISP_TPU_DEVICES, else every available device; None = one device."""
+    import os
+
+    import jax
+    env = os.environ.get("KRISP_TPU_DEVICES")
+    n = min(int(env) if env else jax.device_count(), jax.device_count())
+    if n <= 1:
+        return None
+    from .parallel.distributed import make_mesh
+    return make_mesh(n)
+
+
+def _run_sharded(buf, plan: DevicePlan, out_stream, mesh):
+    """Multi-device run: sequence-sharded extraction + key-range-owned
+    sorted unique tables (parallel/kstream_shard.py), decoded and emitted
+    in mesh (= global key) order — byte-identical to the one-shot path."""
+    from .parallel.kstream_shard import sharded_kstream_table
+
+    k = plan.k
+    words, cnts = sharded_kstream_table(mesh, buf, k, plan.mode,
+                                        plan.omit_soft)
+    n_unique = words.shape[1]
+    chars = _decode_chars(list(words), n_unique, k, 2, newline=True)
+    if n_unique and (cnts == 1).all():
+        out_stream.write(chars.tobytes())
+    elif n_unique:
+        out_stream.write(np.repeat(chars, cnts, axis=0).tobytes())
+    return int(cnts.sum())
 
 
 def _run_segmented(buf, plan: DevicePlan, out_stream, budget):
