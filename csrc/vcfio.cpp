@@ -386,8 +386,13 @@ KIdx* kvcf_index(const char* path, const char* out_plain) {
             impl->chrom_blob += '\0';
         }
         impl->chrom_id.push_back(cid);
-        // POS is tab-delimited, so strtoll stops without a NUL copy
-        impl->pos.push_back(strtoll(lp + t1 + 1, nullptr, 10));
+        // POS is tab-delimited, so strtoll stops without a NUL copy; a
+        // malformed field rejects the whole parse (the Python fallback
+        // raises ValueError on the same input — never silent zeros)
+        char* pos_end = nullptr;
+        long long pv = strtoll(lp + t1 + 1, &pos_end, 10);
+        if (pos_end != lp + t2) { bad = true; return; }
+        impl->pos.push_back(pv);
         impl->off.push_back(loff);
         impl->rlen.push_back((int32_t)ref.size());
         int32_t na = 1;

@@ -73,10 +73,6 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
     if present[~allowed].any():
         return None
 
-    mesh = _kstream_mesh()
-    if mesh is not None:
-        return _run_sharded(buf, plan, out_stream, mesh)
-
     padded = np.zeros(bucket_size(buf.size), np.uint8)
     padded[:buf.size] = buf
 
@@ -90,6 +86,20 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
     _w = (2 * k + 31) // 32
     est_bytes = int(padded.size) * 2 * (_w + 1) * 4 * 3
     budget = int(_os.environ.get("KRISP_TPU_HBM_BUDGET", 8 << 30))
+
+    from .parallel.distributed import mesh_from_env
+    mesh = mesh_from_env()
+    if mesh is not None and est_bytes // mesh.devices.size <= budget:
+        try:
+            n = _run_sharded(buf, plan, out_stream, mesh)
+        except Exception as exc:        # device OOM -> single-device paths
+            if ("RESOURCE_EXHAUSTED" not in str(exc)
+                    and "Out of memory" not in str(exc)):
+                raise
+            n = None
+        if n is not None:
+            return n
+
     if est_bytes > budget:
         return _run_segmented(buf, plan, out_stream, budget)
     mode = plan.mode
@@ -133,6 +143,40 @@ def _embed_params(k, bits):
     return spare, spare >= 2
 
 
+def mode_keys(ok, words, mode, start_limit=None):
+    """fwd/rc split + per-mode key selection + sentinel masking, shared by
+    the one-shot stage, the segmented path, and the mesh-sharded path
+    (parallel/kstream_shard.py) so the mode semantics cannot drift.
+
+    ``ok``/``words`` are window_keys_bits outputs (forward rows then
+    reverse complements).  ``start_limit`` masks windows whose START index
+    is past it (segment/shard overlap tails give context only).
+    Returns (keys list with invalid rows sentinel-marked, validity mask)."""
+    import jax.numpy as jnp
+    from .ops.intersect import SENTINEL
+
+    n_win = ok.shape[0] // 2
+    fwd = [w[:n_win] for w in words]
+    rc = [w[n_win:] for w in words]
+    okw = ok[:n_win]
+    if start_limit is not None:
+        okw = okw & (jnp.arange(n_win) < start_limit)
+    if mode == "plain":
+        use, okk = fwd, okw
+    elif mode == "complements":
+        use = [jnp.concatenate([a, b]) for a, b in zip(fwd, rc)]
+        okk = jnp.concatenate([okw, okw])
+    else:  # canonicals: lexicographic min of fwd/rc keys
+        less = jnp.zeros(n_win, bool)
+        decided = jnp.zeros(n_win, bool)
+        for a, b in zip(fwd, rc):
+            less = jnp.where(~decided & (a != b), a < b, less)
+            decided = decided | (a != b)
+        use = [jnp.where(less | ~decided, a, b) for a, b in zip(fwd, rc)]
+        okk = okw
+    return [jnp.where(okk, w, SENTINEL) for w in use], okk
+
+
 def _build_stage(k, mode, bits, omit_soft, start_limit=None):
     """Jitted device program: windows -> mode keys -> sort -> dedup ->
     compaction, counts embedded in the spare key bits when possible.
@@ -166,26 +210,7 @@ def _build_stage(k, mode, bits, omit_soft, start_limit=None):
     def stage(buffer):
         ok, words = window_keys_bits(buffer, code_table, valid_table,
                                      comp_table, k, 0, 0, bits, 1)
-        n_win = ok.shape[0] // 2
-        fwd = [w[:n_win] for w in words]
-        rc = [w[n_win:] for w in words]
-        okw = ok[:n_win]
-        if start_limit is not None:
-            okw = okw & (jnp.arange(n_win) < start_limit)
-        if mode == "plain":
-            use, okk = fwd, okw
-        elif mode == "complements":
-            use = [jnp.concatenate([a, b]) for a, b in zip(fwd, rc)]
-            okk = jnp.concatenate([okw, okw])
-        else:  # canonicals: lexicographic min of fwd/rc keys
-            less = jnp.zeros(n_win, bool)
-            decided = jnp.zeros(n_win, bool)
-            for a, b in zip(fwd, rc):
-                less = jnp.where(~decided & (a != b), a < b, less)
-                decided = decided | (a != b)
-            use = [jnp.where(less | ~decided, a, b) for a, b in zip(fwd, rc)]
-            okk = okw
-        use = [jnp.where(okk, w, SENTINEL) for w in use]
+        use, okk = mode_keys(ok, words, mode, start_limit)
         sorted_w, _ = lsd_sort(use)
         words_out, cnt = dedup_sorted(sorted_w,
                                       jnp.sum(okk.astype(jnp.int32)))
@@ -253,29 +278,20 @@ def _decode_chars(words_h, n_unique, k, bits, newline):
     return chars
 
 
-def _kstream_mesh():
-    """Device mesh for the sharded kstream path: explicit request via
-    KRISP_TPU_DEVICES, else every available device; None = one device."""
-    import os
-
-    import jax
-    env = os.environ.get("KRISP_TPU_DEVICES")
-    n = min(int(env) if env else jax.device_count(), jax.device_count())
-    if n <= 1:
-        return None
-    from .parallel.distributed import make_mesh
-    return make_mesh(n)
-
-
 def _run_sharded(buf, plan: DevicePlan, out_stream, mesh):
     """Multi-device run: sequence-sharded extraction + key-range-owned
     sorted unique tables (parallel/kstream_shard.py), decoded and emitted
-    in mesh (= global key) order — byte-identical to the one-shot path."""
+    in mesh (= global key) order — byte-identical to the one-shot path.
+    Returns None when the input is too short to shard (the caller takes
+    its single-device path)."""
     from .parallel.kstream_shard import sharded_kstream_table
 
     k = plan.k
-    words, cnts = sharded_kstream_table(mesh, buf, k, plan.mode,
-                                        plan.omit_soft)
+    sharded = sharded_kstream_table(mesh, buf, k, plan.mode,
+                                    plan.omit_soft)
+    if sharded is None:
+        return None
+    words, cnts = sharded
     n_unique = words.shape[1]
     chars = _decode_chars(list(words), n_unique, k, 2, newline=True)
     if n_unique and (cnts == 1).all():

@@ -130,15 +130,25 @@ def classify_batch(dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
                           min_var_qual, min_samp_prop)
 
 
+def pack_outputs(out, V):
+    """The packed single-pull layout, [V, G*(A+3)]: columns [0:G) =
+    sample_counts, [G:2G) = conserved, [2G:3G) = diagnostic, [3G:) =
+    allele_counts reshaped (G-major).  The ONE definition of the layout —
+    the single-device and mesh-sharded kernels both emit it, and
+    vcf/fastscan.py unpacks by these column ranges."""
+    return jnp.concatenate(
+        [out["sample_counts"], out["conserved"], out["diagnostic"],
+         out["allele_counts"].reshape(V, -1)], axis=1)
+
+
 @partial(jax.jit, static_argnames=("n_groups",))
 def classify_batch_packed(dp, gq, ad, n_alleles, mq, qual, group_id,
                           group_sizes, n_groups: int, min_samples=5,
                           min_reads=10, min_geno_qual=40, min_freq=0.1,
                           min_map_qual=30, min_var_qual=10,
                           min_samp_prop=0.9):
-    """``classify_batch`` with the four outputs packed into ONE int32
-    array [V, G*(A+3)]: columns [0:G) = sample_counts, [G:2G) = conserved,
-    [2G:3G) = diagnostic, [3G:) = allele_counts reshaped (G-major).
+    """``classify_batch`` with the four outputs packed (``pack_outputs``)
+    into ONE int32 array.
 
     One device->host pull per batch instead of four — on a tunneled
     accelerator every pull is a latency round-trip, and the scan profile
@@ -148,7 +158,4 @@ def classify_batch_packed(dp, gq, ad, n_alleles, mq, qual, group_id,
                          group_sizes, n_groups, min_samples, min_reads,
                          min_geno_qual, min_freq, min_map_qual,
                          min_var_qual, min_samp_prop)
-    V = dp.shape[0]
-    return jnp.concatenate(
-        [out["sample_counts"], out["conserved"], out["diagnostic"],
-         out["allele_counts"].reshape(V, -1)], axis=1)
+    return pack_outputs(out, dp.shape[0])

@@ -48,6 +48,22 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def mesh_from_env(n_devices: int | None = None,
+                  axis: str = "shard") -> Mesh | None:
+    """The device-mesh gate shared by all three verticals: explicit
+    request via ``n_devices`` or the KRISP_TPU_DEVICES env var, else every
+    available device.  None when only one device is usable (callers take
+    their single-device path)."""
+    import os
+    if n_devices is None:
+        env = os.environ.get("KRISP_TPU_DEVICES")
+        n_devices = int(env) if env else len(jax.devices())
+    n = min(int(n_devices), len(jax.devices()))
+    if n <= 1:
+        return None
+    return make_mesh(n, axis)
+
+
 def _halo_exchange(block, halo: int, axis: str):
     """Append the next shard's first ``halo`` elements to this shard's block.
 

@@ -48,30 +48,13 @@ def _kstream_step(mesh: Mesh, k: int, mode: str, bits: int,
     t_owner = min(10, k * bits, 32)
 
     def per_shard(buf):
+        from ..kstream_device import mode_keys
         block = _halo_exchange(buf, k - 1, axis)
         ok, words = window_keys_bits(block, code_table, valid_table,
                                      comp_table, k, 0, 0, bits, 1)
-        n_win = ok.shape[0] // 2
-        fwd = [w[:n_win] for w in words]
-        rc = [w[n_win:] for w in words]
         # halo windows give context only; their starts belong to the next
         # shard (same convention as the segmented single-chip path)
-        okw = ok[:n_win] & (jnp.arange(n_win) < chunk)
-        if mode == "plain":
-            use, okk = fwd, okw
-        elif mode == "complements":
-            use = [jnp.concatenate([a, b]) for a, b in zip(fwd, rc)]
-            okk = jnp.concatenate([okw, okw])
-        else:  # canonicals
-            less = jnp.zeros(n_win, bool)
-            decided = jnp.zeros(n_win, bool)
-            for a, b in zip(fwd, rc):
-                less = jnp.where(~decided & (a != b), a < b, less)
-                decided = decided | (a != b)
-            use = [jnp.where(less | ~decided, a, b)
-                   for a, b in zip(fwd, rc)]
-            okk = okw
-        use = [jnp.where(okk, w, SENTINEL) for w in use]
+        use, okk = mode_keys(ok, words, mode, start_limit=chunk)
         sorted_w, _ = lsd_sort(use)
         words_u, cnt = dedup_sorted(sorted_w, jnp.sum(okk.astype(jnp.int32)))
         words_c, (cnt_c,) = lsd_sort(words_u, [cnt])
@@ -136,17 +119,29 @@ def sharded_kstream_table(mesh: Mesh, buf: np.ndarray, k: int, mode: str,
     """Run the sharded kstream program over ``buf`` (uint8 genome bytes).
 
     Returns (words u32[W, rows], counts int64[rows]) — the globally
-    sorted unique k-mer table, already concatenated in mesh (= key) order.
-    Exchange overflow auto-retries with a doubled capacity, like the
-    distributed intersection."""
+    sorted unique k-mer table, already concatenated in mesh (= key) order
+    — or None when the input is too short to shard (a chunk must cover
+    the (k-1)-base halo its left neighbor borrows; callers fall back to
+    their single-device path).  Exchange overflow auto-retries with a
+    doubled capacity, like the distributed intersection."""
+    from ..io.fasta import bucket_size
+
     n = mesh.devices.size
-    chunk = -(-int(buf.size) // n)
+    if int(buf.size) // k < n:
+        return None
+    # bucket the chunk so nearby input sizes reuse one compiled program
+    # (chunk is a static shape; finer quantum than the single-device
+    # bucket_size since padding is paid once per shard)
+    chunk = bucket_size(-(-int(buf.size) // n), quantum=1 << 12)
     padded = np.zeros(n * chunk, np.uint8)
     padded[:buf.size] = buf
 
-    # initial per-destination capacity: uniform share + headroom
+    # initial per-destination capacity: uniform share + headroom, rounded
+    # to a power of two (also a static shape)
     per_shard_rows = chunk * (2 if mode == "complements" else 1)
-    cap = max(2 * (per_shard_rows // n) + 64, 64)
+    cap = 64
+    while cap < 2 * (per_shard_rows // n) + 64:
+        cap *= 2
     while True:
         step = _kstream_step(mesh, k, mode, bits, omit_soft, chunk, cap)
         words_d, cnts_d, n_uni_d, overflow_d = step(padded)

@@ -25,20 +25,13 @@ from functools import lru_cache
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.vcfclass import _accumulate, _finalize
+from ..ops.vcfclass import _accumulate, _finalize, pack_outputs as _pack
 
 _THR_KEYS = ("min_samples", "min_reads", "min_geno_qual", "min_freq",
              "min_map_qual", "min_var_qual", "min_samp_prop")
-
-
-def _pack(out, V):
-    return jnp.concatenate(
-        [out["sample_counts"], out["conserved"], out["diagnostic"],
-         out["allele_counts"].reshape(V, -1)], axis=1)
 
 
 @lru_cache(maxsize=None)
@@ -98,6 +91,9 @@ def classify_batch_packed_sharded(mesh: Mesh, dp, gq, ad, n_alleles, mq,
     for unused cohort members)."""
     from ..ops.vcfclass import classify_batch_packed
 
+    unknown = set(thresholds) - set(_THR_KEYS)
+    if unknown:
+        raise TypeError(f"unknown threshold kwargs: {sorted(unknown)}")
     n = mesh.devices.size
     thr = tuple(thresholds.get(k, d) for k, d in zip(
         _THR_KEYS, (5, 10, 40, 0.1, 30, 10, 0.9)))

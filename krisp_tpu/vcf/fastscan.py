@@ -148,18 +148,9 @@ def _variant_from_columnar(col, v):
 
 
 def _scan_mesh():
-    """Device mesh for the classification batches: explicit request via
-    KRISP_TPU_DEVICES, else every available device.  None = one device
-    (the common case on a single chip)."""
-    import os
-
-    import jax
-    env = os.environ.get("KRISP_TPU_DEVICES")
-    n = min(int(env) if env else jax.device_count(), jax.device_count())
-    if n <= 1:
-        return None
-    from ..parallel.distributed import make_mesh
-    return make_mesh(n)
+    """Device mesh for the classification batches (None = one device)."""
+    from ..parallel.distributed import mesh_from_env
+    return mesh_from_env()
 
 
 def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):

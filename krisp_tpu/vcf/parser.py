@@ -242,7 +242,7 @@ class VcfOffsetIndex:
             tmp = tempfile.NamedTemporaryFile(
                 mode="wb", suffix=".vcf", dir=workdir, delete=False,
                 prefix="krisp_tpu_idx_")
-            with gzip.open(open(path, "rb")) as zin:
+            with open(path, "rb") as raw, gzip.open(raw) as zin:
                 while True:
                     block = zin.read(1 << 24)
                     if not block:
@@ -269,7 +269,10 @@ class VcfOffsetIndex:
                 ll = len(line)
                 if line.startswith(b"#"):
                     if line.startswith(b"#CHROM"):
-                        cols = line.decode().rstrip("\n").split("\t")
+                        text = line.decode().rstrip("\n")
+                        if text.endswith("\r"):   # CRLF input: same single
+                            text = text[:-1]      # strip as the native pass
+                        cols = text.split("\t")
                         self.samples = cols[9:]
                     offset += ll
                     continue

@@ -84,14 +84,33 @@ def test_sharded_overflow_retry(tmp_path, monkeypatch):
 
     monkeypatch.setattr(ks_mod, "_kstream_step", spy)
     rng = np.random.default_rng(5)
-    seq = "".join(rng.choice(list("AC"), 8000))
+    # C-heavy A/C alphabet: the first base decides the owner shard, so
+    # ~75% of each shard's keys target one destination — past the uniform
+    # cap of 2*(rows/n); k=28 keeps the biased windows unique
+    seq = "".join(rng.choice(list("AC"), 8000, p=[0.25, 0.75]))
     fasta = _write_fasta(tmp_path, seq)
-    plan = device_plan(kmers=[16], disallow="Nn", sort=True)
+    plan = device_plan(kmers=[28], disallow="Nn", sort=True)
     monkeypatch.setenv("KRISP_TPU_DEVICES", "8")
     out = io.BytesIO()
     n = run_device_kstream(fasta, plan, out)
     assert n is not None, "device path declined the input"
     assert len(caps) >= 2, f"overflow retry never fired (caps={caps})"
-    host = KStream(kmers=[16], disallow="Nn", sort=True)
+    host = KStream(kmers=[28], disallow="Nn", sort=True)
     want = "".join(line + "\n" for line in host(fasta)).encode()
     assert out.getvalue() == want
+
+
+def test_short_input_falls_back_to_single_device(tmp_path, monkeypatch):
+    """An input too short to cover each shard's (k-1)-byte halo must not
+    silently drop boundary-spanning k-mers: the sharded table declines and
+    the one-shot single-device path serves the request."""
+    seq = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTAC"  # 38 bp, k=28, 8 shards
+    fasta = _write_fasta(tmp_path, seq)
+    plan = device_plan(kmers=[28], disallow="Nn", sort=True)
+    monkeypatch.setenv("KRISP_TPU_DEVICES", "8")
+    out = io.BytesIO()
+    n = run_device_kstream(fasta, plan, out)
+    host = KStream(kmers=[28], disallow="Nn", sort=True)
+    want = "".join(line + "\n" for line in host(fasta)).encode()
+    assert out.getvalue() == want
+    assert n == want.count(b"\n") and n == len(seq) - 28 + 1

@@ -172,3 +172,40 @@ def test_native_index_equals_python_scan(tmp_path, monkeypatch):
         finally:
             nat.cleanup()
             py.cleanup()
+
+
+def test_native_index_crlf_parity(tmp_path, monkeypatch):
+    """CRLF line endings: the native pass and the Python scan must agree
+    on sample names (no stray carriage returns)."""
+    import krisp_tpu.io.native_vcf as native_vcf
+    crlf = tmp_path / "crlf.vcf"
+    crlf.write_bytes(
+        b"##fileformat=VCFv4.2\r\n"
+        b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\r\n"
+        b"A\t7\t.\tG\tC\t50\t.\tMQ=40\tGT:DP:GQ:AD\t0:9:40:9,0\t"
+        b"1:9:40:0,9\r\n")
+    nat = VcfOffsetIndex(str(crlf))
+    with monkeypatch.context() as mp:
+        mp.setattr(native_vcf, "read_index", lambda *a, **k: None)
+        py = VcfOffsetIndex(str(crlf))
+    try:
+        assert nat.samples == py.samples == ["s1", "s2"]
+        assert _full_state(nat) == _full_state(py)
+    finally:
+        nat.cleanup()
+        py.cleanup()
+
+
+def test_malformed_pos_rejects_loudly(tmp_path):
+    """A non-numeric POS must raise (via the Python fallback), never be
+    silently indexed as 0 by the native pass."""
+    import pytest as _pytest
+    bad = tmp_path / "badpos.vcf"
+    bad.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n"
+        "A\tXYZ\t.\tG\tC\t50\t.\tMQ=40\tGT\t0\n")
+    from krisp_tpu.io.native_vcf import read_index
+    assert read_index(str(bad)) is None
+    with _pytest.raises(ValueError):
+        VcfOffsetIndex(str(bad))
