@@ -13,6 +13,7 @@ import argparse
 import gzip
 import logging
 import multiprocessing as mp
+import os
 import queue as queue_mod
 import sys
 from contextlib import contextmanager
@@ -75,6 +76,10 @@ def parse_args(argv):
                         "TPU-batched kernel with on-demand exact "
                         "rehydration; 'auto' picks the device path for "
                         "large indexed VCFs. (default: %(default)s)")
+    p.add_argument("--devices", type=int, default=None, metavar="INT",
+                   help="Number of accelerator devices to shard the device "
+                        "engine's classification batches over (default: "
+                        "all; same as KRISP_TPU_DEVICES)")
     return p.parse_args(argv)
 
 
@@ -346,6 +351,8 @@ def _scan_chunks(args, chunks, vcf_source, groups, reference, group_names,
 @pipe_safe
 def main(argv=None):
     args = parse_args(sys.argv[1:] if argv is None else argv)
+    if args.devices is not None:
+        os.environ["KRISP_TPU_DEVICES"] = str(args.devices)
     run_all(args)
     return 0
 

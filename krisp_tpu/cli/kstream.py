@@ -55,6 +55,10 @@ def parse_args(argv):
                         help="Sort based on these columns, 0-based indexing")
     parser.add_argument("--output",
                         help="Write output to file as opposed to terminal")
+    parser.add_argument("--devices", type=int, default=None, metavar="INT",
+                        help="Number of accelerator devices for the device "
+                             "fast path (default: all; same as "
+                             "KRISP_TPU_DEVICES)")
     parser.add_argument("--version", action="version", version="%(prog)s 1.0")
     return parser.parse_args(argv)
 
@@ -64,6 +68,9 @@ def main(argv=None):
     from ..kstream import KStream
 
     args = parse_args(sys.argv[1:] if argv is None else argv)
+    if args.devices is not None:
+        import os
+        os.environ["KRISP_TPU_DEVICES"] = str(args.devices)
     if args.sort_np != 1 or args.sort_mem is not None:
         print("kstream: note: --sort-np/--sort-mem have no effect (device/"
               "in-memory sort; flags accepted for reference CLI parity)",
