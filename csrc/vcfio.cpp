@@ -12,7 +12,15 @@
 //   KVcf* kvcf_read(const char* path, int max_alleles)
 //   KVcf* kvcf_read_range(const char* path, int max_alleles,
 //                         int64_t start_off, int64_t end_off)
-//   void  kvcf_free(KVcf*)
+//   KVcf* kvcf_read_anchored(const char* path, int max_alleles,
+//                            const int64_t* anchors,
+//                            const int64_t* row_starts, int n_spans)
+//     — threaded parse of a PLAIN file: span i = [anchors[i],
+//     anchors[i+1]) parses on its own thread, writing the bulk
+//     (rows x samples[ x alleles]) arrays in place at row_starts[i];
+//     element-identical to the sequential parse, ~Nx the throughput.
+//   KIdx* kvcf_index(const char* path, const char* out_plain)
+//   void  kvcf_free(KVcf*) / kvcf_index_free(KIdx*)
 //
 // kvcf_read_range parses only records whose line starts in
 // [start_off, end_off) of the (decompressed) byte stream — the header is
@@ -27,6 +35,7 @@
 #include <cmath>
 #include <string>
 #include <string_view>
+#include <thread>
 #include <vector>
 
 #include <zlib.h>
@@ -121,48 +130,66 @@ static int32_t sv_i32(std::string_view t) {
     return (int32_t)strtol(t.data(), nullptr, 10);
 }
 
-KVcf* kvcf_read_range(const char* path, int max_alleles,
-                      int64_t start_off, int64_t end_off) {
+// Parse the header only: sample names into ``sample_blob`` and the byte
+// offset of the first post-#CHROM line into ``header_end``.  Fails on a
+// record line before #CHROM (same contract as the original one-pass loop).
+static bool parse_header(const char* path, std::string& sample_blob,
+                         int& n_samples, int64_t& header_end) {
     gzFile f = gzopen(path, "rb");
-    if (!f) return nullptr;
+    if (!f) return false;
     gzbuffer(f, 1 << 20);
-
-    auto* impl = new KVcfImpl();
     std::string line;
     std::vector<std::string> fields;
-    std::vector<std::string_view> fsv, fmt, toks, adtoks, alts;
-    std::vector<std::string> chroms;
-    int n_samples = 0;
-    bool header_done = false;
-
-    while (true) {
-        if (header_done && start_off > 0) {
-            // jump to the first requested record line (offsets are in the
-            // decompressed stream; gzseek rewinds+inflates for .gz input)
-            if (gztell(f) < start_off &&
-                gzseek(f, (z_off_t)start_off, SEEK_SET) < 0) {
-                gzclose(f); delete impl; return nullptr;
-            }
-        }
-        if (header_done && end_off >= 0 && gztell(f) >= end_off) break;
+    n_samples = 0;
+    bool done = false;
+    while (!done) {
         if (!read_line(f, line)) break;
         if (line.empty()) continue;
-        if (line[0] == '#') {
-            if (line.rfind("#CHROM", 0) == 0) {
-                split(line, '\t', fields);
-                for (size_t i = 9; i < fields.size(); ++i) {
-                    impl->sample_blob += fields[i];
-                    impl->sample_blob += '\0';
-                    ++n_samples;
-                }
-                header_done = true;
+        if (line[0] != '#') { gzclose(f); return false; }
+        if (line.rfind("#CHROM", 0) == 0) {
+            split(line, '\t', fields);
+            for (size_t i = 9; i < fields.size(); ++i) {
+                sample_blob += fields[i];
+                sample_blob += '\0';
+                ++n_samples;
             }
-            continue;
+            done = true;
         }
-        if (!header_done) { gzclose(f); delete impl; return nullptr; }
+    }
+    header_end = (int64_t)gztell(f);
+    gzclose(f);
+    return done;
+}
 
-        split_sv(line, '\t', fsv);
-        if (fsv.size() < 8) continue;
+// Per-thread scratch for the field tokenizers (reused across lines so the
+// vectors stop reallocating after the first few records).
+struct ParseScratch {
+    std::vector<std::string_view> fsv, fmt, toks, adtoks, alts;
+};
+
+// Direct-write destination for the (records x samples[ x alleles]) bulk
+// arrays: the anchored parallel path preallocates them once and each
+// thread fills its own row range in place — no post-merge copy of the
+// GB-scale genotype cube.  Null = append to impl's vectors (single-span).
+struct DirectOut {
+    int32_t* dp;
+    int32_t* gq;
+    int32_t* ad;
+    int64_t row;              // next absolute row to write
+};
+
+static void parse_record_line(std::string_view line, int max_alleles,
+                              int n_samples,
+                              std::vector<std::string>& chroms,
+                              KVcfImpl* impl, ParseScratch& sc,
+                              DirectOut* dout = nullptr) {
+    auto& fsv = sc.fsv;
+    auto& fmt = sc.fmt;
+    auto& toks = sc.toks;
+    auto& adtoks = sc.adtoks;
+    auto& alts = sc.alts;
+    split_sv(line, '\t', fsv);
+        if (fsv.size() < 8) return;
 
         // CHROM interning
         int32_t cid = -1;
@@ -228,9 +255,25 @@ KVcf* kvcf_read_range(const char* path, int max_alleles,
                 else if (fmt[i] == "AD") adi = (int)i;
             }
         }
-        size_t ad_base = impl->ad.size();
-        impl->ad.resize(ad_base + (size_t)n_samples * max_alleles, 0);
-        for (int s = 0; s < n_samples; ++s, ad_base += max_alleles) {
+        int32_t* ad_row;
+        int32_t* dp_row;
+        int32_t* gq_row;
+        if (dout) {
+            ad_row = dout->ad + dout->row * (int64_t)n_samples * max_alleles;
+            dp_row = dout->dp + dout->row * (int64_t)n_samples;
+            gq_row = dout->gq + dout->row * (int64_t)n_samples;
+            ++dout->row;
+        } else {
+            size_t ad_base = impl->ad.size();
+            impl->ad.resize(ad_base + (size_t)n_samples * max_alleles, 0);
+            ad_row = impl->ad.data() + ad_base;
+            size_t sb = impl->dp.size();
+            impl->dp.resize(sb + n_samples);
+            impl->gq.resize(sb + n_samples);
+            dp_row = impl->dp.data() + sb;
+            gq_row = impl->gq.data() + sb;
+        }
+        for (int s = 0; s < n_samples; ++s, ad_row += max_alleles) {
             int32_t dv = -1, gv = -1;
             size_t col = 9 + s;
             if (col < fsv.size()) {
@@ -242,16 +285,117 @@ KVcf* kvcf_read_range(const char* path, int max_alleles,
                     for (int a = 0; a < (int)adtoks.size() && a < max_alleles;
                          ++a) {
                         int32_t v = sv_i32(adtoks[a]);
-                        impl->ad[ad_base + a] = v < 0 ? 0 : v;
+                        ad_row[a] = v < 0 ? 0 : v;
                     }
                 }
             }
-            impl->dp.push_back(dv);
-            impl->gq.push_back(gv);
+            dp_row[s] = dv;
+            gq_row[s] = gv;
         }
+}
+
+// Parse record lines whose start lies in [start_off, end_off) into
+// ``impl``'s record vectors (sample_blob untouched).  ``chroms`` is this
+// call's interning table (callers merge/remap when combining spans).
+// Thread-safe: touches only its own arguments and a private file handle.
+static bool parse_records(const char* path, int max_alleles, int n_samples,
+                          int64_t start_off, int64_t end_off,
+                          std::vector<std::string>& chroms, KVcfImpl* impl) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return false;
+    gzbuffer(f, 1 << 20);
+    if (start_off > 0 && gzseek(f, (z_off_t)start_off, SEEK_SET) < 0) {
+        gzclose(f);
+        return false;
+    }
+    std::string line;
+    ParseScratch sc;
+    while (true) {
+        if (end_off >= 0 && gztell(f) >= end_off) break;
+        if (!read_line(f, line)) break;
+        if (line.empty()) continue;
+        if (line[0] == '#') continue;   // header lines precede start_off
+        parse_record_line(line, max_alleles, n_samples, chroms, impl, sc);
     }
     gzclose(f);
+    return true;
+}
 
+// The same over a PLAIN (non-gzip) file with real fseek — the anchored
+// parallel path needs O(1) seeks per thread (gzseek on a fresh handle
+// reads-and-discards the prefix even in transparent mode, which made the
+// threads collectively re-read the whole file).
+static bool parse_records_plain(const char* path, int max_alleles,
+                                int n_samples, int64_t start_off,
+                                int64_t end_off,
+                                std::vector<std::string>& chroms,
+                                KVcfImpl* impl,
+                                DirectOut* dout = nullptr) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    if (start_off > 0 && fseek(f, (long)start_off, SEEK_SET) != 0) {
+        fclose(f);
+        return false;
+    }
+    std::string pending;      // partial line carried across fread blocks
+    int64_t line_start = 0;   // byte offset of pending's first char
+    std::vector<char> buf(1 << 20);
+    int64_t off = start_off;  // byte offset of the next unread char in buf
+    ParseScratch sc;
+    bool stop = false;
+    while (!stop) {
+        size_t n = fread(buf.data(), 1, buf.size(), f);
+        if (n == 0) break;
+        const char* p = buf.data();
+        const char* end = p + n;
+        const char* cur = p;
+        while (cur < end) {
+            const char* nl = (const char*)memchr(cur, '\n', end - cur);
+            if (!nl) {
+                if (pending.empty()) line_start = off;
+                pending.append(cur, end - cur);
+                off += end - cur;
+                break;
+            }
+            int64_t this_start = pending.empty() ? off : line_start;
+            off += (nl - cur) + 1;
+            if (end_off >= 0 && this_start >= end_off) {
+                stop = true;
+                break;
+            }
+            // a view into buf is safe for the strtol/strtod field parses:
+            // every numeric field is followed by a delimiter, and the
+            // line's own '\n' (present in buf at nl) bounds the last one
+            std::string_view line;
+            if (!pending.empty()) {
+                pending.append(cur, nl - cur);
+                line = pending;
+            } else {
+                line = std::string_view(cur, nl - cur);
+            }
+            if (!line.empty() && line.back() == '\r')
+                line.remove_suffix(1);
+            if (!line.empty() && line[0] != '#')
+                parse_record_line(line, max_alleles, n_samples, chroms,
+                                  impl, sc, dout);
+            pending.clear();
+            cur = nl + 1;
+        }
+    }
+    // final line without a trailing newline
+    if (!stop && !pending.empty()
+            && (end_off < 0 || line_start < end_off)) {
+        std::string_view line = pending;
+        if (!line.empty() && line.back() == '\r') line.remove_suffix(1);
+        if (!line.empty() && line[0] != '#')
+            parse_record_line(line, max_alleles, n_samples, chroms, impl,
+                              sc, dout);
+    }
+    fclose(f);
+    return true;
+}
+
+static KVcf* finish(KVcfImpl* impl, int n_samples, int max_alleles) {
     KVcf& p = impl->pub;
     p.sample_blob = impl->sample_blob.data();
     p.sample_blob_len = impl->sample_blob.size();
@@ -277,6 +421,142 @@ KVcf* kvcf_read_range(const char* path, int max_alleles,
     p.rlen = impl->rlen.data();
     p.alen = impl->alen.data();
     return &p;
+}
+
+KVcf* kvcf_read_range(const char* path, int max_alleles,
+                      int64_t start_off, int64_t end_off) {
+    auto* impl = new KVcfImpl();
+    int n_samples = 0;
+    int64_t header_end = 0;
+    if (!parse_header(path, impl->sample_blob, n_samples, header_end)) {
+        delete impl;
+        return nullptr;
+    }
+    std::vector<std::string> chroms;
+    int64_t s = start_off > 0 ? start_off : header_end;
+    if (!parse_records(path, max_alleles, n_samples, s, end_off, chroms,
+                       impl)) {
+        delete impl;
+        return nullptr;
+    }
+    return finish(impl, n_samples, max_alleles);
+}
+
+// Anchored parallel parse: ``anchors`` is a sorted list of n_spans + 1
+// record-line byte offsets (from the byte-offset index); span i =
+// [anchors[i], anchors[i+1]) is parsed by its own thread over the plain
+// (already decompressed) file, and the spans concatenate in order —
+// output arrays are element-identical to the single-thread parse.
+KVcf* kvcf_read_anchored(const char* path, int max_alleles,
+                         const int64_t* anchors, const int64_t* row_starts,
+                         int n_spans) {
+    if (n_spans < 1) return nullptr;
+    {   // plain files only: per-thread gzseek would re-inflate the prefix
+        FILE* probe = fopen(path, "rb");
+        if (!probe) return nullptr;
+        unsigned char magic[2] = {0, 0};
+        size_t got = fread(magic, 1, 2, probe);
+        fclose(probe);
+        if (got == 2 && magic[0] == 0x1f && magic[1] == 0x8b)
+            return nullptr;
+    }
+    auto* out = new KVcfImpl();
+    int n_samples = 0;
+    int64_t header_end = 0;
+    if (!parse_header(path, out->sample_blob, n_samples, header_end)) {
+        delete out;
+        return nullptr;
+    }
+
+    // the bulk (rows x samples[ x alleles]) arrays are preallocated once
+    // from the caller's per-span row counts (the byte-offset index knows
+    // them); each thread writes its own row range in place, so the merge
+    // below only touches the small per-record arrays
+    int64_t total_rows = row_starts[n_spans];
+    out->dp.resize((size_t)total_rows * n_samples);
+    out->gq.resize((size_t)total_rows * n_samples);
+    out->ad.resize((size_t)total_rows * n_samples * max_alleles);
+
+    std::vector<KVcfImpl> parts(n_spans);
+    std::vector<std::vector<std::string>> part_chroms(n_spans);
+    std::vector<char> ok(n_spans, 0);
+    {
+        std::vector<std::thread> threads;
+        for (int i = 0; i < n_spans; ++i)
+            threads.emplace_back([&, i] {
+                DirectOut dout{out->dp.data(), out->gq.data(),
+                               out->ad.data(), row_starts[i]};
+                ok[i] = parse_records_plain(path, max_alleles, n_samples,
+                                            anchors[i], anchors[i + 1],
+                                            part_chroms[i], &parts[i],
+                                            &dout)
+                        && dout.row == row_starts[i + 1];
+            });
+        for (auto& t : threads) t.join();
+    }
+    for (int i = 0; i < n_spans; ++i)
+        if (!ok[i]) { delete out; return nullptr; }
+
+    // merge in span order: global chrom interning (first-seen), allele
+    // offsets rebased by the running allele-string count.  Exact reserves
+    // first — growth-by-doubling on the GB-scale vectors (the AD cube)
+    // would otherwise copy the data log(n) extra times
+    {
+        size_t nrec = 0, nad = 0, nblob = 0;
+        for (auto& p : parts) {
+            nrec += p.pos.size();
+            nad += p.ad.size();
+            nblob += p.allele_blob.size();
+        }
+        out->pos.reserve(nrec);
+        out->qual.reserve(nrec);
+        out->mq.reserve(nrec);
+        out->n_alleles.reserve(nrec);
+        out->chrom_id.reserve(nrec);
+        out->rlen.reserve(nrec);
+        out->allele_off.reserve(nrec);
+        out->alen.reserve(nrec * (size_t)max_alleles);
+        out->allele_blob.reserve(nblob);
+        (void)nad;
+    }
+    std::vector<std::string> gchroms;
+    int64_t allele_base = 0;
+    for (int i = 0; i < n_spans; ++i) {
+        KVcfImpl& p = parts[i];
+        std::vector<int32_t> remap(part_chroms[i].size());
+        for (size_t c = 0; c < part_chroms[i].size(); ++c) {
+            int32_t gid = -1;
+            for (size_t g = 0; g < gchroms.size(); ++g)
+                if (gchroms[g] == part_chroms[i][c]) {
+                    gid = (int32_t)g;
+                    break;
+                }
+            if (gid < 0) {
+                gid = (int32_t)gchroms.size();
+                gchroms.push_back(part_chroms[i][c]);
+                out->chrom_blob += part_chroms[i][c];
+                out->chrom_blob += '\0';
+            }
+            remap[c] = gid;
+        }
+        for (int32_t cid : p.chrom_id)
+            out->chrom_id.push_back(remap[cid]);
+        for (int64_t off : p.allele_off)
+            out->allele_off.push_back(off + allele_base);
+        for (int32_t na : p.n_alleles) allele_base += na;
+
+        auto cat = [](auto& dst, auto& src) {
+            dst.insert(dst.end(), src.begin(), src.end());
+        };
+        cat(out->pos, p.pos);
+        cat(out->qual, p.qual);
+        cat(out->mq, p.mq);
+        cat(out->n_alleles, p.n_alleles);
+        cat(out->rlen, p.rlen);
+        cat(out->alen, p.alen);
+        out->allele_blob += p.allele_blob;
+    }
+    return finish(out, n_samples, max_alleles);
 }
 
 KVcf* kvcf_read(const char* path, int max_alleles) {

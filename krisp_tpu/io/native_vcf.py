@@ -67,8 +67,8 @@ class _KIdx(ctypes.Structure):
 
 def _build() -> bool:
     _LIB_DIR.mkdir(exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC),
-           "-lz", "-o", str(_LIB)]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+           str(_SRC), "-lz", "-o", str(_LIB)]
     try:
         proc = subprocess.run(cmd, capture_output=True, timeout=120)
         return proc.returncode == 0
@@ -97,6 +97,11 @@ def get_lib():
         lib.kvcf_read_range.restype = ctypes.POINTER(_KVcf)
         lib.kvcf_read_range.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                         ctypes.c_int64, ctypes.c_int64]
+        lib.kvcf_read_anchored.restype = ctypes.POINTER(_KVcf)
+        lib.kvcf_read_anchored.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                           ctypes.POINTER(ctypes.c_int64),
+                                           ctypes.POINTER(ctypes.c_int64),
+                                           ctypes.c_int]
         lib.kvcf_free.argtypes = [ctypes.POINTER(_KVcf)]
         lib.kvcf_index.restype = ctypes.POINTER(_KIdx)
         lib.kvcf_index.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
@@ -299,16 +304,33 @@ class ColumnarVcf:
         return self._alen
 
 
-def read_columnar(path, max_alleles=8, start=0, end=-1):
+def read_columnar(path, max_alleles=8, start=0, end=-1, anchors=None):
     """Columnar arrays for the records whose lines start in byte range
     [start, end) of the (decompressed) stream; the default range is the
     whole file.  Ranged loads bound memory by the slice — the device scan
-    loads one contig at a time (vcf/parser.columnar_slice)."""
+    loads one contig at a time (vcf/parser.columnar_slice).
+
+    ``anchors``: optional ``(byte_offsets, row_starts)`` — ascending
+    record-line byte offsets splitting [start, end) into spans parsed by
+    parallel threads, plus each span's first row index (both ending with
+    the exclusive totals; from the byte-offset index).  Element-identical
+    output: threads write the bulk genotype arrays in place at their row
+    offsets.  Only for PLAIN (already-decompressed) files: a gz handle
+    would re-inflate from byte 0 per thread (the C side refuses and this
+    falls back to the ranged parse)."""
     lib = get_lib()
     if lib is None:
         return None
-    ptr = lib.kvcf_read_range(str(path).encode(), max_alleles,
-                              int(start), int(end))
+    ptr = None
+    if anchors is not None and len(anchors[0]) >= 2:
+        offs, rows = anchors
+        arr = (ctypes.c_int64 * len(offs))(*[int(a) for a in offs])
+        rarr = (ctypes.c_int64 * len(rows))(*[int(r) for r in rows])
+        ptr = lib.kvcf_read_anchored(str(path).encode(), max_alleles,
+                                     arr, rarr, len(offs) - 1)
+    if not ptr:   # no anchors, or anchored refused (gzip input)
+        ptr = lib.kvcf_read_range(str(path).encode(), max_alleles,
+                                  int(start), int(end))
     if not ptr:
         return None
     c = ptr.contents

@@ -437,10 +437,40 @@ class VcfOffsetIndex:
             return cached or None
         from ..io.native_vcf import read_columnar
 
-        col = (read_columnar(self.path, max(self.max_alleles, 1))
+        col = (read_columnar(self.path, max(self.max_alleles, 1),
+                             anchors=self._anchor_points(0, -1))
                if self.max_alleles <= 32 else None)
         self._columnar = col if col is not None else False
         return col
+
+    _ANCHOR_MIN_ROWS = 20_000
+
+    def _anchor_points(self, start, end):
+        """Evenly spaced record-line byte offsets splitting [start, end)
+        for the threaded native parse (self.path is always the PLAIN
+        stream, so per-thread seeks are O(1)).  None when the range is
+        too small for thread startup to pay off."""
+        import os
+
+        import numpy as np
+        T = min(os.cpu_count() or 1, 4)
+        if T <= 1 or not self._contig_order:
+            return None
+        offs = getattr(self, "_all_off", None)
+        if offs is None:
+            offs = np.sort(np.concatenate(
+                [self._off[c] for c in self._contig_order]))
+            self._all_off = offs
+        lo = int(np.searchsorted(offs, start, side="left"))
+        hi = (offs.shape[0] if end is None or end < 0
+              else int(np.searchsorted(offs, end, side="left")))
+        n = hi - lo
+        if n < self._ANCHOR_MIN_ROWS:
+            return None
+        idx = [(n * i) // T for i in range(T)]
+        pts = [int(offs[lo + i]) for i in idx]
+        end_v = self._file_end if end is None or end < 0 else int(end)
+        return pts + [end_v], idx + [n]
 
     def native_ok(self):
         """Cached probe: can the native tokenizer parse THIS file (header
@@ -499,7 +529,8 @@ class VcfOffsetIndex:
             return self.columnar()
         from ..io.native_vcf import read_columnar
         col = read_columnar(self.path, max(self.max_alleles, 1),
-                            start=rng[0], end=rng[1])
+                            start=rng[0], end=rng[1],
+                            anchors=self._anchor_points(rng[0], rng[1]))
         self._slice_cache = (contig, col)
         return col
 

@@ -152,3 +152,67 @@ def test_native_window_types_matches_python_fuzz():
                                is_consv.tolist(), span, min_vars)
         assert nt.tolist() == pt
         assert nj.tolist() == pj
+
+
+def test_anchored_parallel_parse_equals_ranged(tmp_path, monkeypatch):
+    """The threaded anchored parse (kvcf_read_anchored: per-span direct
+    writes into preallocated bulk arrays) must be element-identical to the
+    sequential ranged parse, through the public columnar() entry — incl.
+    an interleaved-contig file where per-thread chrom interning remaps."""
+    import numpy as np
+    from krisp_tpu.io.native_vcf import read_columnar
+    from krisp_tpu.vcf.parser import VcfOffsetIndex
+
+    rng = np.random.default_rng(7)
+    lines = ["##fileformat=VCFv4.2",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2"]
+    posc = {"A": 0, "B": 0, "C": 0}
+    for i in range(3000):
+        c = ("A", "B", "C")[int(rng.integers(0, 3))]
+        posc[c] += int(rng.integers(1, 9))
+        ref = "ACGT"[i % 4] * int(rng.integers(1, 3))
+        alt = "TGCA"[i % 4]
+        lines.append(f"{c}\t{posc[c]}\t.\t{ref}\t{alt}\t50\t.\tMQ=40\t"
+                     f"GT:DP:GQ:AD\t0:9:40:9,0\t1:9:40:0,9")
+    vcf = tmp_path / "interleaved.vcf"
+    vcf.write_text("\n".join(lines) + "\n")
+
+    monkeypatch.setattr(VcfOffsetIndex, "_ANCHOR_MIN_ROWS", 100)
+    idx = VcfOffsetIndex(str(vcf))
+    try:
+        anchors = idx._anchor_points(0, -1)
+        assert anchors is not None and len(anchors[0]) >= 3
+        A = max(idx.max_alleles, 1)
+        anchored = read_columnar(idx.path, A, anchors=anchors)
+        ranged = read_columnar(idx.path, A)
+        assert anchored.samples == ranged.samples
+        assert anchored.chroms == ranged.chroms
+        for name in ["pos", "qual", "mq", "n_alleles", "chrom_id", "dp",
+                     "gq", "ad", "rlen", "alen"]:
+            a, b = getattr(anchored, name), getattr(ranged, name)
+            assert np.array_equal(a, b, equal_nan=(a.dtype.kind == "f")), \
+                name
+        for v in (0, 1499, 2999):
+            assert list(anchored.alleles[v]) == list(ranged.alleles[v])
+    finally:
+        idx.cleanup()
+
+
+def test_anchored_refuses_gzip_and_falls_back(tmp_path):
+    """kvcf_read_anchored would re-inflate the prefix per thread on a gz
+    handle, so it refuses gzip inputs; read_columnar falls back to the
+    sequential ranged parse transparently."""
+    import gzip
+    import numpy as np
+    from krisp_tpu.io.native_vcf import read_columnar
+
+    body = ("##fileformat=VCFv4.2\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n"
+            + "".join(f"c\t{p}\t.\tA\tG\t50\t.\tMQ=40\tGT:DP:GQ:AD\t"
+                      f"0:9:40:9,0\n" for p in range(1, 101)))
+    gz = tmp_path / "in.vcf.gz"
+    gz.write_bytes(gzip.compress(body.encode()))
+    col = read_columnar(str(gz), 2,
+                        anchors=([0, len(body)], [0, 100]))
+    assert col is not None and col.n_records == 100
+    assert np.array_equal(col.pos, np.arange(1, 101))
