@@ -169,3 +169,67 @@ def test_dense_overlapping_indels_parity(tmp_path, seed):
         meta, ref, vcf, str(tmp_path), "ours")
     assert our_csv == ref_csv
     assert our_align == ref_align
+
+
+def _random_flags(rng):
+    flags = ["--min_samples", str(rng.integers(1, 5))]
+    if rng.random() < 0.5:
+        flags += ["--min_reads", str(rng.integers(1, 20))]
+    if rng.random() < 0.5:
+        flags += ["--min_geno_qual", str(rng.integers(10, 60))]
+    if rng.random() < 0.4:
+        flags += ["--min_freq",
+                  str(round(float(rng.uniform(0.05, 0.4)), 2))]
+    if rng.random() < 0.4:
+        cl = int(rng.integers(20, 36))
+        a = int(rng.integers(3, 8))
+        b = int(rng.integers(a + 4, cl - 3))
+        flags += ["--crrna_len", str(cl), "--var_location", str(a), str(b)]
+    if rng.random() < 0.4:
+        lo = int(rng.integers(60, 90))
+        hi = int(rng.integers(lo + 40, 260))
+        flags += ["--amp_size", str(lo), str(hi)]
+    if rng.random() < 0.3:
+        flags += ["--min_bases", str(rng.integers(1, 3))]
+    if rng.random() < 0.3:
+        flags += ["--tm", str(rng.integers(45, 55)),
+                  str(rng.integers(62, 75))]
+    if rng.random() < 0.3:
+        s = int(rng.integers(0, 4000))
+        flags += ["--pos", str(s), str(s + int(rng.integers(1500, 6000)))]
+    if rng.random() < 0.3:
+        flags += ["--min_map_qual", str(rng.integers(20, 50))]
+    return flags
+
+
+def _run_cli_flags(module, pythonpath, meta, ref, vcf, out_dir, tag, flags):
+    csv = f"{out_dir}/{tag}.csv"
+    align = f"{out_dir}/{tag}.align.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", module, meta, ref, "--vcf", vcf,
+         "--groups", "EU1", "NA1", *flags,
+         "--out_csv", csv, "--out_align", align],
+        capture_output=True, text=True, timeout=900,
+        env={"PYTHONHASHSEED": "0", "PYTHONPATH": pythonpath,
+             "PATH": "/usr/bin:/bin", "COLUMNS": "80"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return open(csv).read(), open(align).read()
+
+
+@pytest.mark.parametrize("seed", [400, 406, 409, 417])
+def test_fuzz_vcf_flag_surface(tmp_path, seed):
+    """Differential fuzz across the FLAG surface (thresholds, geometry,
+    --pos windows), not just defaults — byte parity per (input, flags)
+    point.  Seeds picked from a 24-point sweep for flag-set diversity."""
+    rng = np.random.default_rng(seed)
+    meta, ref, vcf = synth_fuzz_inputs(tmp_path, seed)
+    open(vcf + ".tbi", "w").close()
+    flags = _random_flags(rng)
+    ref_out = _run_cli_flags(
+        "krisp.krisp_vcf.krisp_vcf",
+        "/root/repo/tools/refstubs:/root/reference/src:/root/repo",
+        meta, ref, vcf, str(tmp_path), "ref", flags)
+    our_out = _run_cli_flags(
+        "krisp_tpu.cli.krisp_vcf", "/root/repo",
+        meta, ref, vcf, str(tmp_path), "ours", flags)
+    assert our_out == ref_out, flags
