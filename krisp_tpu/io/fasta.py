@@ -26,47 +26,52 @@ SENTINEL = 0  # NUL byte between records
 
 
 def open_maybe_compressed(path):
-    """Open a path ('-' = stdin) transparently handling gzip/bz2."""
+    """Open a path ('-' = stdin) transparently handling gzip/bz2.  The
+    returned handle owns its file descriptor (closing it closes the fd —
+    a decompressor wrapped around a caller-opened fileobj would not)."""
     if path == "-" or path is None:
         return sys.stdin.buffer
-    raw = open(path, "rb")
-    magic = raw.read(3)
-    raw.seek(0)
+    with open(path, "rb") as raw:
+        magic = raw.read(3)
     if magic[:2] == _GZ_MAGIC:
-        return gzip.open(raw, "rb")
+        return gzip.open(path, "rb")
     if magic == _BZ2_MAGIC:
-        return bz2.open(raw, "rb")
-    return raw
+        return bz2.open(path, "rb")
+    return open(path, "rb")
 
 
 def iter_fasta_records(path):
     """Yield (name, sequence_bytes) per FASTA record; header-less input is
     treated as one-sequence-per-line raw text (parity: kstream.py:510-554)."""
     handle = open_maybe_compressed(path)
-    first = True
-    is_fasta = False
-    name = None
-    chunks: list[bytes] = []
-    for line in handle:
-        line = line.strip()
-        if first:
-            is_fasta = line.startswith(b">")
-            first = False
-        if is_fasta:
-            if line.startswith(b">"):
-                if chunks:
-                    yield name, b"".join(chunks)
-                name = line[1:].split()[0].decode() if len(line) > 1 else ""
-                chunks = []
+    try:
+        first = True
+        is_fasta = False
+        name = None
+        chunks: list[bytes] = []
+        for line in handle:
+            line = line.strip()
+            if first:
+                is_fasta = line.startswith(b">")
+                first = False
+            if is_fasta:
+                if line.startswith(b">"):
+                    if chunks:
+                        yield name, b"".join(chunks)
+                    name = (line[1:].split()[0].decode()
+                            if len(line) > 1 else "")
+                    chunks = []
+                else:
+                    chunks.append(line)
             else:
-                chunks.append(line)
-        else:
-            if line:
-                yield None, line
-    if is_fasta and chunks:
-        yield name, b"".join(chunks)
-    if handle is not sys.stdin.buffer:
-        handle.close()
+                if line:
+                    yield None, line
+        if is_fasta and chunks:
+            yield name, b"".join(chunks)
+    finally:
+        # close even when a consumer abandons the generator mid-file
+        if handle is not sys.stdin.buffer:
+            handle.close()
 
 
 def read_fasta_buffer(path, pad_to: int | None = None):
