@@ -163,11 +163,11 @@ def test_device_path_count_layouts(k, body, tmp_path):
     assert out.read_text().splitlines() == want
 
 
-@pytest.mark.parametrize("seed", range(12))
-def test_fuzz_device_path_vs_reference(seed, tmp_path):
-    """Randomized FASTA + random eligible flag set, byte parity against
-    the live reference through the device fast path.  Random k sweeps the
-    word-count/spare-bit space of the embedded-count pull layout."""
+def fuzz_kstream_point(seed, tmp_path):
+    """One randomized kstream parity point: random FASTA + random eligible
+    flag set, byte parity against the live reference through the device
+    fast path.  Random k sweeps the word-count/spare-bit space of the
+    embedded-count pull layout.  Shared with tools/fuzz_campaign.py."""
     import numpy as np
     rng = np.random.default_rng(seed)
     k = int(rng.integers(2, 40))
@@ -208,6 +208,11 @@ def test_fuzz_device_path_vs_reference(seed, tmp_path):
     assert proc.returncode == 0, proc.stderr
     want = run_reference(flags, fasta.read_text())
     assert out.read_text().splitlines() == want
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_device_path_vs_reference(seed, tmp_path):
+    fuzz_kstream_point(seed, tmp_path)
 
 
 @pytest.mark.parametrize("flags", [
