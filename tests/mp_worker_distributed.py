@@ -13,6 +13,10 @@ num_processes
 import os
 import sys
 
+# Run as a script: sys.path[0] is tests/, so make the repo root (the
+# parent, which holds krisp_tpu/) importable regardless of install state.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 port, pid, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
