@@ -141,6 +141,72 @@ def pack_outputs(out, V):
          out["allele_counts"].reshape(V, -1)], axis=1)
 
 
+def classify_batch_packed_numpy(dp, gq, ad, n_alleles, mq, qual, group_id,
+                                group_sizes, n_groups: int, min_samples=5,
+                                min_reads=10, min_geno_qual=40, min_freq=0.1,
+                                min_map_qual=30, min_var_qual=10,
+                                min_samp_prop=0.9):
+    """Pure-numpy mirror of ``classify_batch_packed`` — bit-identical
+    output (pinned by tests/test_vcfclass_device.py).
+
+    Exists because this environment's XLA-CPU runtime degrades 10-100x
+    after a few GB of cumulative dispatch buffer churn
+    (tools/probe_cpu_dispatch_degradation.py, BASELINE.md); when the scan
+    has no accelerator, routing classification here keeps long
+    whole-genome scans at full speed.  All float math is float32, matching
+    the jax kernel's weak-type promotion (NEP 50 gives numpy the same
+    f32-scalar semantics); everything else is integer/bool algebra."""
+    import numpy as np
+
+    V, S = dp.shape
+    A = ad.shape[2]
+    f32 = np.float32
+    gate = (dp >= min_reads) & (gq >= min_geno_qual)               # (V,S)
+    member = (group_id[None, :, None]
+              == np.arange(n_groups, dtype=np.int32)[None, None, :])
+    sample_counts = np.sum((gate[:, :, None] & member), axis=1,
+                           dtype=np.int32)                          # (V,G)
+
+    depth_sum = np.sum(ad, axis=2, keepdims=True, dtype=np.int32)  # (V,S,1)
+    allele_idx = np.arange(A, dtype=np.int32)
+    keep = ((ad > 0)
+            & (ad.astype(f32) >= depth_sum.astype(f32) * f32(min_freq))
+            & (allele_idx[None, None, :] < n_alleles[:, None, None]))
+    counted = keep & gate[:, :, None]                               # (V,S,A)
+    allele_counts = np.sum(counted[:, :, None, :] & member[:, :, :, None],
+                           axis=1, dtype=np.int32)                  # (V,G,A)
+
+    present = allele_counts > 0
+    n_distinct = np.sum(present, axis=2, dtype=np.int32)            # (V,G)
+    single_allele = np.argmax(present, axis=2).astype(np.int32)
+
+    prop = (sample_counts.astype(f32)
+            / np.maximum(group_sizes, 1).astype(f32)[None, :])
+    qual_ok = (mq >= f32(min_map_qual)) & (qual >= f32(min_var_qual))
+    samp_ok = (sample_counts >= min_samples) & (prop >= f32(min_samp_prop))
+
+    consv_ok = qual_ok[:, None] & (n_distinct == 1) & samp_ok
+    conserved = np.where(consv_ok, single_allele, -1).astype(np.int32)
+
+    all_groups_ok = np.all(samp_ok, axis=1)
+    mask = np.sum(np.where(present,
+                           np.uint32(1) << allele_idx[None, None, :]
+                           .astype(np.uint32), np.uint32(0)),
+                  axis=2, dtype=np.uint32)                          # (V,G)
+    others = np.stack([np.bitwise_or.reduce(
+        mask[:, [og for og in range(n_groups) if og != g]], axis=1)
+        if n_groups > 1 else np.zeros_like(mask[:, 0])
+        for g in range(n_groups)], axis=1)
+    unique_bits = mask & ~others
+    diag_ok = (qual_ok & all_groups_ok)[:, None] & (n_distinct == 1) \
+        & (unique_bits != 0)
+    diagnostic = np.where(diag_ok, single_allele, -1).astype(np.int32)
+
+    return np.concatenate(
+        [sample_counts, conserved, diagnostic,
+         allele_counts.reshape(V, -1)], axis=1)
+
+
 @partial(jax.jit, static_argnames=("n_groups",))
 def classify_batch_packed(dp, gq, ad, n_alleles, mq, qual, group_id,
                           group_sizes, n_groups: int, min_samples=5,

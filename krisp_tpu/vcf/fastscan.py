@@ -166,12 +166,23 @@ def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
     from ..ops.vcfclass import classify_batch_packed
 
     mesh = _scan_mesh()
+    numpy_path = False
     if mesh is not None:
         from functools import partial
 
         from ..parallel.vcf_shard import classify_batch_packed_sharded
         classify_batch_packed = partial(classify_batch_packed_sharded,
                                         mesh, shard="variants")
+    else:
+        import jax
+
+        from ..ops.vcfclass import classify_batch_packed_numpy
+        if jax.default_backend() == "cpu":
+            # no accelerator: the vectorized numpy mirror is bit-identical
+            # and sidesteps this VM's XLA-CPU dispatch-rate collapse
+            # (tools/probe_cpu_dispatch_degradation.py, BASELINE.md)
+            classify_batch_packed = classify_batch_packed_numpy
+            numpy_path = True
 
     S = len(col.samples)
     A = col.ad.shape[2]
@@ -225,10 +236,14 @@ def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
     if not pending:
         z = np.zeros((0, G), np.int32)
         return z, np.zeros((0, G, A), np.int32), z.copy(), z.copy()
-    import jax.numpy as jnp
-    all_d = (pending[0][2] if len(pending) == 1
-             else jnp.concatenate([p[2] for p in pending], axis=0))
-    all_h = np.asarray(all_d)
+    if numpy_path:
+        all_h = (pending[0][2] if len(pending) == 1
+                 else np.concatenate([p[2] for p in pending], axis=0))
+    else:
+        import jax.numpy as jnp
+        all_d = (pending[0][2] if len(pending) == 1
+                 else jnp.concatenate([p[2] for p in pending], axis=0))
+        all_h = np.asarray(all_d)
 
     sc = np.empty((Vr, G), np.int32)
     ac = np.empty((Vr, G, A), np.int32)

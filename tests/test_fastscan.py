@@ -213,6 +213,8 @@ def test_classify_batches_share_compiled_shapes(bundled):
     """Batches pad to power-of-two buckets: nearby row counts (the typical
     per-chunk variation) must reuse one compiled program, not compile per
     distinct count."""
+    from unittest import mock
+
     from krisp_tpu.ops.vcfclass import classify_batch_packed
     from krisp_tpu.vcf.fastscan import _classify_columnar
 
@@ -222,11 +224,15 @@ def test_classify_batches_share_compiled_shapes(bundled):
               min_map_qual=40)
     names = list(groups.keys())
     base = classify_batch_packed._cache_size()
-    r1 = _classify_columnar(col, np.arange(300, dtype=np.int64), names,
-                            groups, kw)
-    n1 = classify_batch_packed._cache_size()
-    r2 = _classify_columnar(col, np.arange(280, dtype=np.int64), names,
-                            groups, kw)
+    # pin the jit path: on a CPU-only backend _classify_columnar routes to
+    # the numpy mirror (no compiled shapes at all), which this test is
+    # specifically not about
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        r1 = _classify_columnar(col, np.arange(300, dtype=np.int64), names,
+                                groups, kw)
+        n1 = classify_batch_packed._cache_size()
+        r2 = _classify_columnar(col, np.arange(280, dtype=np.int64), names,
+                                groups, kw)
     assert classify_batch_packed._cache_size() == n1 > base
     # padding rows must not leak into results
     for a, b in zip(r1, r2):

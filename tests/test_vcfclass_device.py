@@ -79,3 +79,51 @@ def test_packed_output_matches_unpacked():
                                   np.asarray(out["diagnostic"]))
     np.testing.assert_array_equal(packed[:, 3 * G:].reshape(V, G, A),
                                   np.asarray(out["allele_counts"]))
+
+
+def test_numpy_mirror_matches_jax_kernel():
+    """classify_batch_packed_numpy (the CPU-only scan path, used to dodge
+    this VM's XLA-CPU dispatch collapse — tools/
+    probe_cpu_dispatch_degradation.py) is bit-identical to the jax kernel:
+    on the real 10k-variant VCF slice AND on adversarial random batches
+    (missing data, multiallelics, NaN-sentinel quals, empty groups)."""
+    from krisp_tpu.ops.vcfclass import (classify_batch_packed,
+                                        classify_batch_packed_numpy)
+
+    groups = parse_group_data(META, groups=["NA1", "NA2", "EU1"])
+    variants = list(itertools.islice(VcfReader(VCF), 400))
+    arrays, group_names, _ = build_batch(variants, groups)
+    G = len(group_names)
+    want = np.asarray(classify_batch_packed(n_groups=G, **arrays, **KW))
+    got = classify_batch_packed_numpy(n_groups=G, **arrays, **KW)
+    assert got.dtype == want.dtype
+    np.testing.assert_array_equal(got, want)
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        V = int(rng.integers(1, 80))
+        S = int(rng.integers(1, 40))
+        A = int(rng.integers(1, 6))
+        G = int(rng.integers(1, 5))
+        arr = dict(
+            dp=rng.integers(-1, 40, (V, S)).astype(np.int32),
+            gq=rng.integers(-1, 99, (V, S)).astype(np.int32),
+            ad=rng.integers(0, 25, (V, S, A)).astype(np.int32),
+            n_alleles=rng.integers(1, A + 1, V).astype(np.int32),
+            mq=np.where(rng.random(V) < 0.1, -1.0,
+                        rng.uniform(0, 60, V)).astype(np.float32),
+            qual=np.where(rng.random(V) < 0.1, -1.0,
+                          rng.uniform(0, 100, V)).astype(np.float32),
+            group_id=(rng.integers(-1, G, S)).astype(np.int32),
+            group_sizes=rng.integers(1, 10, G).astype(np.int32),
+        )
+        kw = dict(min_samples=int(rng.integers(1, 4)),
+                  min_reads=int(rng.integers(1, 12)),
+                  min_geno_qual=int(rng.integers(0, 50)),
+                  min_freq=float(rng.uniform(0, 0.4)),
+                  min_map_qual=int(rng.integers(0, 45)),
+                  min_var_qual=int(rng.integers(0, 15)),
+                  min_samp_prop=float(rng.uniform(0, 1)))
+        want = np.asarray(classify_batch_packed(n_groups=G, **arr, **kw))
+        got = classify_batch_packed_numpy(n_groups=G, **arr, **kw)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
