@@ -167,11 +167,14 @@ def _vcf_scan_rate(records=100_000, samples=100):
 
 def _kstream_rate(tmpdir: Path, k=28, size=2_000_000):
     """kstream vertical: ``--kmers 28 --disallow Nn --sort --canonicals``
-    over a 2 Mb FASTA — ours through the device fast path (byte-identical
-    to the string pipeline, tests/test_kstream_device.py), the reference
+    over a 2 Mb FASTA — ours through the production fast path
+    (kstream_fast.run_fast_kstream, engine=auto: the host-vectorized u64
+    engine here, byte-identical to the string pipeline —
+    tests/test_kstream_vec.py / test_kstream_device.py), the reference
     CLI measured live on a smaller input and cached (rates compare
     size-independently, as with the other baselines)."""
-    from krisp_tpu.kstream_device import device_plan, run_device_kstream
+    from krisp_tpu.kstream_device import device_plan
+    from krisp_tpu.kstream_fast import run_fast_kstream
 
     flags = ["--kmers", str(k), "--disallow", "Nn", "--sort",
              "--canonicals"]
@@ -207,13 +210,13 @@ def _kstream_rate(tmpdir: Path, k=28, size=2_000_000):
 
     plan = device_plan(kmers=[k], canonicals=True, disallow="Nn", sort=True)
     assert plan is not None
-    n = run_device_kstream(paths[0], plan, _Sink())   # warm-up compile
+    n = run_fast_kstream(paths[0], plan, _Sink())     # warm-up
     if n is None:
-        raise RuntimeError("device kstream fell back to the host pipeline")
+        raise RuntimeError("fast kstream fell back to the string pipeline")
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        run_device_kstream(paths[0], plan, _Sink())
+        run_fast_kstream(paths[0], plan, _Sink())
         best = min(best or 1e9, time.perf_counter() - t0)
     return n / best, ref_rate
 

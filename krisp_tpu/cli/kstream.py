@@ -59,6 +59,13 @@ def parse_args(argv):
                         help="Number of accelerator devices for the device "
                              "fast path (default: all; same as "
                              "KRISP_TPU_DEVICES)")
+    parser.add_argument("--engine", choices=("auto", "host", "device"),
+                        default="auto",
+                        help="Fast-path engine for eligible extract+sort "
+                             "jobs: host-vectorized, device, or auto "
+                             "(host for k<=32 within the RAM budget; "
+                             "default auto, same as "
+                             "KRISP_TPU_KSTREAM_ENGINE)")
     parser.add_argument("--version", action="version", version="%(prog)s 1.0")
     return parser.parse_args(argv)
 
@@ -76,12 +83,14 @@ def main(argv=None):
               "in-memory sort; flags accepted for reference CLI parity)",
               file=sys.stderr)
 
-    # Device fast path: eligible extract+sort configurations run on the
-    # packed-key TPU pipeline (identical output bytes; content probe falls
-    # back to the host pipeline for IUPAC/RNA/case cases).  Stdin cannot be
-    # re-read after a probe, so it always takes the host path.
+    # Fast path: eligible extract+sort configurations run on the
+    # host-vectorized or device packed-key engine (identical output bytes;
+    # the content probe falls back to the exact string pipeline for
+    # IUPAC/RNA/case cases).  Stdin cannot be re-read after a probe, so it
+    # always takes the string path.
     if args.file != "-":
-        from ..kstream_device import device_plan, run_device_kstream
+        from ..kstream_device import device_plan
+        from ..kstream_fast import run_fast_kstream
         plan = device_plan(kmers=args.kmers, complements=args.complements,
                            canonicals=args.canonicals, allow=args.allow,
                            disallow=args.disallow,
@@ -90,15 +99,15 @@ def main(argv=None):
                            expandiupac=args.expand_iupac, split=args.split,
                            sort=args.sort, sortcols=args.sort_cols)
         if plan is not None:
-            from ..runtime import setup as _setup_runtime
-            _setup_runtime()
             try:
                 if args.output is not None:
                     with open(args.output, "wb") as fout:
-                        done = run_device_kstream(args.file, plan, fout)
+                        done = run_fast_kstream(args.file, plan, fout,
+                                                engine=args.engine)
                 else:
-                    done = run_device_kstream(args.file, plan,
-                                              sys.stdout.buffer)
+                    done = run_fast_kstream(args.file, plan,
+                                            sys.stdout.buffer,
+                                            engine=args.engine)
                     sys.stdout.buffer.flush()
                 if done is not None:
                     return 0

@@ -52,15 +52,11 @@ def device_plan(kmers=None, complements=False, canonicals=False, allow=None,
                       map_soft=mapsoft)
 
 
-def run_device_kstream(path, plan: DevicePlan, out_stream):
-    """Execute the plan; writes sorted k-mer lines to ``out_stream``
-    (binary).  Returns line count, or None when the input content forces a
-    fallback to the host pipeline (IUPAC residues, RNA, lowercase without a
-    softmask policy)."""
-    k = plan.k
-    buf = load_buffer(path)
-
-    # content probe: device path covers ACGT/N (case per softmask policy)
+def content_ok(buf, plan: DevicePlan) -> bool:
+    """Content probe shared by the device and host-vectorized engines:
+    they cover ACGT/N input (case per softmask policy); anything else
+    (IUPAC residues, RNA, lowercase without a softmask policy) falls back
+    to the exact string pipeline."""
     present = np.zeros(256, bool)
     present[buf] = True
     allowed = np.zeros(256, bool)
@@ -70,7 +66,17 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
     if plan.omit_soft or plan.map_soft:
         for b in "acgtn":
             allowed[ord(b)] = True
-    if present[~allowed].any():
+    return not present[~allowed].any()
+
+
+def run_device_kstream(path, plan: DevicePlan, out_stream):
+    """Execute the plan; writes sorted k-mer lines to ``out_stream``
+    (binary).  Returns line count, or None when the input content forces a
+    fallback to the host pipeline (IUPAC residues, RNA, lowercase without a
+    softmask policy)."""
+    k = plan.k
+    buf = load_buffer(path)
+    if not content_ok(buf, plan):
         return None
 
     padded = np.zeros(bucket_size(buf.size), np.uint8)

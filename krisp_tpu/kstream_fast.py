@@ -1,0 +1,67 @@
+"""kstream engine selector: host-vectorized vs device fast path.
+
+Both engines emit byte-identical sorted k-mer streams (each pinned against
+the exact string pipeline); they differ in where the work runs:
+
+- ``host`` (kstream_vec.py): numpy u64-key pipeline, k <= 32.  No
+  accelerator round-trip, so it is immune to the device->host link — the
+  binding constraint of this vertical: sorted-unique k-mer content is
+  ~2 bits/base of incompressible data, and on slow links (the axon tunnel
+  here measures ~8-10 MB/s d2h, BASELINE.md) pulling it costs more than
+  computing everything locally.
+- ``device`` (kstream_device.py): packed-key TPU pipeline with
+  mesh-sharded and disk-spill segmented modes; the right engine for long
+  keys (k > 32), inputs past host RAM, and hosts with a real PCIe/ICI
+  link to the chip.
+
+``auto`` picks host for eligible jobs that fit the host-memory budget and
+falls back to device otherwise.  KRISP_TPU_KSTREAM_ENGINE overrides.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .io.fasta import load_buffer
+from .kstream_device import DevicePlan, run_device_kstream
+from .kstream_vec import run_vec_kstream, vec_eligible
+
+
+def _mem_available() -> int:
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 8 << 30
+
+
+def host_bytes_estimate(n_bases: int, plan: DevicePlan) -> int:
+    """Peak host-engine footprint: u32 codes + u64 keys per strand plus
+    one u64 temp, validity/raw bytes, and the slab-bounded decode."""
+    strands = 2 if plan.mode == "complements" else 1
+    return n_bases * (4 + 8 * strands + 8 + 2) + (1 << 26)
+
+
+def run_fast_kstream(path, plan: DevicePlan, out_stream, engine: str = "auto"):
+    """Run the plan on the selected engine.  Returns the emitted line
+    count, or None when the input content requires the exact string
+    pipeline (IUPAC/RNA/case probe — identical for both engines)."""
+    engine = os.environ.get("KRISP_TPU_KSTREAM_ENGINE", engine)
+    if engine not in ("auto", "host", "device"):
+        raise ValueError(f"unknown kstream engine {engine!r}")
+
+    if engine in ("auto", "host") and vec_eligible(plan):
+        buf = load_buffer(path)
+        budget = int(os.environ.get("KRISP_TPU_HOST_BUDGET",
+                                    max(_mem_available() // 2, 1 << 30)))
+        if engine == "host" or host_bytes_estimate(buf.size, plan) <= budget:
+            return run_vec_kstream(path, plan, out_stream, buf=buf)
+    if engine == "host":
+        return None         # caller falls back to the string pipeline
+
+    from .runtime import setup
+    setup()
+    return run_device_kstream(path, plan, out_stream)

@@ -1,0 +1,227 @@
+"""Host-vectorized kstream engine: numpy bit-packed keys, no accelerator.
+
+Covers the same plan shapes as the device fast path (one k-mer length,
+plain/complements/canonicals, ``--disallow Nn``, softmask policies, sort)
+for k <= 32, where a whole k-mer packs into ONE uint64 key.  The entire
+pipeline — window packing (a log-tree of shift/or combines), reverse
+complement, canonical min, sort, run-length counting, ASCII decode — is
+vectorized numpy; there is no per-k-mer Python (the reference's hot loop,
+/root/reference/src/krisp/kstream/kstream.py:617-642, is per-character).
+
+Why this exists next to the device engine (kstream_device.py): the k-mer
+*content* pulled back from the device is information-dense (2 bits/base of
+sorted-random keys — incompressible), so on hosts with a slow accelerator
+link the transfer alone costs more than computing everything locally.  On
+this machine the axon tunnel moves ~8-10 MB/s device->host (BASELINE.md),
+i.e. ~1 s for 2M unique 28-mers, while this engine packs+sorts+decodes the
+same table in well under that.  The engine selector (run_fast_kstream)
+picks sides; output bytes are identical either way (pinned by
+tests/test_kstream_vec.py against the exact string pipeline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import dna
+from .io.fasta import load_buffer
+from .kstream_device import DevicePlan, content_ok
+
+def _build_lut16() -> np.ndarray:
+    """u16 (8 packed bases, MSB-first) -> 8 ASCII chars viewed as one u64.
+
+    One gather per 8 bases turns decode into a handful of vector passes;
+    the 512 KB table stays cache-resident.
+    """
+    v = np.arange(65536, dtype=np.uint32)
+    chars = np.empty((65536, 8), np.uint8)
+    for j in range(8):
+        chars[:, j] = dna.DECODE2[(v >> (14 - 2 * j)) & 3]
+    return chars.reshape(-1).view(np.uint64)
+
+
+_LUT16 = _build_lut16()
+
+#: rows written per output slab (bounds peak memory of decode + repeat)
+_SLAB = 1 << 20
+
+
+def vec_eligible(plan: DevicePlan) -> bool:
+    """Single-u64-key fast path: k of at most 32 bases."""
+    return plan.k <= 32
+
+
+def _pack_keys(codes: np.ndarray, k: int) -> np.ndarray:
+    """uint32 codes (0..3) -> uint64 keys of every length-k window.
+
+    Log-tree: level s packs 2**s bases starting at each index; k's binary
+    decomposition stitches the final key.  O(log k) vector passes, no
+    per-window work.  Keys are right-aligned (low 2k bits); numeric order
+    equals lexicographic base order because the 2-bit code ranks match
+    ASCII order (dna.py).
+    """
+    n = codes.size
+    n_win = n - k + 1
+    arrs = {1: codes}
+    s = 1
+    while 2 * s <= k:
+        prev = arrs[s]
+        if 4 * s <= 32:                       # still fits uint32
+            nxt = (prev[: prev.size - s] << np.uint32(2 * s)) | prev[s:]
+        else:
+            a = prev[: prev.size - s].astype(np.uint64)
+            nxt = (a << np.uint64(2 * s)) | prev[s:]
+        arrs[2 * s] = nxt
+        s *= 2
+    key = np.zeros(n_win, np.uint64)
+    off = 0
+    for p in sorted(arrs, reverse=True):
+        if off + p <= k and (k >> (p.bit_length() - 1)) & 1:
+            part = arrs[p][off:off + n_win]
+            sh = np.uint64(2 * (k - off - p))
+            key |= part.astype(np.uint64) << sh
+            off += p
+    return key
+
+
+def _revcomp_keys(fwd: np.ndarray, k: int) -> np.ndarray:
+    """Reverse-complement key of every window, straight from its forward
+    key: complement is a lanewise NOT (3-c in each 2-bit field), base
+    order reversal is a 2-bit-group bit reversal (pair swap, nibble swap,
+    byte swap), realigned to the low 2k bits.  ~8 vector ops instead of a
+    second pack tree."""
+    x = ~fwd
+    m2 = np.uint64(0x3333333333333333)
+    x = ((x & m2) << np.uint64(2)) | ((x >> np.uint64(2)) & m2)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = ((x & m4) << np.uint64(4)) | ((x >> np.uint64(4)) & m4)
+    return x.byteswap() >> np.uint64(64 - 2 * k)
+
+
+def _window_ok(valid: np.ndarray, k: int) -> np.ndarray:
+    bad = (~valid).astype(np.int32)
+    csum = np.concatenate([np.zeros(1, np.int32), np.cumsum(bad,
+                                                            dtype=np.int32)])
+    return (csum[k:] - csum[:valid.size - k + 1]) == 0
+
+
+def _decode_rows(uniq: np.ndarray, k: int) -> np.ndarray:
+    """Sorted unique keys -> contiguous `<kmer>\\n` text rows (n, k+1).
+
+    Each 8-char LUT gather is stored straight into the output at row
+    stride k+1 as an (unaligned) u64 — no post-hoc slicing copy.  When
+    8*ceil(k/8) > k+1 an 8-byte store spills a few bytes into the next
+    row; storing chunks in DESCENDING order makes the next row's earlier
+    chunks (and the newline column, written last) overwrite every spilled
+    byte."""
+    shift = np.uint64(64 - 2 * k)
+    kk = uniq << shift
+    n = kk.size
+    W = k + 1
+    flat = np.empty(n * W + 8, np.uint8)
+    for j in range((k + 7) // 8 - 1, -1, -1):
+        dst = np.ndarray(shape=(n,), dtype=np.uint64, buffer=flat.data,
+                         offset=8 * j, strides=(W,))
+        dst[:] = _LUT16[(kk >> np.uint64(48 - 16 * j)).astype(np.uint16)]
+    nl = np.ndarray(shape=(n,), dtype=np.uint8, buffer=flat.data, offset=k,
+                    strides=(W,))
+    nl[:] = ord("\n")
+    return flat[:n * W].reshape(n, W)
+
+
+def _build_keys(codes: np.ndarray, okw: np.ndarray, k: int,
+                mode: str) -> np.ndarray:
+    """Pack + strand-select + validity-compact the window keys, sharded
+    over buffer segments (k-1 overlap) on a thread pool.  Segment results
+    are concatenated in arbitrary strand order — the caller sorts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_win = okw.size
+    T = _n_threads(n_win)
+
+    def work(lo, hi):
+        fwd = _pack_keys(codes[lo:hi + k - 1], k)
+        ok = okw[lo:hi]
+        if mode == "plain":
+            return [fwd[ok]]
+        rc = _revcomp_keys(fwd, k)
+        if mode == "canonicals":
+            return [np.minimum(fwd, rc)[ok]]
+        return [fwd[ok], rc[ok]]
+
+    if T == 1:
+        parts = work(0, n_win)
+    else:
+        bounds = [i * n_win // T for i in range(T + 1)]
+        parts = []
+        with ThreadPoolExecutor(max_workers=T) as pool:
+            for segs in pool.map(lambda b: work(*b),
+                                 zip(bounds, bounds[1:])):
+                parts.extend(segs)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+def _n_threads(n_items: int) -> int:
+    import os
+    return max(1, min(os.cpu_count() or 1, 4, n_items // 262_144))
+
+
+def _emit(out_stream, uniq: np.ndarray, counts: np.ndarray, k: int) -> None:
+    """Decode sorted unique keys to `<kmer>\\n` rows, repeated per count,
+    written in bounded slabs.  Slab decodes run on a small thread pool
+    (numpy releases the GIL); writes stay in key order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    plain = bool((counts == 1).all())
+    slabs = [slice(lo, min(lo + _SLAB, uniq.size))
+             for lo in range(0, uniq.size, _SLAB)]
+    with ThreadPoolExecutor(max_workers=_n_threads(uniq.size)) as pool:
+        for sl, body in zip(slabs, pool.map(
+                lambda sl: _decode_rows(uniq[sl], k), slabs)):
+            if plain:
+                out_stream.write(body.reshape(-1))
+            else:
+                out_stream.write(np.repeat(body, counts[sl],
+                                           axis=0).reshape(-1))
+
+
+def run_vec_kstream(path, plan: DevicePlan, out_stream,
+                    buf: np.ndarray | None = None):
+    """Execute the plan on the host; writes sorted k-mer lines to
+    ``out_stream`` (binary).  Returns the line count, or None when the
+    input content requires the exact string pipeline (same probe as the
+    device path)."""
+    if not vec_eligible(plan):
+        return None
+    k = plan.k
+    if buf is None:
+        buf = load_buffer(path)
+    if not content_ok(buf, plan):
+        return None
+    if buf.size < k:
+        return 0
+
+    valid_table = dna.base_validity_table(2, disallow="Nn",
+                                          omit_soft=plan.omit_soft)
+    # Invalid bytes keep their raw 255 code: it stays inside its own
+    # 2-bit-aligned lane through every shift/or, so it only corrupts keys
+    # of windows that contain the invalid base — exactly the windows the
+    # validity mask drops.  No cleanup pass needed.
+    raw = dna.CODE2_TABLE[buf]
+    valid = valid_table[buf]
+    okw = _window_ok(valid, k)
+
+    keys = _build_keys(raw.astype(np.uint32), okw, k, plan.mode)
+    del raw, valid, okw
+
+    total = keys.size
+    if total == 0:
+        return 0
+    keys.sort()
+    change = np.empty(total, bool)
+    change[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, total))
+    _emit(out_stream, keys[starts], counts, k)
+    return int(total)

@@ -123,14 +123,16 @@ def test_write_matches_reference(tmp_path):
     ["--kmers", "6", "--disallow", "Nn", "--sort", "--map-softmask"],
     ["--kmers", "6", "--disallow", "Nn", "--sort", "--omit-softmask"],
 ])
-def test_device_fast_path_matches_reference(flags, tmp_path):
-    """The TPU fast path in the kstream CLI emits byte-identical output."""
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_device_fast_path_matches_reference(flags, engine, tmp_path):
+    """Both fast-path engines in the kstream CLI emit byte-identical
+    output."""
     fasta = tmp_path / "in.fa"
     fasta.write_text(">a\nACGTNACGGTTACA\nacgtACGT\n>b\nGGGTTTACACGTN\n")
     out = tmp_path / "ours.txt"
     proc = subprocess.run(
         [sys.executable, "-m", "krisp_tpu.cli.kstream", str(fasta), *flags,
-         "--output", str(out)],
+         "--engine", engine, "--output", str(out)],
         capture_output=True, text=True,
         env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
              "JAX_PLATFORMS": "cpu"})

@@ -1,0 +1,163 @@
+"""Host-vectorized kstream engine: byte parity vs the exact string
+pipeline (itself pinned against the reference in test_kstream.py), plus
+engine-selection routing."""
+
+import io
+
+import numpy as np
+import pytest
+
+from krisp_tpu.kstream import KStream
+from krisp_tpu.kstream_device import device_plan
+from krisp_tpu.kstream_fast import host_bytes_estimate, run_fast_kstream
+from krisp_tpu.kstream_vec import run_vec_kstream, vec_eligible
+
+
+def _mkfasta(tmp_path, name, seqs):
+    p = tmp_path / name
+    with open(p, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f">r{i}\n")
+            for j in range(0, len(s), 60):
+                fh.write(s[j:j + 60] + "\n")
+    return str(p)
+
+
+def _string_pipeline(path, plan):
+    ks = KStream(kmers=[plan.k], disallow="Nn", sort=True,
+                 complements=plan.mode == "complements",
+                 canonicals=plan.mode == "canonicals",
+                 omitsoft=plan.omit_soft, mapsoft=plan.map_soft)
+    return "".join(s + "\n" for s in ks(path)).encode()
+
+
+def _rand_seq(rng, n, soft=False):
+    s = "".join(rng.choice(list("ACGTN"), size=n))
+    if soft:
+        chars = list(s)
+        for i in rng.choice(n, size=max(1, n // 10), replace=False):
+            chars[i] = chars[i].lower()
+        s = "".join(chars)
+    return s
+
+
+@pytest.mark.parametrize("mode", ["plain", "complements", "canonicals"])
+@pytest.mark.parametrize("k", [1, 7, 15, 16, 17, 28, 32])
+def test_vec_matches_string_pipeline(mode, k, tmp_path):
+    rng = np.random.default_rng(k * 7 + len(mode))
+    path = _mkfasta(tmp_path, "a.fa",
+                    [_rand_seq(rng, 400), _rand_seq(rng, 3),
+                     "ACGT" * 30, _rand_seq(rng, 150)])
+    plan = device_plan(kmers=[k], disallow="Nn", sort=True,
+                       complements=mode == "complements",
+                       canonicals=mode == "canonicals")
+    out = io.BytesIO()
+    n = run_vec_kstream(path, plan, out)
+    want = _string_pipeline(path, plan)
+    assert out.getvalue() == want
+    assert n == want.count(b"\n")
+
+
+@pytest.mark.parametrize("soft", ["omitsoft", "mapsoft"])
+def test_vec_softmask_modes(soft, tmp_path):
+    rng = np.random.default_rng(3)
+    path = _mkfasta(tmp_path, "s.fa", [_rand_seq(rng, 300, soft=True),
+                                       _rand_seq(rng, 80, soft=True)])
+    plan = device_plan(kmers=[11], disallow="Nn", sort=True,
+                       canonicals=True, omitsoft=soft == "omitsoft",
+                       mapsoft=soft == "mapsoft")
+    out = io.BytesIO()
+    n = run_vec_kstream(path, plan, out)
+    want = _string_pipeline(path, plan)
+    assert out.getvalue() == want and n == want.count(b"\n")
+
+
+def test_vec_duplicate_counts(tmp_path):
+    """Repeated k-mers are emitted once per occurrence (GNU-sort parity)."""
+    path = _mkfasta(tmp_path, "d.fa", ["AAAA" * 40, "ACGTACGT" * 25])
+    plan = device_plan(kmers=[6], disallow="Nn", sort=True,
+                       complements=True)
+    out = io.BytesIO()
+    n = run_vec_kstream(path, plan, out)
+    want = _string_pipeline(path, plan)
+    assert out.getvalue() == want and n == want.count(b"\n")
+
+
+def test_vec_threaded_segments_match_serial(tmp_path, monkeypatch):
+    """Segment-sharded key building is bit-identical to one segment."""
+    rng = np.random.default_rng(11)
+    path = _mkfasta(tmp_path, "big.fa", [_rand_seq(rng, 30_000)])
+    plan = device_plan(kmers=[25], disallow="Nn", sort=True,
+                       canonicals=True)
+    import krisp_tpu.kstream_vec as kv
+    one = io.BytesIO()
+    monkeypatch.setattr(kv, "_n_threads", lambda n: 1)
+    run_vec_kstream(path, plan, one)
+    four = io.BytesIO()
+    monkeypatch.setattr(kv, "_n_threads", lambda n: 4)
+    run_vec_kstream(path, plan, four)
+    assert one.getvalue() == four.getvalue()
+    assert one.getvalue() == _string_pipeline(path, plan)
+
+
+def test_vec_falls_back_on_iupac(tmp_path):
+    path = _mkfasta(tmp_path, "i.fa", ["ACGTRYACGTACGT"])
+    plan = device_plan(kmers=[5], disallow="Nn", sort=True)
+    assert run_vec_kstream(path, plan, io.BytesIO()) is None
+
+
+def test_vec_eligibility_k_cutoff():
+    assert vec_eligible(device_plan(kmers=[32], disallow="Nn", sort=True))
+    assert not vec_eligible(device_plan(kmers=[33], disallow="Nn",
+                                        sort=True))
+
+
+def test_fast_auto_routes_to_host(tmp_path, monkeypatch):
+    """auto picks the host engine for small eligible jobs (and never
+    touches the device runtime: setup would raise here)."""
+    path = _mkfasta(tmp_path, "a.fa", ["ACGTACGTACGTACGT"])
+    plan = device_plan(kmers=[8], disallow="Nn", sort=True)
+    import krisp_tpu.kstream_fast as kf
+    monkeypatch.setattr(kf, "run_device_kstream",
+                        lambda *a: pytest.fail("device engine selected"))
+    out = io.BytesIO()
+    n = run_fast_kstream(path, plan, out, engine="auto")
+    assert n == out.getvalue().count(b"\n") > 0
+
+
+def test_fast_auto_over_budget_routes_to_device(tmp_path, monkeypatch):
+    path = _mkfasta(tmp_path, "a.fa", ["ACGTACGTACGTACGT"])
+    plan = device_plan(kmers=[8], disallow="Nn", sort=True)
+    import krisp_tpu.kstream_fast as kf
+    hit = {}
+    monkeypatch.setattr(kf, "run_device_kstream",
+                        lambda p, pl, o: hit.setdefault("dev", 17))
+    monkeypatch.setenv("KRISP_TPU_HOST_BUDGET", "1")
+    assert run_fast_kstream(path, plan, io.BytesIO(),
+                            engine="auto") == 17
+    assert hit["dev"] == 17
+
+
+def test_fast_engine_env_override(tmp_path, monkeypatch):
+    path = _mkfasta(tmp_path, "a.fa", ["ACGTACGTACGTACGT"])
+    plan = device_plan(kmers=[8], disallow="Nn", sort=True)
+    import krisp_tpu.kstream_fast as kf
+    monkeypatch.setattr(kf, "run_device_kstream",
+                        lambda p, pl, o: 23)
+    monkeypatch.setenv("KRISP_TPU_KSTREAM_ENGINE", "device")
+    assert run_fast_kstream(path, plan, io.BytesIO()) == 23
+
+
+def test_fast_host_ineligible_returns_none(tmp_path):
+    """engine=host with a >32-mer plan: caller must use the string path."""
+    path = _mkfasta(tmp_path, "a.fa", ["ACGT" * 30])
+    plan = device_plan(kmers=[40], disallow="Nn", sort=True)
+    assert run_fast_kstream(path, plan, io.BytesIO(), engine="host") is None
+
+
+def test_host_bytes_estimate_scales_with_strands():
+    plan_c = device_plan(kmers=[8], disallow="Nn", sort=True,
+                         complements=True)
+    plan_p = device_plan(kmers=[8], disallow="Nn", sort=True)
+    assert (host_bytes_estimate(1 << 20, plan_c)
+            > host_bytes_estimate(1 << 20, plan_p))
