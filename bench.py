@@ -324,7 +324,11 @@ def main():
             # cache for the init-stall fallback (_device_watchdog)
             (REPO / "BENCH_LASTGOOD.json").write_text(json.dumps(
                 {**out, "measured_at": time.strftime("%Y-%m-%d %H:%M UTC",
-                                                     time.gmtime())}))
+                                                     time.gmtime()),
+                 "note": ("single-run snapshot for the tunnel-outage "
+                          "fallback; run-to-run tunnel/host variance is "
+                          "large (BASELINE.md), so diffs against this file "
+                          "are not regressions by themselves")}) + "\n")
         except OSError:
             pass
         print(json.dumps(out))

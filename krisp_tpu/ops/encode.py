@@ -180,6 +180,107 @@ def window_keys_bits(ascii_u8, code_table, valid_table, comp_table,
     return jnp.concatenate([ok, ok]), words
 
 
+def _word_runs(perm, offs, bits: int):
+    """Group a word's base slots into maximal contiguous runs.
+
+    Returns {word: [(p0, bit0, m)]}: m bases starting at window position
+    p0, landing at bit offset bit0 within the word, with window position
+    and bit offset advancing in lockstep — the unit the tree composition
+    packs with one slice per binary-decomposition part."""
+    import collections
+    runs = collections.defaultdict(list)
+    cur = None  # (word, p0, bit0, m)
+    for off, p in sorted(zip(offs, perm)):
+        w, b = off // 32, off % 32
+        if (cur is not None and cur[0] == w and p == cur[1] + cur[3]
+                and b == cur[2] + bits * cur[3]):
+            cur = (w, cur[1], cur[2], cur[3] + 1)
+        else:
+            if cur is not None:
+                runs[cur[0]].append(cur[1:])
+            cur = (w, p, b, 1)
+    if cur is not None:
+        runs[cur[0]].append(cur[1:])
+    return runs
+
+
+def _tree_ladder(codes_u32, max_m: int):
+    """Doubling pack arrays: arrs[s][i] = s bases starting at i, packed
+    into the low 2s bits (s a power of two, up to 16 = one full u32)."""
+    arrs = {1: codes_u32}
+    s = 1
+    while 2 * s <= min(max_m, 16):
+        prev = arrs[s]
+        arrs[2 * s] = ((prev[: prev.shape[0] - s] << jnp.uint32(2 * s))
+                       | prev[s:])
+        s *= 2
+    return arrs
+
+
+@partial(jax.jit, static_argnames=("left", "mid", "right", "n_files"))
+def window_keys_tree(ascii_u8, code_table, valid_table, comp_table,
+                     left: int, mid: int, right: int, n_files: int):
+    """window_keys_bits for the 2-bit path via log-tree packing.
+
+    The per-base formulation (pack_windows_at / the Pallas pack kernel)
+    does L shift-or passes per strand; doubling ladders over the code
+    buffer pack 2^s bases per element, so each layout word composes from
+    O(log) slices of the ladders — ~5x fewer vector passes at spacer
+    geometry (measured on v5e, tools/probe_tree_pack.py).  The reverse
+    complement reuses a ladder over the flipped complement buffer: the
+    window-i slice of that ladder is a flip of a statically-offset slice.
+    Bit-identical to window_keys_bits (tests/test_encode.py).
+    """
+    bits = 2
+    L = left + mid + right
+    layout = KeyLayout(left, mid, right, bits, n_files)
+    codes, valid = encode_ascii(ascii_u8, code_table, valid_table)
+    ok = window_validity(valid, L)
+    n_win = ok.shape[0]
+
+    perm_flank = tuple(range(left)) + tuple(range(left + mid, L))
+    perm_mid = tuple(range(left, left + mid))
+    off_flank, off_mid = layout.base_offsets()
+    runs = _word_runs(perm_flank + perm_mid, off_flank + off_mid, bits)
+    max_m = max((r[2] for rs in runs.values() for r in rs), default=1)
+
+    comp_codes = jnp.take(jnp.asarray(comp_table), codes).astype(jnp.uint32)
+    fwd_arrs = _tree_ladder(codes, max_m)
+    rc_arrs = _tree_ladder(comp_codes[::-1], max_m)
+
+    def compose(arrs, p0, bit0, m, flip):
+        acc = None
+        consumed = 0
+        a = 16
+        while consumed < m:
+            if a <= m - consumed:
+                sl = jax.lax.dynamic_slice(arrs[a], (p0 + consumed,),
+                                           (n_win,))
+                if flip:
+                    sl = sl[::-1]
+                sh = np.uint32(32 - bit0 - bits * (consumed + a))
+                part = sl << sh
+                acc = part if acc is None else acc | part
+                consumed += a
+            else:
+                a //= 2
+        return acc
+
+    def build(arrs, flip):
+        words = []
+        for w in range(layout.n_words):
+            acc = jnp.zeros((n_win,), jnp.uint32)
+            for p0, bit0, m in runs.get(w, []):
+                acc = acc | compose(arrs, p0, bit0, m, flip)
+            words.append(acc)
+        return words
+
+    fwd = build(fwd_arrs, False)
+    rc = build(rc_arrs, True)
+    words = [jnp.concatenate([a, b]) for a, b in zip(fwd, rc)]
+    return jnp.concatenate([ok, ok]), words
+
+
 @partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "add_revcomp"))
 def kmer_keys(ascii_u8, code_table, valid_table, comp_table,
               left: int, mid: int, right: int, bits: int,

@@ -308,7 +308,7 @@ def _all_window_keys(buffers, code_table, valid_table, comp_table,
     """Window keys for every genome/strand as sentinel-marked KeyLayout
     words: uint32 list [W] of arrays [F * 2 * n_win] (genome id OR'd in).
     Shared by the fused pipeline and the prefix-prefilter pipeline."""
-    from .encode import window_keys_bits, KeyLayout
+    from .encode import window_keys_bits, window_keys_tree, KeyLayout
 
     F, P = buffers.shape
     layout = KeyLayout(left, mid, right, bits, n_files)
@@ -330,6 +330,12 @@ def _all_window_keys(buffers, code_table, valid_table, comp_table,
             ok = jnp.concatenate([ok_f[:n_win], ok_r[:n_win]])
             words = [jnp.concatenate([a[:n_win], b[:n_win]])
                      for a, b in zip(w_f, w_r)]
+        elif bits == 2:
+            # log-tree packing: ~5x fewer vector passes than the per-base
+            # formulation (bit-identical; tests/test_encode.py)
+            ok, words = window_keys_tree(buf, code_table, valid_table,
+                                         comp_table, left, mid, right,
+                                         n_files)
         else:
             ok, words = window_keys_bits(buf, code_table, valid_table,
                                          comp_table, left, mid, right, bits,

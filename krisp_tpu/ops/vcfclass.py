@@ -162,10 +162,14 @@ def classify_batch_packed_numpy(dp, gq, ad, n_alleles, mq, qual, group_id,
     A = ad.shape[2]
     f32 = np.float32
     gate = (dp >= min_reads) & (gq >= min_geno_qual)               # (V,S)
-    member = (group_id[None, :, None]
-              == np.arange(n_groups, dtype=np.int32)[None, None, :])
-    sample_counts = np.sum((gate[:, :, None] & member), axis=1,
-                           dtype=np.int32)                          # (V,G)
+    member_f = (group_id[:, None]
+                == np.arange(n_groups, dtype=np.int32)[None, :]) \
+        .astype(f32)                                               # (S,G)
+    # group reductions as matmuls over the sample axis: counts are exact
+    # in float32 (0/1 sums far below 2^24) and BLAS keeps peak memory at
+    # O(V*S*A) — the naive (V,S,G,A) boolean intermediate is hundreds of
+    # MB to GBs per batch on whole-cohort scans (ADVICE r2)
+    sample_counts = (gate.astype(f32) @ member_f).astype(np.int32)  # (V,G)
 
     depth_sum = np.sum(ad, axis=2, keepdims=True, dtype=np.int32)  # (V,S,1)
     allele_idx = np.arange(A, dtype=np.int32)
@@ -173,8 +177,14 @@ def classify_batch_packed_numpy(dp, gq, ad, n_alleles, mq, qual, group_id,
             & (ad.astype(f32) >= depth_sum.astype(f32) * f32(min_freq))
             & (allele_idx[None, None, :] < n_alleles[:, None, None]))
     counted = keep & gate[:, :, None]                               # (V,S,A)
-    allele_counts = np.sum(counted[:, :, None, :] & member[:, :, :, None],
-                           axis=1, dtype=np.int32)                  # (V,G,A)
+    # einsum('vsa,sg->vga') in bounded sample chunks
+    allele_counts = np.zeros((V, n_groups, A), np.int32)
+    chunk = max(1, (1 << 22) // max(V * A, 1))
+    for s0 in range(0, S, chunk):
+        c = counted[:, s0:s0 + chunk, :].astype(f32)
+        allele_counts += np.einsum(
+            "vsa,sg->vga", c, member_f[s0:s0 + chunk],
+            optimize=True).astype(np.int32)
 
     present = allele_counts > 0
     n_distinct = np.sum(present, axis=2, dtype=np.int32)            # (V,G)

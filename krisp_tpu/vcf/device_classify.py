@@ -30,15 +30,16 @@ class DeviceClassifiedVariant:
 
     __slots__ = ("variant", "groups", "_kwargs", "sample_counts",
                  "allele_counts", "conserved", "diagnostic", "_exact",
-                 "_builder")
+                 "_builder", "_missing_fn")
 
     def __init__(self, variant, groups, kwargs, sample_counts=None,
                  allele_counts=None, conserved=None, diagnostic=None,
-                 builder=None):
+                 builder=None, missing_fn=None):
         self.variant = variant
         self.groups = groups
         self._kwargs = kwargs
         self._builder = builder
+        self._missing_fn = missing_fn
         if builder is None:
             self.sample_counts = sample_counts
             self.allele_counts = allele_counts
@@ -75,6 +76,11 @@ class DeviceClassifiedVariant:
 
     @property
     def missing_samp_ids(self):
+        if self._exact is None and self._missing_fn is not None:
+            # columnar gate evaluation (set-identical to the host path,
+            # tests/test_fastscan.py) — skips the O(samples) per-variant
+            # dict rebuild that full rehydration pays
+            return self._missing_fn()
         return self._rehydrate().missing_samp_ids
 
     def allele_lens(self, group):

@@ -32,7 +32,7 @@ from .classify import ClassifiedVariant
 from .device_classify import DeviceClassifiedVariant
 from .parser import VcfVariant, SampleData
 from .region import VariantWindow
-from .scan import cascade_pre, cascade_finish, PendingDesign
+from .scan import cascade_from_ranges, cascade_finish, PendingDesign
 from ..thermo.design import run_primer3_batch
 
 # flyweight rejected-window markers: the report layer only reads .type
@@ -47,6 +47,7 @@ class _Rejected:
 
 
 _REJ = {code: _Rejected(name) for code, name in _TYPE_NAMES.items()}
+_REJ_UNCONSERVED = _Rejected("Unconserved")
 
 
 def _build_samples(col, v):
@@ -325,6 +326,122 @@ def _window_types(starts, ends, delta, is_diag, is_consv, span, min_vars):
     return types, jstart
 
 
+def _batch_borders(pos, rlen, delta, consv, b, lim, M, direction):
+    """Vectorized replay of region.consv_border_n over many candidates.
+
+    pos (1-based) / rlen / delta (group allele-length delta) / consv
+    (bool): per-row arrays for one group.  Per candidate: ``b`` border
+    row, ``lim`` nearby-row count, ``M`` max_offset; ``direction`` +1
+    walks upstream rows b+1+t, -1 walks downstream rows b-1-t (nearest
+    first) — exactly the deque contents the serial walk sees.  Returns
+    (ref, group) int64 arrays, elementwise equal to consv_border_n's
+    {"ref","group"} results (pinned by tests/test_fastscan.py)."""
+    C = b.shape[0]
+    if C == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    Tmax = max(int(lim.max()), 1)
+    V = pos.shape[0]
+    t = np.arange(Tmax, dtype=np.int64)
+    R = b[:, None] + direction * (1 + t[None, :])
+    in_lim = t[None, :] < lim[:, None]
+    Rc = np.clip(R, 0, V - 1)
+
+    pos_b = pos[b][:, None]
+    posr = pos[Rc]
+    # serial branch: distance to the nearby variant's start when the
+    # border precedes it, else back from its end
+    ref_diff = np.where(pos_b <= posr, posr - pos_b,
+                        pos_b - (posr + rlen[Rc] - 1))
+    deltas = np.where(in_lim, delta[Rc], 0)
+    first = np.clip(b + direction, 0, V - 1)
+    init = np.where((lim > 0) & (pos[b] < pos[first]), delta[b], 0)
+    off_before = init[:, None] + np.cumsum(deltas, axis=1) - deltas
+
+    cond_a = in_lim & (ref_diff + off_before >= M[:, None])
+    cond_b = in_lim & ~consv[Rc]
+    stop = cond_a | cond_b
+    has = stop.any(axis=1)
+    tstar = stop.argmax(axis=1)
+    ar = np.arange(C)
+    offs = off_before[ar, tstar]
+    rd = ref_diff[ar, tstar]
+    is_a = cond_a[ar, tstar]
+    ref_stop = np.where(is_a, M - offs, rd - 1)
+    grp_stop = np.where(is_a, M, rd + offs - 1)
+
+    # walked off the end of the nearby list: final ref_diff and the full
+    # delta sum (serial's fall-through return)
+    rd_last = np.where(lim > 0,
+                       ref_diff[ar, np.maximum(lim - 1, 0)], 0)
+    off_final = init + deltas.sum(axis=1)
+    ref = np.where(has, ref_stop, rd_last - off_final)
+    grp = np.where(has, grp_stop, rd_last)
+    return ref.astype(np.int64), grp.astype(np.int64)
+
+
+def _batch_cascade_ranges(cand, jarr, pos, rlen, delta, consv, *,
+                          span_len, offset_right, crrna_len, flank):
+    """Cascade steps 4-5 for every candidate of one group at once:
+    conserved-overhang and 30 nt primer-flank gates plus the crRNA /
+    template reference ranges for survivors.
+
+    Returns (reject bool[C], ranges int64[C, 4]) where ranges rows are
+    (start_crrna_ref, end_crrna_ref, start_tmp_ref, end_tmp_ref)."""
+    overhang_left = crrna_len - span_len - offset_right
+    C = cand.shape[0]
+    M_up = np.full(C, offset_right, np.int64)
+    M_flank = np.full(C, flank, np.int64)
+    V = pos.shape[0]
+    lim_up = np.minimum(cand + flank, V) - (cand + 1)
+    lim_dn = np.minimum(jarr, flank)
+
+    up_ref, up_grp = _batch_borders(pos, rlen, delta, consv,
+                                    cand, lim_up, M_up, +1)
+    dn_ref, dn_grp = _batch_borders(pos, rlen, delta, consv,
+                                    jarr, lim_dn, overhang_left, -1)
+    cu_ref, cu_grp = _batch_borders(pos, rlen, delta, consv,
+                                    cand, lim_up, M_flank, +1)
+    cd_ref, cd_grp = _batch_borders(pos, rlen, delta, consv,
+                                    jarr, lim_dn, M_flank, -1)
+
+    reject = ((up_grp < offset_right) | (dn_grp < overhang_left)
+              | (cu_grp - up_grp < 30) | (cd_grp - dn_grp < 30))
+    ranges = np.stack([pos[jarr] - 1 - dn_ref,
+                       pos[cand] - 1 + up_ref,
+                       pos[jarr] - 1 - cd_ref,
+                       pos[cand] - 1 + cu_ref], axis=1)
+    return reject, ranges
+
+
+class _LazyRows:
+    """Sequence of classified variants over a row-index array,
+    constructing elements only on access (the flank context of a
+    candidate window is mostly never touched by the cascade tail)."""
+
+    __slots__ = ("_idx", "_dcv")
+
+    def __init__(self, idx, dcv):
+        self._idx = idx
+        self._dcv = dcv
+
+    def __len__(self):
+        return len(self._idx)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self._dcv(int(j)) for j in self._idx[i]]
+        return self._dcv(int(self._idx[i]))
+
+    def __iter__(self):
+        for j in self._idx:
+            yield self._dcv(int(j))
+
+    def __reversed__(self):
+        for j in self._idx[::-1]:
+            yield self._dcv(int(j))
+
+
 def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
                           primer3=False, min_vars=1, min_bases=1,
                           min_samp_prop=0.9, min_samples=5, min_reads=5,
@@ -397,6 +514,46 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
         types_g.append(tj[0])
         jstart_g.append(tj[1])
 
+    # Batched cascade steps 4-5: the four conserved-border walks of every
+    # candidate run as numpy matrix passes over the columnar arrays; the
+    # per-candidate Python work shrinks to survivors' sequence inference
+    # and primer design.  border_g[gi][e] = (rejected, ranges) where
+    # ranges = (start_crrna, end_crrna, start_tmp, end_tmp) in ref coords.
+    offset_right_n = crrna_len - var_location[1]
+    rlen64 = rlen
+    border_g: list[dict] = []
+    for gi in range(G):
+        t_arr = np.asarray(types_g[gi], np.int8)
+        cand = np.nonzero(t_arr == 4)[0].astype(np.int64)
+        if cand.size == 0:
+            border_g.append({})
+            continue
+        jstarts = jstart_g[gi]
+        jarr = np.fromiter((jstarts[int(e)] for e in cand), np.int64,
+                           cand.size)
+        # group-coordinate window length per candidate (== region_length)
+        wmax = int((cand - jarr).max()) + 1
+        if wmax <= 256:
+            widx = jarr[:, None] + np.arange(wmax, dtype=np.int64)
+            wmask = widx <= cand[:, None]
+            widc = np.minimum(widx, cand[:, None])
+            span_len = (np.where(wmask, ends_np[widc], np.int64(-2**62))
+                        .max(axis=1)
+                        - np.where(wmask, starts_np[widc], np.int64(2**62))
+                        .min(axis=1) + 1
+                        + np.where(wmask, delta_np[widc, gi], 0).sum(axis=1))
+        else:  # degenerate ultra-dense windows: per-candidate reduction
+            span_len = np.fromiter(
+                (ends_np[j:e + 1].max() - starts_np[j:e + 1].min() + 1
+                 + delta_np[j:e + 1, gi].sum()
+                 for e, j in zip(cand, jarr)), np.int64, cand.size)
+        reject, ranges = _batch_cascade_ranges(
+            cand, jarr, pos, rlen64, delta_np[:, gi].astype(np.int64),
+            is_consv_np[:, gi], span_len=span_len,
+            offset_right=offset_right_n, crrna_len=crrna_len, flank=flank)
+        border_g.append({int(e): (bool(r), rg)
+                         for e, r, rg in zip(cand, reject, ranges)})
+
     # lazy per-row device-classified variant objects (only candidates'
     # context windows materialize)
     alleles_cache = col.alleles
@@ -418,6 +575,23 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
                       for gi, g in enumerate(group_names)}
         return sample_counts, allele_counts, conserved, diagnostic
 
+    s_index = {s: si for si, s in enumerate(col.samples)}
+    gid_of_sample = np.full(len(col.samples), -1, np.int32)
+    for gi2, g2 in enumerate(group_names):
+        for m in groups[g2]:
+            if m in s_index:
+                gid_of_sample[s_index[m]] = gi2
+
+    def _missing_for(i):
+        # per-group ids of samples failing the DP/GQ gates, straight from
+        # the columnar arrays (-1 encodes a missing FORMAT value, which
+        # fails both gates, as None does on the host path)
+        r = int(rows[i])
+        bad = (col.dp[r] < min_reads) | (col.gq[r] < min_geno_qual)
+        return {g2: {col.samples[si]
+                     for si in np.nonzero(bad & (gid_of_sample == gi2))[0]}
+                for gi2, g2 in enumerate(group_names)}
+
     def dcv(i: int) -> DeviceClassifiedVariant:
         hit = dcv_cache.get(i)
         if hit is None:
@@ -425,7 +599,8 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
             # candidate window are never touched by the cascade tail
             hit = DeviceClassifiedVariant(
                 _LazyVariant(col, int(rows[i])), groups, classify_kwargs,
-                builder=lambda i=i: _dicts_for(i))
+                builder=lambda i=i: _dicts_for(i),
+                missing_fn=lambda i=i: _missing_for(i))
             dcv_cache[i] = hit
         return hit
 
@@ -464,20 +639,33 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
                 else:
                     yield _REJ[t]
                 continue
+            rejected, ranges = border_g[gi][e]
+            if rejected:   # batched steps 4-5: overhang / 30nt flank gates
+                r = _REJ_UNCONSERVED
+                if buf:
+                    buf.append(r)
+                else:
+                    yield r
+                continue
             j = jstart_g[gi][e]
+            lo = max(j - flank, 0)
+            hi = min(e + flank, Vr)
             window = VariantWindow(
                 variants=deque(dcv(i) for i in range(j, e + 1)),
                 group=g, reference=reference,
-                upstream=deque(dcv(i)
-                               for i in range(e + 1, min(e + flank, Vr))),
-                downstream=deque(dcv(i)
-                                 for i in range(j - 1,
-                                                max(j - flank, 0) - 1, -1))
-            ).freeze()  # deques built fresh per candidate, never mutated
-            region = cascade_pre(window, groups, reference,
-                                 crrna_len=crrna_len,
-                                 var_location=var_location,
-                                 min_bases=min_bases, amp_size=amp_size)
+                upstream=_LazyRows(np.arange(e + 1, hi), dcv),
+                downstream=_LazyRows(np.arange(j - 1, lo - 1, -1), dcv))
+            # positions injected straight from the columnar arrays: the
+            # frozen cache and the coordinate transform never touch (or
+            # construct) context variant objects
+            order = np.concatenate([np.arange(j - 1, lo - 1, -1),
+                                    np.arange(j, hi)])
+            window._frozen = (_LazyRows(order, dcv),
+                              starts_np[order], ends_np[order])
+            window._coords = (pos[lo:hi], delta_np[lo:hi, gi])
+            region = cascade_from_ranges(
+                window, groups, reference, int(ranges[0]), int(ranges[1]),
+                int(ranges[2]), int(ranges[3]), min_bases=min_bases)
             if isinstance(region, PendingDesign):
                 buf.append(region)
                 npending += 1

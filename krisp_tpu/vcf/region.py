@@ -24,64 +24,150 @@ from collections import deque
 from ..dna import collapse_to_iupac
 
 
+class _Ring:
+    """Append-only variant buffer addressed by absolute stream index, with
+    O(context) retained memory: ``trim`` drops everything below a bound
+    once no live window can reference it."""
+
+    __slots__ = ("_items", "_base")
+
+    def __init__(self):
+        self._items: list = []
+        self._base = 0
+
+    def append(self, item):
+        self._items.append(item)
+
+    def trim(self, upto: int):
+        if upto > self._base:
+            del self._items[: upto - self._base]
+            self._base = upto
+
+    def __getitem__(self, abs_index: int):
+        return self._items[abs_index - self._base]
+
+    @property
+    def end(self) -> int:
+        return self._base + len(self._items)
+
+
+class _Span:
+    """Immutable sequence view over a _Ring index range.  ``reverse=True``
+    gives the nearest-first orientation of the downstream context.  Views
+    are what sliding_window hands to each yielded window — no per-yield
+    copying, no shared mutable state."""
+
+    __slots__ = ("_ring", "_rng")
+
+    def __init__(self, ring: _Ring, start: int, stop: int,
+                 reverse: bool = False):
+        self._ring = ring
+        self._rng = (range(stop - 1, start - 1, -1) if reverse
+                     else range(start, stop))
+
+    def __len__(self):
+        return len(self._rng)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self._ring[j] for j in self._rng[i]]
+        return self._ring[self._rng[i]]
+
+    def __iter__(self):
+        for j in self._rng:
+            yield self._ring[j]
+
+    def __reversed__(self):
+        for j in reversed(self._rng):
+            yield self._ring[j]
+
+
+def group_span(variants, group) -> int:
+    """Group-coordinate length of the reference interval covered by
+    ``variants``: the span of the union of their reference loci, plus each
+    variant's max observed allele-length delta for ``group`` (indel-aware;
+    behavior target: the reference's ``region_length``,
+    /root/reference/src/krisp/krisp_vcf/krisp_vcf.py:236-264)."""
+    n = len(variants)
+    if n == 0:
+        return 0
+    lo = hi = None
+    length = 0
+    for v in variants:
+        start = v.variant.pos - 1
+        end = start + v.variant.rlen - 1
+        lo = start if lo is None else min(lo, start)
+        hi = end if hi is None else max(hi, end)
+        lens = v.allele_lens(group)
+        if lens:
+            length += max(lens.values()) - len(v.variant.ref)
+    return length + hi - lo + 1
+
+
 class VariantWindow:
     """A window of consecutive variants for one group (GroupedRegion parity)."""
 
     def __init__(self, variants, group, reference, upstream=None,
                  downstream=None):
-        self.variants = deque(variants)
+        # any sequence-protocol container works (deque, list, _Span view);
+        # plain iterables are materialized once
+        self.variants = (variants if hasattr(variants, "__getitem__")
+                         else deque(variants))
         self.group = group
         self.reference = reference  # dict chrom -> str sequence
-        self.upstream = upstream if upstream is not None else deque()
-        self.downstream = downstream if downstream is not None else deque()
+        self.upstream = upstream if upstream is not None else ()
+        self.downstream = downstream if downstream is not None else ()
         self.type = "Undetermined"
 
-    # -- windowing (parity: krisp_vcf.py:171-218) ---------------------------
+    # -- windowing -----------------------------------------------------------
 
     @classmethod
     def sliding_window(cls, variants, groups, reference, span, flank=1000):
-        def increment(win):
-            win.variants.append(win.upstream.popleft())
-            while win.region_length() > span:
-                win.downstream.appendleft(win.variants.popleft())
-            while len(win.downstream) > flank:
-                win.downstream.pop()
+        """Stream windows over classified variants, one per (variant, group).
 
-        windows = {g: cls(variants=[], group=g, reference=reference)
-                   for g in groups}
-        for index, variant in enumerate(variants):
+        Own-idiom design (the same two-pointer formulation as the
+        vectorized scan, fastscan._window_types): variants accumulate in a
+        ring buffer; every stream index ``e`` becomes a window end once
+        ``flank`` further variants are buffered (or the stream is
+        exhausted), and each group's window start ``j`` advances
+        monotonically until the group-coordinate span fits.  Yielded
+        windows carry immutable views: in-window [j, e], lookahead
+        (e, e+flank) exclusive of e, look-behind [j-flank, j) nearest
+        first — the exact window sequence of the reference's deque
+        machinery (krisp_vcf.py:171-218), pinned by the golden scan tests.
+        """
+        ring = _Ring()
+        js = dict.fromkeys(groups, 0)
+
+        def emit(e):
             for g in groups:
-                windows[g].upstream.append(variant)
-                if index + 1 >= flank:
-                    increment(windows[g])
-                    if len(windows[g].variants) > 0:
-                        yield cls(variants=windows[g].variants, group=g,
-                                  reference=reference,
-                                  upstream=windows[g].upstream,
-                                  downstream=windows[g].downstream)
-        for _ in range(len(next(iter(windows.values())).upstream)):
-            for g in groups:
-                increment(windows[g])
-                if len(windows[g].variants) > 0:
-                    yield cls(variants=windows[g].variants, group=g,
+                j = js[g]
+                while j <= e and group_span(_Span(ring, j, e + 1), g) > span:
+                    j += 1
+                js[g] = j
+                if j <= e:
+                    yield cls(variants=_Span(ring, j, e + 1), group=g,
                               reference=reference,
-                              upstream=windows[g].upstream,
-                              downstream=windows[g].downstream)
+                              upstream=_Span(ring, e + 1, ring.end),
+                              downstream=_Span(ring, max(j - flank, 0), j,
+                                               reverse=True))
 
-    # -- geometry (parity: krisp_vcf.py:236-264) ----------------------------
+        n_read = 0
+        for variant in variants:
+            ring.append(variant)
+            n_read += 1
+            if n_read >= flank:
+                e = n_read - flank
+                yield from emit(e)
+                ring.trim(max(min(js.values()) - flank, 0))
+        for e in range(max(n_read - flank + 1, 0), n_read):
+            yield from emit(e)
+            ring.trim(max(min(js.values()) - flank, 0))
+
+    # -- geometry ------------------------------------------------------------
 
     def region_length(self):
-        if len(self.variants) == 0:
-            return 0
-        starts = [v.variant.pos - 1 for v in self.variants]
-        ends = [s + v.variant.rlen - 1 for s, v in zip(starts, self.variants)]
-        out = max(ends) - min(starts) + 1
-        for var in self.variants:
-            lens = var.allele_lens(self.group)
-            if not lens:
-                continue
-            out += max(lens.values()) - len(var.variant.ref)
-        return out
+        return group_span(self.variants, self.group)
 
     def conserved(self):
         return [v.conserved[self.group] for v in self.variants]
@@ -197,7 +283,24 @@ class VariantWindow:
 
     # -- coordinate transform (parity: krisp_vcf.py:467-479) ----------------
 
+    #: optional (pos 1-based, group delta) arrays over the window's context
+    #: rows in ascending order — injected by the vectorized scan so the
+    #: coordinate transform never touches variant objects
+    _coords = None
+
     def ref_pos_from_group_offset(self, ref_pos, offset):
+        if self._coords is not None:
+            import numpy as np
+            pos_arr, delta_arr = self._coords
+            d = (pos_arr - 1) - ref_pos
+            add = np.where(d >= 0, delta_arr, 0)
+            off_before = np.cumsum(add) - add
+            stop = d + off_before >= offset
+            if stop.any():
+                off = off_before[np.argmax(stop)]
+            else:
+                off = off_before[-1] + add[-1] if add.size else 0
+            return int(ref_pos + offset - off)
         ref_diff_offset = 0
         for v in (list(reversed(self.downstream)) + list(self.variants)
                   + list(self.upstream)):
@@ -267,11 +370,14 @@ class DiagnosticRegion(VariantWindow):
             downstream_seq=downstream_seq, upstream_seq=upstream_seq,
             temp_range=temp_range, crrna_range=crrna_range,
             min_bases=min_bases)
-        if getattr(region, "_frozen", None):
-            # frozen (prefilter-built) windows share immutable deques;
-            # live sliding windows must stay unfrozen (shared mutating
-            # deques are the reference's own semantics)
-            out.freeze()
+        frozen = getattr(region, "_frozen", None)
+        if frozen:
+            # frozen (prefilter-built) windows share immutable contexts;
+            # adopt the source's cache as-is (a built position-array tuple
+            # carries over without recomputation)
+            out._frozen = frozen
+        if region._coords is not None:
+            out._coords = region._coords
         return out
 
     def left_range(self):

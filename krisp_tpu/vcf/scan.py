@@ -41,6 +41,38 @@ def edit_distance(a: str, b: str) -> int:
     return int(prev[-1])
 
 
+def edit_distance_batch(a: str, bs) -> list:
+    """``edit_distance(a, b)`` for every ``b`` in ``bs`` as ONE stacked DP
+    (the same vectorized row recurrence with a leading pair axis); strings
+    are padded to the longest and each result read at its own length —
+    padding columns never influence earlier columns."""
+    import numpy as np
+
+    bs = list(bs)
+    if not bs:
+        return []
+    if len(bs) == 1:
+        return [edit_distance(a, bs[0])]
+    P = len(bs)
+    lens = np.fromiter((len(b) for b in bs), np.int64, P)
+    m = int(lens.max())
+    if m == 0:
+        return [len(a)] * P
+    bb = np.zeros((P, m), np.uint8)
+    for p, b in enumerate(bs):
+        eb = b.encode()
+        bb[p, :len(eb)] = np.frombuffer(eb, np.uint8)
+    js = np.arange(m + 1)
+    prev = np.broadcast_to(js, (P, m + 1)).astype(np.int64).copy()
+    base = np.empty((P, m + 1), np.int64)
+    for i, ca in enumerate(a.encode(), 1):
+        base[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + (bb != ca),
+                   out=base[:, 1:])
+        prev = js + np.minimum.accumulate(base - js, axis=1)
+    return [int(prev[p, lens[p]]) for p in range(P)]
+
+
 def find_diag_region(variants, groups, reference=None, nontarget=None,
                      primer3=False, min_vars=1, min_bases=1,
                      min_samp_prop=0.9, min_samples=5, min_reads=5,
@@ -181,21 +213,33 @@ def cascade_pre(region, groups, reference, *, crrna_len, var_location,
 
     start_crrna_ref = region.variants[0].variant.pos - 1 - overhang_dn["ref"]
     end_crrna_ref = region.variants[-1].variant.pos - 1 + overhang_up["ref"]
+    start_tmp_ref = region.variants[0].variant.pos - 1 - consv_dn["ref"]
+    end_tmp_ref = region.variants[-1].variant.pos - 1 + consv_up["ref"]
+    return cascade_from_ranges(region, groups, reference,
+                               start_crrna_ref, end_crrna_ref,
+                               start_tmp_ref, end_tmp_ref,
+                               min_bases=min_bases)
+
+
+def cascade_from_ranges(region, groups, reference, start_crrna_ref,
+                        end_crrna_ref, start_tmp_ref, end_tmp_ref, *,
+                        min_bases):
+    """Cascade step 6 onward, given the crRNA/template reference ranges:
+    consensus sequences, crRNA edit distance to every non-target group,
+    primer3 inputs.  The serial path computes the ranges with per-window
+    border walks (cascade_pre); the vectorized scan (fastscan) computes
+    them for every candidate at once and joins back here."""
     crrna_seq = region.sequence(reference=reference, start=start_crrna_ref,
                                 end=end_crrna_ref, group=region.group)
     nontarget_seqs = [
         region.sequence(reference=reference, start=start_crrna_ref,
                         end=end_crrna_ref, group=g)
         for g in groups if g is not region.group]
-    dists = [edit_distance("".join(crrna_seq), "".join(s))
-             for s in nontarget_seqs]
-    min_dist = min(dists)
+    min_dist = min(edit_distance_batch("".join(crrna_seq),
+                                       ["".join(s) for s in nontarget_seqs]))
     if min_dist < min_bases:
         region.type = "Undiagnostic"
         return region
-
-    start_tmp_ref = region.variants[0].variant.pos - 1 - consv_dn["ref"]
-    end_tmp_ref = region.variants[-1].variant.pos - 1 + consv_up["ref"]
 
     downstream_seq = region.sequence(reference=reference,
                                      start=start_tmp_ref,

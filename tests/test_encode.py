@@ -129,3 +129,28 @@ def test_packed_upload_roundtrip():
         # codes must agree wherever the base is valid
         m = valid[raw].astype(bool)
         np.testing.assert_array_equal((code[recon] & 3)[m], (code[raw] & 3)[m])
+
+
+def test_window_keys_tree_matches_per_base():
+    """Log-tree packing is bit-identical to window_keys_bits on valid
+    rows for every geometry class (single/multi-word, no-mid, wide-mid)."""
+    import numpy as np
+    from krisp_tpu import dna
+    from krisp_tpu.ops.encode import window_keys_bits, window_keys_tree
+
+    rng = np.random.default_rng(11)
+    code = dna.CODE2_TABLE
+    valid = dna.base_validity_table(2, disallow="Nn")
+    comp = dna.COMP2_TABLE
+    for left, mid, right in [(25, 1, 2), (30, 40, 30), (3, 0, 2),
+                             (1, 1, 1), (12, 100, 7)]:
+        buf = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=2048,
+                         p=[.24, .24, .24, .24, .04])
+        ok_a, w_a = window_keys_bits(buf, code, valid, comp, left, mid,
+                                     right, 2, 5)
+        ok_b, w_b = window_keys_tree(buf, code, valid, comp, left, mid,
+                                     right, 5)
+        okm = np.asarray(ok_a)
+        assert np.array_equal(okm, np.asarray(ok_b))
+        for a, b in zip(w_a, w_b):
+            assert np.array_equal(np.asarray(a)[okm], np.asarray(b)[okm])

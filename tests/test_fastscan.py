@@ -237,3 +237,28 @@ def test_classify_batches_share_compiled_shapes(bundled):
     # padding rows must not leak into results
     for a, b in zip(r1, r2):
         assert np.array_equal(a[:280], b)
+
+
+def test_classify_routes_to_numpy_mirror_on_cpu(bundled):
+    """With no accelerator (default_backend == 'cpu'), _classify_columnar
+    must select the bit-identical numpy mirror: the jit kernel's compile
+    cache stays untouched and the results still match (ADVICE r2)."""
+    from unittest import mock
+
+    from krisp_tpu.ops.vcfclass import classify_batch_packed
+    from krisp_tpu.vcf.fastscan import _classify_columnar
+
+    idx, col, groups, _ = bundled
+    kw = dict(min_samples=3, min_samp_prop=0.9, min_reads=10,
+              min_geno_qual=40, min_var_qual=10, min_freq=0.1,
+              min_map_qual=40)
+    names = list(groups.keys())
+    rows = np.arange(300, dtype=np.int64)
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        want = _classify_columnar(col, rows, names, groups, kw)
+    base = classify_batch_packed._cache_size()
+    with mock.patch("jax.default_backend", return_value="cpu"):
+        got = _classify_columnar(col, rows, names, groups, kw)
+    assert classify_batch_packed._cache_size() == base
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b)
