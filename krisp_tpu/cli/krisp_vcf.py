@@ -33,7 +33,11 @@ def parse_args(argv):
     p.add_argument("--sample_col", type=str, default="sample_id", metavar="TEXT")
     p.add_argument("--group_col", type=str, default="group", metavar="TEXT")
     p.add_argument("--index", type=str, metavar="PATH",
-                   help="unused (no index needed); kept for compatibility")
+                   help="byte-offset index sidecar: written on first run, "
+                        "reused while the VCF is unchanged (skips the "
+                        "indexing pass; for gzip input the decompressed "
+                        "copy persists at PATH.vcf). The tabix-index "
+                        "equivalent of the reference CLI.")
     p.add_argument("--groups", type=str, nargs="+", metavar="TEXT")
     p.add_argument("--out_csv", type=str, metavar="PATH")
     p.add_argument("--out_align", type=str, metavar="PATH")
@@ -211,7 +215,11 @@ def run_all(args):
         # contig discovery falls out of the same pass and every chunk fetch
         # afterwards is a seek (replaces tabix, krisp_vcf.py:1016-1042)
         from ..vcf.parser import VcfOffsetIndex
-        vcf_index = VcfOffsetIndex(args.vcf)
+        vcf_index = VcfOffsetIndex(args.vcf, sidecar=args.index)
+        if args.index:
+            logger.info("index sidecar %s: %s" % (
+                args.index, "reused" if vcf_index.loaded_from_sidecar
+                else "written"))
         vcf_source = vcf_index
         contigs = [c for c, _ in vcf_index.contigs]
         chunks = make_chunks(reference, contigs, chunk_size=100000,

@@ -205,12 +205,22 @@ class VcfOffsetIndex:
     the index instead of re-reading the file.
     """
 
-    def __init__(self, path, workdir=None):
+    def __init__(self, path, workdir=None, sidecar=None):
         import numpy as np
 
         self.source = path
+        self.loaded_from_sidecar = False
+        self._sidecar = str(sidecar) if sidecar is not None else None
+        if self._sidecar is not None and self._load_sidecar():
+            self.loaded_from_sidecar = True
+            return
         with open(path, "rb") as raw:
             is_gz = raw.read(2) == b"\x1f\x8b"
+
+        # --index sidecar: the decompressed text copy persists next to the
+        # sidecar so a reloaded index can seek into it on later runs
+        persist_text = (self._sidecar + ".vcf"
+                        if self._sidecar is not None and is_gz else None)
 
         # native fast path: inflate + temp-file write + record offsets in
         # one C pass (csrc kvcf_index); the Python scan below is the
@@ -218,17 +228,21 @@ class VcfOffsetIndex:
         from ..io.native_vcf import read_index
         tmp_name = None
         if is_gz:
-            import tempfile
-            fh = tempfile.NamedTemporaryFile(
-                mode="wb", suffix=".vcf", dir=workdir, delete=False,
-                prefix="krisp_tpu_idx_")
-            fh.close()
-            tmp_name = fh.name
+            if persist_text is not None:
+                tmp_name = persist_text
+            else:
+                import tempfile
+                fh = tempfile.NamedTemporaryFile(
+                    mode="wb", suffix=".vcf", dir=workdir, delete=False,
+                    prefix="krisp_tpu_idx_")
+                fh.close()
+                tmp_name = fh.name
         native = read_index(path, tmp_name)
         if native is not None:
             self.path = tmp_name if is_gz else path
-            self._owns_file = is_gz
+            self._owns_file = is_gz and persist_text is None
             self._init_from_native(native)
+            self._save_sidecar()
             return
         if tmp_name is not None:
             import os
@@ -238,10 +252,13 @@ class VcfOffsetIndex:
                 pass
 
         if is_gz:
-            import tempfile
-            tmp = tempfile.NamedTemporaryFile(
-                mode="wb", suffix=".vcf", dir=workdir, delete=False,
-                prefix="krisp_tpu_idx_")
+            if persist_text is not None:
+                tmp = open(persist_text, "wb")
+            else:
+                import tempfile
+                tmp = tempfile.NamedTemporaryFile(
+                    mode="wb", suffix=".vcf", dir=workdir, delete=False,
+                    prefix="krisp_tpu_idx_")
             with open(path, "rb") as raw, gzip.open(raw) as zin:
                 while True:
                     block = zin.read(1 << 24)
@@ -250,7 +267,7 @@ class VcfOffsetIndex:
                     tmp.write(block)
             tmp.close()
             self.path = tmp.name
-            self._owns_file = True
+            self._owns_file = persist_text is None
         else:
             self.path = path
             self._owns_file = False
@@ -310,6 +327,74 @@ class VcfOffsetIndex:
             self._pos[c] = arr[:, 0]
             self._off[c] = arr[:, 1]
             self._sorted[c] = bool((arr[1:, 0] >= arr[:-1, 0]).all())
+        self._save_sidecar()
+
+    # -- --index sidecar: persist/reuse the one-pass offset index ----------
+
+    def _sidecar_meta(self):
+        import os
+        st = os.stat(self.source)
+        return {"version": 1, "src_size": st.st_size,
+                "src_mtime_ns": st.st_mtime_ns, "text_path": str(self.path),
+                "samples": list(self.samples),
+                "max_alleles": int(self.max_alleles),
+                "file_end": int(self._file_end),
+                "contigs": list(self._contig_order),
+                "grouped": [bool(self._grouped[c])
+                            for c in self._contig_order],
+                "sorted": [bool(self._sorted[c])
+                           for c in self._contig_order],
+                "max_rlen": [int(self._max_rlen[c])
+                             for c in self._contig_order],
+                "max_end": [int(self._max_end[c])
+                            for c in self._contig_order]}
+
+    def _save_sidecar(self):
+        """Write the index to the ``--index`` sidecar (one npz): later runs
+        on the unchanged source skip the full streaming pass."""
+        if self._sidecar is None:
+            return
+        import json
+
+        import numpy as np
+        arrays = {"meta": np.frombuffer(
+            json.dumps(self._sidecar_meta()).encode(), np.uint8)}
+        for i, c in enumerate(self._contig_order):
+            arrays[f"pos{i}"] = self._pos[c]
+            arrays[f"off{i}"] = self._off[c]
+        with open(self._sidecar, "wb") as fh:
+            np.savez(fh, **arrays)
+
+    def _load_sidecar(self):
+        """Populate from a fresh sidecar; False when absent/stale."""
+        import json
+        import os
+
+        import numpy as np
+        try:
+            st = os.stat(self.source)
+            data = np.load(self._sidecar, allow_pickle=False)
+            meta = json.loads(bytes(data["meta"]).decode())
+        except (OSError, ValueError, KeyError):
+            return False
+        if (meta.get("version") != 1 or meta["src_size"] != st.st_size
+                or meta["src_mtime_ns"] != st.st_mtime_ns
+                or not os.path.exists(meta["text_path"])):
+            return False
+        self.path = meta["text_path"]
+        self._owns_file = False
+        self.samples = meta["samples"]
+        self.max_alleles = meta["max_alleles"]
+        self._file_end = meta["file_end"]
+        order = meta["contigs"]
+        self._contig_order = order
+        self._grouped = dict(zip(order, meta["grouped"]))
+        self._sorted = dict(zip(order, meta["sorted"]))
+        self._max_rlen = dict(zip(order, meta["max_rlen"]))
+        self._max_end = dict(zip(order, meta["max_end"]))
+        self._pos = {c: data[f"pos{i}"] for i, c in enumerate(order)}
+        self._off = {c: data[f"off{i}"] for i, c in enumerate(order)}
+        return True
 
     def _init_from_native(self, native):
         """Populate the index from the arrays of one kvcf_index pass —
