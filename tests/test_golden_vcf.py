@@ -97,8 +97,8 @@ def test_vcf_custom_knobs_golden(tmp_path):
     proc = subprocess.run(
         [sys.executable, "-m", "krisp_tpu.cli.krisp_vcf", META, REF_FASTA,
          "--vcf", VCF, "--groups", "NA1", "NA2", "EU1",
-         "--pos", "150000", "260000", "--amp_size", "50", "100",
-         "--gc_clamp", "3", "--min_samples", "4", "--crrna_len", "30",
+         "--pos", "150000", "260000", "--amp_size", "50", "120",
+         "--gc_clamp", "2", "--min_samples", "4", "--crrna_len", "30",
          "--var_location", "5", "16",
          "--out_csv", str(csv), "--out_align", str(align)],
         capture_output=True, text=True, timeout=600,

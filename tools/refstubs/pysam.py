@@ -6,7 +6,18 @@ downstream of VCF parsing.  Only the API surface the reference touches is
 provided.
 """
 
+import os
+
 from krisp_tpu.vcf.parser import VcfReader, read_contigs
+
+
+def _resolve(path):
+    """The reference appends '.gz' after its tabix_index call
+    (krisp_vcf.py:1016-1018); real tabix would have produced that file.
+    The streaming reader needs no bgzip, so fall back to the original."""
+    if path and not os.path.exists(path) and path.endswith(".gz")             and os.path.exists(path[:-3]):
+        return path[:-3]
+    return path
 
 
 class _Samples:
@@ -43,8 +54,8 @@ class _Record:
 
 class VariantFile:
     def __init__(self, path):
-        self.path = path
-        self._reader = VcfReader(path)
+        self.path = _resolve(path)
+        self._reader = VcfReader(self.path)
 
     def __iter__(self):
         for var in self._reader:
@@ -57,7 +68,7 @@ class VariantFile:
 
 class TabixFile:
     def __init__(self, filename=None, index=None):
-        self._path = filename
+        self._path = _resolve(filename)
 
     @property
     def contigs(self):

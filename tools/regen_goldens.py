@@ -26,22 +26,40 @@ META = "/root/reference/test_data/krisp_vcf/metadata.csv"
 VCF = "/root/reference/test_data/krisp_vcf/variants.vcf.gz"
 REF_FASTA = str(REPO / "tests/data/test_reference.fasta.gz")
 
+
+def _writable_vcf(tmpdir):
+    """The reference writes a tabix marker next to its VCF; /root/reference
+    is read-only, so run it against a temp copy."""
+    import shutil
+    dst = Path(tmpdir) / "variants.vcf.gz"
+    shutil.copyfile(VCF, dst)
+    return str(dst)
+
 RUNS = [
     ("vcf_pos150k_260k", ["--pos", "150000", "260000"]),
+    # knob plumbing golden: non-default geometry/gates chosen to still
+    # yield result rows under the thal-gated hairpin screen (r3)
     ("vcf_custom_knobs", ["--pos", "150000", "260000",
-                          "--amp_size", "50", "100", "--gc_clamp", "3",
+                          "--amp_size", "50", "120", "--gc_clamp", "2",
                           "--min_samples", "4", "--crrna_len", "30",
                           "--var_location", "5", "16"]),
 ]
 
 
 def main():
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        vcf = _writable_vcf(td)
+        _run_all(vcf)
+
+
+def _run_all(vcf):
     for tag, extra in RUNS:
         csv = GOLD / f"{tag}.csv"
         align = GOLD / f"{tag}.align.txt"
         proc = subprocess.run(
             [sys.executable, "-m", "krisp.krisp_vcf.krisp_vcf", META,
-             REF_FASTA, "--vcf", VCF, "--groups", "NA1", "NA2", "EU1",
+             REF_FASTA, "--vcf", vcf, "--groups", "NA1", "NA2", "EU1",
              "--out_csv", str(csv), "--out_align", str(align)] + extra,
             capture_output=True, text=True, timeout=1800,
             env={"PYTHONHASHSEED": "0", "COLUMNS": "80",
