@@ -40,6 +40,12 @@ assert len(jax.devices()) == 2 * nprocs
 
 mesh2d = pod_mesh()                       # (host, chip)
 assert mesh2d.devices.shape == (nprocs, 2)
+# axis placement: the leading (DCN) axis enumerates hosts — every device
+# in row h belongs to process h, so "chip"-axis collectives stay
+# intra-host (ICI in production) and only the "host" axis crosses DCN
+for h in range(nprocs):
+    for c in range(2):
+        assert mesh2d.devices[h, c].process_index == h, mesh2d.devices
 # sequence axis rides the flattened (host, chip) grid: the one halo
 # ppermute per step crosses the host boundary once (DCN in production)
 mesh = Mesh(mesh2d.devices.reshape(-1), ("shard",))
