@@ -39,3 +39,26 @@ def test_known_values():
     assert edit_distance("ACGT", "ACGT") == 0
     assert edit_distance("ACGT", "AGGT") == 1
     assert edit_distance("ACGT", "CGTA") == 2
+
+
+def test_matches_nltk_reference_oracle():
+    """nltk.metrics.distance.edit_distance is the exact function the
+    reference calls at cascade step 6 (krisp_vcf.py:19,864) — use it as a
+    live oracle for both our scalar DP and the batched stacked DP."""
+    import random
+
+    from nltk.metrics.distance import edit_distance as nltk_ed
+
+    from krisp_tpu.vcf.scan import edit_distance, edit_distance_batch
+
+    rng = random.Random(7)
+    for trial in range(60):
+        la = rng.randint(0, 34)
+        lb = rng.randint(0, 34)
+        a = "".join(rng.choice("ACGT-N") for _ in range(la))
+        b = "".join(rng.choice("ACGT-N") for _ in range(lb))
+        assert edit_distance(a, b) == nltk_ed(a, b)
+    a = "".join(rng.choice("ACGT") for _ in range(28))
+    bs = ["".join(rng.choice("ACGT") for _ in range(rng.randint(0, 33)))
+          for _ in range(17)]
+    assert edit_distance_batch(a, bs) == [nltk_ed(a, b) for b in bs]

@@ -36,9 +36,11 @@ def check(left, mid, right, n=4096, n_files=5):
     print(f"ok {left}/{mid}/{right}")
 
 
-for geom in [(25, 1, 2), (30, 40, 30), (3, 0, 2), (1, 1, 1), (16, 5, 16),
-             (12, 100, 7)]:
-    check(*geom)
+import os as _os
+if _os.environ.get("KRISP_PROBE_CHECKS", "1") == "1":
+    for geom in [(25, 1, 2), (30, 40, 30), (3, 0, 2), (1, 1, 1),
+                 (16, 5, 16), (12, 100, 7)]:
+        check(*geom)
 
 # E2E timing at bench scale through the per-genome extraction entry
 SIZE = int(os.environ.get("KRISP_BENCH_GENOME_SIZE", 4_000_000))
