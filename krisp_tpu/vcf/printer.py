@@ -1,127 +1,164 @@
 """Column-model multi-group alignment renderer for krisp_vcf output.
 
 Byte-format parity with the reference's print_align module
-(/root/reference/src/krisp/krisp_vcf/print_align.py): one variable-width
-column per reference position/variant, dot-masking of ref-equal cells,
-center-padding (dashes for indels, spaces around annotated cells),
-``└─ Left primer ─┘`` oligo brackets, terminal-width wrapping, and the
-primer-statistics tables.
+(/root/reference/src/krisp/krisp_vcf/print_align.py:6-257), re-expressed
+as a prefix-sum column-geometry pipeline: every layout decision — cell
+widths, pad characters, bracket spans, line wrapping — is derived once
+from integer prefix-sum arrays and applied by slicing, instead of the
+reference's per-cell dict mutation and iterator threading.
+
+Reference quirks the byte goldens depend on, preserved deliberately:
+  - the oligo overlay row is BUILT with one slot per reference character
+    (print_align.py:178-196) but padded and printed with one slot per
+    COLUMN; surplus tail slots are dropped by zip truncation at wrap time;
+  - base-position -> column lookup collapses duplicate stripped-prefix
+    ends onto the LAST column (the ``{end-1: col}`` dict rebuild of
+    print_align.py:48-52);
+  - every wrapped block repeats the FULL bracket row (print_align.py:139);
+  - block ids that skip an integer shift which blocks print: blocks are
+    looked up by consecutive index over the COUNT of distinct ids
+    (print_align.py:171-174);
+  - out-of-grid oligo spans raise IndexError/TypeError — the caller turns
+    that into "CANNOT PRINT ALIGNMENT WITH OVERLAPPING INDELS"
+    (krisp_vcf.py:1160-1167), so bounds are indexed, never guarded.
 """
 
 from __future__ import annotations
 
-import math
+import bisect
 import shutil
-from collections import defaultdict
 
 from ..engine.render import simple_table
 
 
 class Annotation:
+    """An oligo overlaid on the alignment at a 0-based base position."""
+
     def __init__(self, name, seq, start):
         self.name = name
         self.seq = seq
         self.start = start
 
 
-def _cumulative(lens):
-    out = []
-    total = 0
-    for x in lens:
-        total += x
+def _ends(widths):
+    """Inclusive prefix sums: ends[i] = total width through column i."""
+    out, total = [], 0
+    for w in widths:
+        total += w
         out.append(total)
     return out
 
 
-def mask_same(seqs, ref):
-    """Cells equal to the reference cell become dots (print_align.py:23-45)."""
-    for group in seqs:
-        for i in range(len(seqs[group])):
-            if seqs[group][i] == ref[i]:
-                seqs[group][i] = "." * len(ref[i])
-    return seqs
+def _stripped_ends(cells):
+    return _ends([len(c.strip()) for c in cells])
 
 
-def pos_to_chunk_index(pos, ref):
-    """Base position -> (chunk index, offset) (print_align.py:48-52)."""
-    ends = _cumulative([len(c.strip()) for c in ref])
-    for i, p in enumerate(ends):
-        if p - 1 >= pos:
-            return {"chunk": i, "offset": abs(p - 1 - pos)}
-    return None
+def _column_of(pos, ends):
+    """Column owning base position ``pos`` under inclusive stripped ends:
+    the smallest end exceeding ``pos`` wins, and duplicate ends collapse
+    onto the last column sharing that end (reference dict-rebuild
+    semantics).  None when ``pos`` is past the grid."""
+    j = bisect.bisect_right(ends, pos)
+    if j == len(ends):
+        return None
+    return bisect.bisect_right(ends, ends[j]) - 1
 
 
-def format_seq_annot(annots, ref):
-    """Overlay oligo sequences on a blank row (print_align.py:178-196)."""
-    ref_len = sum(len(x) for x in ref)
-    output = [" "] * ref_len
+def dot_masked(row, ref):
+    """Ref-equal cells become dots sized to the reference cell."""
+    return ["." * len(ref[i]) if row[i] == ref[i] else row[i]
+            for i in range(len(row))]
+
+
+def oligo_row(annots, ref):
+    """Overlay row with one slot per reference CHARACTER.  The write
+    cursor starts at the owning COLUMN index and advances one slot per
+    oligo character — the reference's coordinate mix, kept verbatim."""
+    ends = _stripped_ends(ref)
+    row = [" "] * sum(len(c) for c in ref)
     for annot in annots:
-        start = pos_to_chunk_index(annot.start, ref)
-        for index, nucleotide in enumerate(annot.seq):
-            output[start["chunk"] + index] = nucleotide
-    return output
+        col = _column_of(annot.start, ends)
+        for i, ch in enumerate(annot.seq):
+            row[col + i] = ch
+    return row
 
 
-def pad_sequences(seqs, ref, annots):
-    """Equalize column widths; build the oligo-name bracket row
-    (print_align.py:55-109)."""
-    for col in range(len(ref)):
-        column = [ref[col]] + [seq[col] for seq in seqs.values()]
-        width = max(len(x) for x in column)
-        pad = " " if any(">" in x or "/" in x for x in column) else "-"
-        ref[col] = ref[col].center(width, pad)
-        for name in seqs:
-            if seqs[name][col] == " ":
-                seqs[name][col] = seqs[name][col].center(width, " ")
-            else:
-                seqs[name][col] = seqs[name][col].center(width, pad)
+def _fit_columns(ref, rows):
+    """Per-column geometry: width = widest cell in the column, pad = " "
+    when any cell carries an annotation marker (">" or "/"), else "-"."""
+    widths, pads = [], []
+    for i, ref_cell in enumerate(ref):
+        cells = [ref_cell] + [row[i] for row in rows.values()]
+        widths.append(max(len(c) for c in cells))
+        pads.append(" " if any(">" in c or "/" in c for c in cells)
+                    else "-")
+    return widths, pads
 
-    col_widths = [len(c) for c in ref]
-    annot_out = [" " * len(c) for c in ref]
+
+def _centered(row, widths, pads):
+    """Center the first len(widths) slots; blank cells always pad with
+    spaces; slots past the grid (oligo tail) pass through untouched."""
+    out = list(row)
+    for i, (w, p) in enumerate(zip(widths, pads)):
+        cell = out[i]
+        out[i] = cell.center(w, " " if cell == " " else p)
+    return out
+
+
+def bracket_row(annots, ref, widths):
+    """``└─ name ─┘`` brackets, one string per column: the bracket text is
+    cut into column-width pieces by slicing at the span's prefix ends."""
+    row = [" " * w for w in widths]
+    ends = _stripped_ends(ref)
     for annot in annots:
-        start = pos_to_chunk_index(annot.start, ref)
-        end = pos_to_chunk_index(annot.start + len(annot.seq) - 1, ref)
-        widths = [col_widths[i] for i in range(start["chunk"], end["chunk"] + 1)]
-        text = "└" + (" " + annot.name + " ").center(sum(widths) - 2, "─") + "┘"
-        it = iter(text)
-        cols = ["".join(next(it) for _ in range(w)) for w in widths]
-        for t_i, r_i in enumerate(range(start["chunk"], end["chunk"] + 1)):
-            annot_out[r_i] = cols[t_i]
-    return seqs, ref, annot_out
+        lo = _column_of(annot.start, ends)
+        hi = _column_of(annot.start + len(annot.seq) - 1, ends)
+        span = widths[lo:hi + 1]
+        text = "└" + f" {annot.name} ".center(sum(span) - 2, "─") + "┘"
+        row[lo:hi + 1] = [text[e - w:e] for w, e in zip(span, _ends(span))]
+    return row
 
 
-def print_align(seqs, ref, annot_text, groups, ref_name="Reference"):
-    """Wrap to terminal width and emit labeled rows (print_align.py:112-175)."""
+def _labels(names, groups, ref_name):
+    """Row labels: group rows carry their sample count."""
+    counts = {g: str(len(m)) for g, m in groups.items()}
+    labels = {n: f"{n} ({counts[n]})" if n in counts else f"{n}"
+              for n in names}
+    width = max(len(x) for x in [*labels.values(), ref_name])
+    return labels, width
 
-    def one_block(row_seqs, row_ref):
-        group_counts = {g: str(len(v)) for g, v in groups.items()}
-        labels = {k: f"{k} ({group_counts[k]})" if k in group_counts else f"{k}"
-                  for k in seqs.keys()}
-        max_len = max(len(x) for x in list(labels.values()) + [ref_name])
-        out = [f"{ref_name.rjust(max_len)}: " + "".join(row_ref)]
-        for name, seq in row_seqs.items():
-            out.append(f"{labels[name].rjust(max_len)}: " + "".join(seq))
-        out.append(" " * (max_len + 2) + "".join(annot_text))
-        return out
 
-    def split(xs, keys):
-        res = defaultdict(list)
-        for v, k in zip(xs, keys):
-            res[k].append(v)
-        return res
+def _blocks(cells, ids):
+    """Group cells by block id, insertion-ordered; zip truncates rows
+    longer than the id array (the oligo tail)."""
+    out = {}
+    for cell, b in zip(cells, ids):
+        out.setdefault(b, []).append(cell)
+    return out
 
+
+def print_align(rows, ref, annot_text, groups, ref_name="Reference"):
+    """Wrap the padded grid to the terminal width and emit labeled rows;
+    each block ends with the (full) bracket row."""
     term_width = shutil.get_terminal_size().columns
-    label_width = max(len(s) for s in list(seqs.keys()) + [ref_name])
-    align_width = term_width - label_width - 5
-    row_index = [math.floor(x / align_width)
-                 for x in _cumulative([len(x) for x in ref])]
-    chunked_ref = split(ref, row_index)
-    chunked_seqs = {k: split(v, row_index) for k, v in seqs.items()}
-    output = []
-    for index in range(len(chunked_ref)):
-        row_seqs = {k: v[index] for k, v in chunked_seqs.items()}
-        output.extend(one_block(row_seqs, chunked_ref[index]))
-    return output
+    gutter = max(len(n) for n in [*rows, ref_name])
+    align_width = term_width - gutter - 5
+    ids = [e // align_width for e in _ends([len(c) for c in ref])]
+
+    ref_blocks = _blocks(ref, ids)
+    row_blocks = {n: _blocks(r, ids) for n, r in rows.items()}
+    labels, width = _labels(list(rows), groups, ref_name)
+    bracket = " " * (width + 2) + "".join(annot_text)
+
+    out = []
+    for b in range(len(ref_blocks)):
+        out.append(f"{ref_name.rjust(width)}: "
+                   + "".join(ref_blocks.get(b, [])))
+        for name in rows:
+            out.append(f"{labels[name].rjust(width)}: "
+                       + "".join(row_blocks[name].get(b, [])))
+        out.append(bracket)
+    return out
 
 
 def render_primer3_stats(p3):
@@ -145,11 +182,14 @@ def render_primer3_stats(p3):
 
 
 def render_variant(seqs, ref, p3, groups, annots=None):
-    """Full alignment rendering (print_align.py:226-257)."""
-    seqs = mask_same(seqs, ref)
+    """Full alignment rendering (parity: print_align.py:226-257)."""
+    rows = {name: dot_masked(row, ref) for name, row in seqs.items()}
     if annots is not None:
-        seqs["oligos"] = format_seq_annot(annots, ref)
-    seqs, ref, annot_text = pad_sequences(seqs, ref, annots)
-    output = print_align(seqs, ref, annot_text, groups)
-    output += [render_primer3_stats(p3)]
+        rows["oligos"] = oligo_row(annots, ref)
+    widths, pads = _fit_columns(ref, rows)
+    ref_p = [c.center(w, p) for c, w, p in zip(ref, widths, pads)]
+    rows_p = {n: _centered(r, widths, pads) for n, r in rows.items()}
+    annot_text = bracket_row(annots, ref_p, widths)
+    output = print_align(rows_p, ref_p, annot_text, groups)
+    output.append(render_primer3_stats(p3))
     return output
