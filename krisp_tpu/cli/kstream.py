@@ -48,9 +48,10 @@ def parse_args(argv):
                              "(no effect here: sorting is a device/in-memory "
                              "kernel; accepted for CLI parity)")
     parser.add_argument("--sort-mem", type=str,
-                        help="Amount of memory to use, see linux sort mem "
-                             "usage (no effect here: spill chunking is "
-                             "automatic; accepted for CLI parity)")
+                        help="Amount of memory to use for sorting, GNU "
+                             "sort -S grammar (N%%, K/M/G, bare = KiB): "
+                             "bounds the string pipeline's spill chunks "
+                             "and the fast-path host-engine budget")
     parser.add_argument("--sort-cols", nargs="+", type=int,
                         help="Sort based on these columns, 0-based indexing")
     parser.add_argument("--output",
@@ -78,9 +79,9 @@ def main(argv=None):
     if args.devices is not None:
         import os
         os.environ["KRISP_TPU_DEVICES"] = str(args.devices)
-    if args.sort_np != 1 or args.sort_mem is not None:
-        print("kstream: note: --sort-np/--sort-mem have no effect (device/"
-              "in-memory sort; flags accepted for reference CLI parity)",
+    if args.sort_np != 1:
+        print("kstream: note: --sort-np has no effect (device/in-memory "
+              "sort; flag accepted for reference CLI parity)",
               file=sys.stderr)
 
     # Fast path: eligible extract+sort configurations run on the
@@ -103,11 +104,13 @@ def main(argv=None):
                 if args.output is not None:
                     with open(args.output, "wb") as fout:
                         done = run_fast_kstream(args.file, plan, fout,
-                                                engine=args.engine)
+                                                engine=args.engine,
+                                                mem=args.sort_mem)
                 else:
                     done = run_fast_kstream(args.file, plan,
                                             sys.stdout.buffer,
-                                            engine=args.engine)
+                                            engine=args.engine,
+                                            mem=args.sort_mem)
                     sys.stdout.buffer.flush()
                 if done is not None:
                     return 0

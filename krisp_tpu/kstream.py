@@ -27,12 +27,38 @@ from __future__ import annotations
 import heapq
 import itertools
 import multiprocessing
+import os
 import tempfile
 
 from .dna import COMPLEMENT, IUPAC_EXPAND
 from .io.fasta import open_maybe_compressed
 
 _DEFAULT_CHUNK_LINES = 2_000_000
+#: approximate per-line Python overhead (str header + list slot) used when
+#: converting a --sort-mem byte budget into a spill threshold
+_LINE_OVERHEAD = 64
+
+_MEM_SUFFIX = {"b": 1, "K": 1024, "k": 1024, "M": 1024 ** 2,
+               "m": 1024 ** 2, "G": 1024 ** 3, "g": 1024 ** 3,
+               "T": 1024 ** 4, "t": 1024 ** 4}
+
+
+def parse_memory_spec(spec):
+    """GNU ``sort -S`` size grammar -> bytes (kstream.py:54-56 defers to
+    it): ``N%`` of physical memory, ``b``/``K``/``M``/``G``/``T``
+    suffixes, bare number = KiB.  None/"" -> None (automatic chunking)."""
+    if spec is None:
+        return None
+    spec = str(spec).strip()
+    if not spec:
+        return None
+    if spec.endswith("%"):
+        pct = float(spec[:-1])
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        return max(int(total * pct / 100.0), 1)
+    if spec[-1] in _MEM_SUFFIX:
+        return max(int(float(spec[:-1]) * _MEM_SUFFIX[spec[-1]]), 1)
+    return max(int(float(spec) * 1024), 1)
 
 
 def sort_key_for_cols(cols):
@@ -50,15 +76,34 @@ def sort_key_for_cols(cols):
     return key
 
 
+def _take_chunk(lines, chunk_lines, mem_bytes):
+    """Next in-memory chunk: capped at ``chunk_lines`` and, when a
+    ``--sort-mem`` budget is given, at ``mem_bytes`` of estimated line
+    storage (string bytes + per-line overhead)."""
+    if mem_bytes is None:
+        return list(itertools.islice(lines, chunk_lines))
+    buf, used = [], 0
+    for line in lines:
+        buf.append(line)
+        used += len(line) + _LINE_OVERHEAD
+        if used >= mem_bytes or len(buf) >= chunk_lines:
+            break
+    return buf
+
+
 def external_sort(lines, cols=None, chunk_lines=_DEFAULT_CHUNK_LINES,
-                  workdir=None):
-    """Sort an iterable of str lines; spills to disk beyond chunk_lines."""
+                  workdir=None, mem=None):
+    """Sort an iterable of str lines; spills to disk beyond chunk_lines
+    or beyond the ``mem`` budget (a GNU ``sort -S``-style spec)."""
     key = sort_key_for_cols(cols)
-    chunks = []
-    buf = list(itertools.islice(lines, chunk_lines))
-    if len(buf) < chunk_lines:
+    mem_bytes = parse_memory_spec(mem)
+    lines = iter(lines)
+    buf = _take_chunk(lines, chunk_lines, mem_bytes)
+    head = list(itertools.islice(lines, 1))
+    if not head:
         yield from sorted(buf, key=key)
         return
+    lines = itertools.chain(head, lines)
     files = []
     while buf:
         buf.sort(key=key)
@@ -66,7 +111,7 @@ def external_sort(lines, cols=None, chunk_lines=_DEFAULT_CHUNK_LINES,
         f.writelines(l + "\n" for l in buf)
         f.seek(0)
         files.append(f)
-        buf = list(itertools.islice(lines, chunk_lines))
+        buf = _take_chunk(lines, chunk_lines, mem_bytes)
     streams = [(line.rstrip("\n") for line in f) for f in files]
     yield from heapq.merge(*streams, key=key)
     for f in files:
@@ -97,7 +142,7 @@ class KStream:
         self.expandiupac = expandiupac
         self.sort = sort
         self.sortcols = sortcols
-        self.sortmem = sortmem  # accepted for CLI parity; chunking is automatic
+        self.sortmem = sortmem  # GNU `sort -S` spec bounding spill chunks
         self.sortnp = sortnp
         self.parallel = parallel
         self.sequences = sequences
@@ -250,7 +295,7 @@ class KStream:
             out = parallel_stream()
 
         if self.sort:
-            out = external_sort(out, cols=self.sortcols)
+            out = external_sort(out, cols=self.sortcols, mem=self.sortmem)
         if is_rna:
             out = (s.replace("T", "U").replace("t", "u") for s in out)
         yield from out

@@ -45,10 +45,16 @@ def host_bytes_estimate(n_bases: int, plan: DevicePlan) -> int:
     return n_bases * (4 + 8 * strands + 8 + 2) + (1 << 26)
 
 
-def run_fast_kstream(path, plan: DevicePlan, out_stream, engine: str = "auto"):
+def run_fast_kstream(path, plan: DevicePlan, out_stream, engine: str = "auto",
+                     mem=None):
     """Run the plan on the selected engine.  Returns the emitted line
     count, or None when the input content requires the exact string
-    pipeline (IUPAC/RNA/case probe — identical for both engines)."""
+    pipeline (IUPAC/RNA/case probe — identical for both engines).
+
+    ``mem``: a GNU ``sort -S``-style spec (the CLI's --sort-mem).  When
+    given it caps the host engine's memory budget, steering jobs past the
+    cap onto the device engine's spill-segmented path — the TPU analog of
+    bounding GNU sort's buffer."""
     engine = os.environ.get("KRISP_TPU_KSTREAM_ENGINE", engine)
     if engine not in ("auto", "host", "device"):
         raise ValueError(f"unknown kstream engine {engine!r}")
@@ -57,6 +63,9 @@ def run_fast_kstream(path, plan: DevicePlan, out_stream, engine: str = "auto"):
         buf = load_buffer(path)
         budget = int(os.environ.get("KRISP_TPU_HOST_BUDGET",
                                     max(_mem_available() // 2, 1 << 30)))
+        if mem is not None:
+            from .kstream import parse_memory_spec
+            budget = min(budget, parse_memory_spec(mem))
         if engine == "host" or host_bytes_estimate(buf.size, plan) <= budget:
             return run_vec_kstream(path, plan, out_stream, buf=buf)
     if engine == "host":

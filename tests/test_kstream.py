@@ -328,3 +328,66 @@ def test_parallel_mode_matches_reference(tmp_path):
     args2 = ["--kmers", "5", "--parallel", "2"]
     assert sorted(run_ours(args2, FASTA, tmp_path)) == \
         sorted(run_reference(args2, FASTA))
+
+
+def test_parse_memory_spec():
+    from krisp_tpu.kstream import parse_memory_spec
+    assert parse_memory_spec(None) is None
+    assert parse_memory_spec("") is None
+    assert parse_memory_spec("100b") == 100
+    assert parse_memory_spec("2K") == 2048
+    assert parse_memory_spec("2") == 2048          # bare = KiB (GNU sort)
+    assert parse_memory_spec("1M") == 1 << 20
+    assert parse_memory_spec("1.5G") == int(1.5 * (1 << 30))
+    import os
+    total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    assert parse_memory_spec("50%") == int(total * 0.5)
+
+
+def test_external_sort_honors_mem_budget(tmp_path, monkeypatch):
+    """A tiny --sort-mem budget forces many small spill chunks; output is
+    still totally sorted and identical to the unbounded path."""
+    import random
+
+    import krisp_tpu.kstream as ks
+
+    rng = random.Random(3)
+    lines = ["".join(rng.choice("ACGT") for _ in range(12))
+             for _ in range(4000)]
+    spills = []
+    real_tmp = ks.tempfile.TemporaryFile
+
+    def counting_tmp(*a, **k):
+        spills.append(1)
+        return real_tmp(*a, **k)
+
+    monkeypatch.setattr(ks.tempfile, "TemporaryFile", counting_tmp)
+    got = list(ks.external_sort(iter(lines), mem="4K"))
+    assert got == sorted(lines)
+    # 4 KiB budget over ~76-byte lines => ~54 lines per chunk => many spills
+    assert len(spills) > 20
+
+
+def test_cli_sort_mem_bounds_host_engine(tmp_path, monkeypatch):
+    """--sort-mem smaller than the host-engine estimate steers an eligible
+    job off the host fast path; output bytes are unchanged."""
+    from krisp_tpu import kstream_fast
+
+    fasta = tmp_path / "in.fa"
+    fasta.write_text(FASTA)
+    args = ["--kmers", "8", "--sort"]
+    oracle_dir = tmp_path / "a"
+    oracle_dir.mkdir()
+    want = run_ours(args, FASTA, oracle_dir)
+
+    taken = []
+    real = kstream_fast.run_vec_kstream
+    monkeypatch.setattr(kstream_fast, "run_vec_kstream",
+                        lambda *a, **k: taken.append(1) or real(*a, **k))
+    import krisp_tpu.cli.kstream as cli
+    out = tmp_path / "o.txt"
+    monkeypatch.setenv("KRISP_TPU_KSTREAM_ENGINE", "auto")
+    cli.main([str(fasta), "--kmers", "8", "--sort", "--sort-mem", "1b",
+              "--output", str(out)])
+    assert taken == []                      # budget excluded the host engine
+    assert out.read_text().splitlines() == want
