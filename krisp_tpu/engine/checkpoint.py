@@ -20,11 +20,12 @@ import numpy as np
 
 def _table_key(path: str, geom, bits: int, omit_soft: bool,
                n_files: int) -> str:
-    # v2: tables store bit-packed KeyLayout rows, whose width depends on
-    # the genome-id field (n_files)
+    # v3: tables store bit-packed KeyLayout rows (width depends on the
+    # genome-id field / n_files) plus the sorted sub-run offsets that the
+    # range-partitioned global stage slices by (engine/bigscale.py)
     h = hashlib.sha256()
     h.update(f"{geom.left},{geom.mid},{geom.right},{bits},{omit_soft},"
-             f"{n_files},v2".encode())
+             f"{n_files},v3".encode())
     with open(path, "rb") as fh:
         for chunk in iter(lambda: fh.read(1 << 20), b""):
             h.update(chunk)
@@ -43,24 +44,30 @@ class TableCache:
 
     def load(self, path: str, geom, bits: int, omit_soft: bool,
              n_files: int = 1):
-        """Return (words [W, n] uint32, counts uint32, n_unique) or None."""
+        """Return (words [W, n] uint32, counts uint32, offsets int64) or
+        None.  ``offsets`` delimit the sorted sub-runs of the table (one
+        per extraction chunk): rows [offsets[i], offsets[i+1]) are sorted
+        by full key."""
         f = self._path(_table_key(path, geom, bits, omit_soft, n_files))
         if not f.exists():
             return None
         try:
             data = np.load(f)
-            return data["words"], data["counts"], int(data["n_unique"])
+            return data["words"], data["counts"], data["offsets"]
         except Exception:
             return None
 
     def store(self, path: str, geom, bits: int, omit_soft: bool,
-              words: np.ndarray, counts: np.ndarray, n_unique: int,
+              words: np.ndarray, counts: np.ndarray, offsets: np.ndarray,
               n_files: int = 1):
         f = self._path(_table_key(path, geom, bits, omit_soft, n_files))
         tmp = f.with_suffix(".tmp.npz")
-        np.savez_compressed(tmp, words=words[:, :n_unique],
-                            counts=counts[:n_unique],
-                            n_unique=np.int64(n_unique))
+        # compress small tables only: GB-scale key tables are near-random
+        # bits (compression is slow and saves nothing)
+        save = (np.savez_compressed if words.nbytes < (64 << 20)
+                else np.savez)
+        save(tmp, words=words, counts=counts,
+             offsets=np.asarray(offsets, np.int64))
         tmp.replace(f)
 
     def manifest(self):

@@ -26,7 +26,7 @@ from ..io.fasta import load_buffer, bucket_size, simple_name
 from ..metrics import GLOBAL as METRICS
 from ..ops.encode import KeyLayout, window_keys_bits
 from ..ops.sort import lsd_sort
-from ..ops.intersect import SENTINEL, dedup_sorted, global_intersect_bits
+from ..ops.intersect import SENTINEL, dedup_sorted
 from .groups import FlankGroup, KmerAmplicon
 
 
@@ -172,18 +172,28 @@ def _genome_table_chunked(path, geom, bits, omit_soft, chunk_size,
         start = end
     if pending is not None:
         collect(pending)
+    # sorted sub-run offsets: one per chunk (the range-partitioned global
+    # stage slices any key range out of each run by binary search)
+    lens = [w.shape[1] for w in word_parts]
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
     return (np.concatenate(word_parts, axis=1),
-            np.concatenate(cnt_parts))
+            np.concatenate(cnt_parts), offsets)
 
 
-def _cached_tables(paths, geom, bits, omit_soft, workdir, layout,
-                   chunk_size=64 << 20):
+def _cached_parts(paths, geom, bits, omit_soft, workdir, layout,
+                  chunk_size=None):
     """Per-genome unique tables via the TableCache (checkpoint/resume
-    path): load hits, compute+store misses.  Returns concatenated
-    (w_stack, counts) numpy arrays (sentinel-padded) in the KeyLayout
-    encoding, with each row's genome-id field OR'd in."""
+    path): load hits, compute+store misses.  Returns a list of
+    (words [W, n] uint32, counts uint32[n], offsets int64[k+1]) per
+    genome — KeyLayout rows with the genome-id field OR'd in, sorted
+    within each offsets-delimited sub-run — the input format of the
+    range-partitioned global stage (engine/bigscale.py)."""
+    import os as _os
+
     from .checkpoint import TableCache
 
+    if chunk_size is None:
+        chunk_size = int(_os.environ.get("KRISP_TPU_CHUNK_BASES", 64 << 20))
     n_files = len(paths)
     fword, fshift = layout.file_word_shift()
     cache = TableCache(workdir)
@@ -192,29 +202,19 @@ def _cached_tables(paths, geom, bits, omit_soft, workdir, layout,
         hit = cache.load(path, geom, bits, omit_soft, n_files)
         if hit is None:
             with METRICS.stage("extract+sort"):
-                words, counts = _genome_table_chunked(path, geom, bits,
-                                                      omit_soft, chunk_size,
-                                                      n_files)
+                words, counts, offsets = _genome_table_chunked(
+                    path, geom, bits, omit_soft, chunk_size, n_files)
             cache.store(path, geom, bits, omit_soft, words, counts,
-                        words.shape[1], n_files)
+                        offsets, n_files)
         else:
-            words, counts, nu = hit
-        parts.append((file_idx, words, counts))
-
-    total = sum(p[1].shape[1] for p in parts)
-    padded_total = bucket_size(total)
-    W = parts[0][1].shape[0]
-    w_stack = np.full((W, padded_total), 0xFFFFFFFF, np.uint32)
-    counts = np.zeros(padded_total, np.uint32)
-    at = 0
-    for file_idx, words, cnts in parts:
-        n = words.shape[1]
-        w_stack[:, at:at + n] = words
-        # OR the genome id into the key (sentinel rows stay all-ones)
-        w_stack[fword, at:at + n] |= np.uint32(file_idx << fshift)
-        counts[at:at + n] = cnts
-        at += n
-    return w_stack, counts
+            words, counts, offsets = hit
+        # OR the genome id into the key: the id field is zero in every
+        # stored row and identical across a table, so sub-run sort order
+        # is untouched
+        words = words.copy()
+        words[fword] |= np.uint32(file_idx << fshift)
+        parts.append((words, counts, offsets))
+    return parts
 
 
 def _pallas_flag(name: str) -> bool:
@@ -304,22 +304,16 @@ def run_pipeline(files, outgroup, geom: KmerGeometry, omit_soft: bool = False,
     cap = 1 << 16
     if workdir is not None:
         # Checkpoint/resume path: per-genome KeyLayout tables cached on
-        # disk keyed by content+geometry; the global intersection re-runs
-        # over them with counts carried as the one payload.
-        w_stack, counts = _cached_tables(all_files, geom, bits, omit_soft,
-                                         workdir, layout)
-        while True:
-            with METRICS.stage("intersect"):
-                out_words, cnt_d, gid_d, n_keep = global_intersect_bits(
-                    tuple(w_stack), counts, layout,
-                    n_files=len(all_files), cap=cap)
-                n_keep = int(n_keep)
-            if n_keep <= cap:
-                break
-            cap = bucket_size(n_keep, quantum=1 << 16)
-        words_h = np.asarray(out_words)[:, :n_keep].T
-        cnt_h = np.asarray(cnt_d)[:n_keep]
-        gid_h = np.asarray(gid_d)[:n_keep]
+        # disk keyed by content+geometry; the global stage re-runs over
+        # them in bounded range-partitioned passes (engine/bigscale.py),
+        # so GB-scale inputs never materialize a whole-table device sort.
+        from .bigscale import partitioned_global_intersect
+        parts = _cached_parts(all_files, geom, bits, omit_soft, workdir,
+                              layout)
+        with METRICS.stage("intersect"):
+            words_h, cnt_h, gid_h = partitioned_global_intersect(
+                parts, layout, n_files=len(all_files), cap=cap)
+        n_keep = words_h.shape[0]
     else:
         # One fused device program over minimal bit-packed keys; only
         # ``cap`` compacted survivor rows cross back, packed into a single

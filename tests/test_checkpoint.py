@@ -38,12 +38,12 @@ def test_chunked_out_of_core_matches_fused(tmp_path, monkeypatch):
     fused = [render.render_csv(g)
              for g in run_pipeline(INGROUP, OUTGROUP, geom)]
 
-    orig = P._cached_tables
+    orig = P._cached_parts
 
     def chunked(paths, geom, bits, omit_soft, workdir, layout):
         return orig(paths, geom, bits, omit_soft, workdir, layout,
                     chunk_size=17_000)  # ~6 chunks per 101kb genome
-    monkeypatch.setattr(P, "_cached_tables", chunked)
+    monkeypatch.setattr(P, "_cached_parts", chunked)
     got = [render.render_csv(g)
            for g in run_pipeline(INGROUP, OUTGROUP, geom,
                                  workdir=str(tmp_path))]
