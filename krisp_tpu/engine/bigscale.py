@@ -35,6 +35,7 @@ import os
 import numpy as np
 
 from ..io.fasta import bucket_size
+from ..metrics import GLOBAL as METRICS
 from ..ops.intersect import global_intersect_bits
 
 
@@ -68,13 +69,14 @@ def _prefix_ranges(parts, shift, n_buckets, row_budget):
     return ranges
 
 
-def _slice_range(parts, shift, blo, bhi):
-    """Rows of every sorted sub-run whose flank prefix falls in
-    [blo, bhi): two binary searches per sub-run."""
+def _range_bounds(parts, shift, blo, bhi):
+    """Per-sub-run row intervals whose flank prefix falls in [blo, bhi):
+    two binary searches per sub-run, no data movement."""
     vlo = np.uint32(blo << shift)
-    out_w, out_c = [], []
-    for words, counts, offsets in parts:
+    bounds = []
+    for words, _counts, offsets in parts:
         w0 = words[0]
+        per_part = []
         for s, e in zip(offsets[:-1], offsets[1:]):
             seg = w0[s:e]
             a = s + np.searchsorted(seg, vlo, side="left")
@@ -83,6 +85,18 @@ def _slice_range(parts, shift, blo, bhi):
             else:
                 b = s + np.searchsorted(seg, np.uint32(bhi << shift),
                                         side="left")
+            per_part.append((int(a), int(b)))
+        bounds.append(per_part)
+    return bounds
+
+
+def _slice_range(parts, bounds):
+    """Materialize the rows selected by ``_range_bounds`` (lazy: called
+    one range at a time so peak host memory stays one range, not the
+    whole table twice)."""
+    out_w, out_c = [], []
+    for (words, counts, _offsets), per_part in zip(parts, bounds):
+        for a, b in per_part:
             if b > a:
                 out_w.append(words[:, a:b])
                 out_c.append(counts[a:b])
@@ -124,18 +138,18 @@ def partitioned_global_intersect(parts, layout, n_files: int,
         stats["global_passes"] = len(ranges)
         stats["row_budget"] = row_budget
 
-    # one padded size for every pass -> one compiled program
-    sizes = []
-    slices = []
-    for blo, bhi in ranges:
-        w, c = _slice_range(parts, shift, blo, bhi)
-        slices.append((w, c))
-        sizes.append(0 if w is None else w.shape[1])
+    # one padded size for every pass -> one compiled program; bounds are
+    # binary searches only, so sizing is free and slices stay lazy
+    all_bounds = [_range_bounds(parts, shift, blo, bhi)
+                  for blo, bhi in ranges]
+    sizes = [sum(b - a for per_part in bounds for a, b in per_part)
+             for bounds in all_bounds]
     pad = bucket_size(max(max(sizes), 1))
 
     out_w, out_c, out_g = [], [], []
     gid_base = 0
-    for w, c in slices:
+    for bounds in all_bounds:
+        w, c = _slice_range(parts, bounds)
         if w is None:
             continue
         n = w.shape[1]
@@ -145,9 +159,10 @@ def partitioned_global_intersect(parts, layout, n_files: int,
         c_pad = np.zeros(pad, np.uint32)
         c_pad[:n] = c
         while True:
-            words_d, cnt_d, gid_d, n_keep = global_intersect_bits(
-                tuple(w_pad), c_pad, layout, n_files=n_files, cap=cap)
-            n_keep = int(n_keep)
+            with METRICS.stage("global_pass", items=n):
+                words_d, cnt_d, gid_d, n_keep = global_intersect_bits(
+                    tuple(w_pad), c_pad, layout, n_files=n_files, cap=cap)
+                n_keep = int(n_keep)
             if n_keep <= cap:
                 break
             cap = bucket_size(n_keep, quantum=1 << 16)

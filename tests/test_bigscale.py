@@ -12,7 +12,8 @@ import glob
 import numpy as np
 
 from krisp_tpu.engine import render
-from krisp_tpu.engine.bigscale import (_prefix_ranges, _slice_range,
+from krisp_tpu.engine.bigscale import (_prefix_ranges, _range_bounds,
+                                       _slice_range,
                                        partitioned_global_intersect)
 from krisp_tpu.engine.pipeline import KmerGeometry, run_pipeline
 
@@ -98,7 +99,7 @@ def test_slice_range_rebuilds_every_row():
     shift = 28
     got_w, got_c = [], []
     for lo in range(16):
-        w, c = _slice_range(parts, shift, lo, lo + 1)
+        w, c = _slice_range(parts, _range_bounds(parts, shift, lo, lo + 1))
         if w is not None:
             got_w.append(w)
             got_c.append(c)
