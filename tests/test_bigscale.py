@@ -10,6 +10,7 @@ order, and the rendered bytes are identical to the one-shot program.
 import glob
 
 import numpy as np
+import pytest
 
 from krisp_tpu.engine import render
 from krisp_tpu.engine.bigscale import (_prefix_ranges, _range_bounds,
@@ -117,3 +118,60 @@ def test_empty_parts():
               np.zeros(1, np.int64))]
     w, c, g = partitioned_global_intersect(parts, layout, n_files=5)
     assert w.shape == (0, W) and c.size == 0 and g.size == 0
+
+
+def _snapshot(groups):
+    return sorted((g.left, g.right,
+                   sorted((a.mid, tuple(sorted(a.label_counts.items())))
+                          for a in g.amplicons))
+                  for g in groups)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_partitioned_equals_fused(seed, tmp_path, monkeypatch):
+    """Randomized geometry x genome fuzz: the staged range-partitioned
+    path (tiny extraction chunks + tiny global row budget) yields the
+    identical FlankGroup set to the single-device fused program."""
+    from krisp_tpu.engine import pipeline as P
+
+    rng = np.random.default_rng(4000 + seed)
+    left = int(rng.integers(3, 12))
+    mid = int(rng.integers(0, 4))
+    right = int(rng.integers(2, 10))
+    n_files = int(rng.integers(2, 5))
+    omit_soft = bool(rng.integers(0, 2))
+    geom = KmerGeometry(left, mid, right)
+    L = geom.total
+
+    size = int(rng.integers(3000, 6000))
+    flanks = [("".join(rng.choice(list("ACGT"), size=left)),
+               "".join(rng.choice(list("ACGT"), size=right)))
+              for _ in range(4)]
+    paths = []
+    for f in range(n_files):
+        chars = rng.choice(list("ACGTNacgt"), size=size,
+                           p=[.22, .22, .22, .22, .04, .02, .02, .02, .02])
+        seq = list("".join(chars))
+        for i, (fl, fr) in enumerate(flanks):
+            pos = (i + 1) * size // (len(flanks) + 2)
+            mid_seq = ("A" if f < 2 else "C") * mid
+            seq[pos:pos + L] = fl + mid_seq + fr
+        path = tmp_path / f"g{seed}_{f}.fasta"
+        path.write_text(f">g{f}\n" + "".join(seq) + "\n")
+        paths.append(str(path))
+
+    ingroup, outgroup = paths[:2], paths[2:]
+    fused = run_pipeline(ingroup, outgroup, geom, omit_soft=omit_soft)
+
+    orig = P._cached_parts
+
+    def chunked(paths, geom, bits, omit_soft, workdir, layout):
+        return orig(paths, geom, bits, omit_soft, workdir, layout,
+                    chunk_size=int(rng.integers(700, 2000)))
+    monkeypatch.setattr(P, "_cached_parts", chunked)
+    monkeypatch.setenv("KRISP_TPU_GLOBAL_ROWS",
+                       str(int(rng.integers(500, 3000))))
+    staged = run_pipeline(ingroup, outgroup, geom, omit_soft=omit_soft,
+                          workdir=str(tmp_path / f"wd{seed}"))
+    assert _snapshot(staged) == _snapshot(fused)
+    assert fused, "fuzz case produced no groups (planted regions missing)"

@@ -37,3 +37,25 @@ def test_bench_meets_100x_floor():
         # u64 engine, VERDICT r2 ask #1: >=50x; measured 74x) — floor set
         # below the measurement to absorb VM noise, far above the old 7.78x
         assert out["kstream_vs_reference"] >= 40, out
+
+
+@pytest.mark.skipif(os.environ.get("KRISP_TPU_BIGSCALE_TEST") != "1",
+                    reason="GB-scale gate; set KRISP_TPU_BIGSCALE_TEST=1 "
+                           "(generates 5x100Mb genomes, ~0.5GB disk, and "
+                           "runs the staged out-of-core path end-to-end)")
+def test_bigscale_staged_path_end_to_end():
+    """VERDICT r2 ask #7: 5 x >=100 Mb genomes through the chunked/staged
+    HBM path.  tools/bench_bigscale.py verifies the survivor set against
+    the planted diagnostic sites itself; here we additionally gate on a
+    throughput floor and on the run actually being multi-pass."""
+    size = int(os.environ.get("KRISP_TPU_BIGSCALE_SIZE", 100_000_000))
+    backend = os.environ.get("KRISP_TPU_BIGSCALE_BACKEND", "cpu")
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_bigscale.py", "--size", str(size),
+         "--backend", backend],
+        cwd="/root/repo", capture_output=True, text=True, timeout=7200)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["rows"] == size // 2_000_000, out  # every planted site found
+    assert out["global_passes"] >= 2, out         # genuinely out-of-core
+    assert out["value"] >= 1_000_000, out         # >= 1M kmers/s floor

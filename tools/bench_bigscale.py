@@ -32,7 +32,9 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    tools_dir = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.dirname(tools_dir))  # repo root
+    sys.path.insert(0, tools_dir)
     from make_bigscale_fasta import make_genomes
 
     gdir = os.path.join(args.dir, f"genomes_{args.size}")
