@@ -316,18 +316,16 @@ def _all_window_keys(buffers, code_table, valid_table, comp_table,
 
     def per_file(buf, file_idx):
         if use_pallas and bits == 2:
-            # explicit fused encode+stencil+pack kernel (2-bit fast path);
+            # explicit fused encode+stencil+pack kernel (2-bit fast path):
+            # one kernel yields both strands (shared DMA/codes/validity);
             # output is padded to the kernel tile — trim to the XLA shape
-            from .pallas_pack import pallas_window_keys
+            from .pallas_pack import pallas_window_keys_both
             L = left + mid + right
             n_win = buf.shape[0] - L + 1
-            ok_f, w_f = pallas_window_keys(buf, left, mid, right, bits,
-                                           n_files, revcomp=False,
-                                           omit_soft=omit_soft)
-            ok_r, w_r = pallas_window_keys(buf, left, mid, right, bits,
-                                           n_files, revcomp=True,
-                                           omit_soft=omit_soft)
-            ok = jnp.concatenate([ok_f[:n_win], ok_r[:n_win]])
+            ok_b, w_f, w_r = pallas_window_keys_both(buf, left, mid, right,
+                                                     bits, n_files,
+                                                     omit_soft=omit_soft)
+            ok = jnp.concatenate([ok_b[:n_win], ok_b[:n_win]])
             words = [jnp.concatenate([a[:n_win], b[:n_win]])
                      for a, b in zip(w_f, w_r)]
         elif bits == 2:

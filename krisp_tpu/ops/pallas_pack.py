@@ -6,6 +6,13 @@ per VMEM tile: DMA an overlapping buffer block, derive 2-bit codes
 arithmetically (no gather tables), and OR lane-rotated copies into the key
 words — the [flank | genome | mid] bit placement of ops/encode.KeyLayout.
 
+Both strands come out of ONE kernel: the tile DMA, the code derivation and
+the validity stencil are shared, and the packing uses the same log-tree
+chunk ladders as encode.window_keys_tree (chunk_a(i) = a bases from i in
+one u32; a reverse-complement ladder rc_a(i) = revcomp of bases [i, i+a))
+so each layout word composes from O(log L) shifted pieces instead of L
+per-base shifts — ~4x fewer VPU passes per tile at spacer geometry.
+
 TPU shape discipline (learned against Mosaic on v5e): all window data lives
 in (rows, 128) 2-D tiles of 32-bit values; a shift by ``off`` becomes a
 sublane roll by off//128 plus a lane rotate by off%128 with cross-row carry
@@ -26,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-ROWS = 32                 # rows per output tile
+ROWS = 128               # rows per output tile
 TILE = ROWS * LANES       # windows per grid step
 HALO_ROWS = 8             # overlap rows for the window stencil (L <= 1024)
 
@@ -48,13 +55,15 @@ def _codes_and_valid(chunk_u32, omit_soft: bool):
     return code, is_acgt.astype(jnp.uint32)
 
 
-def _shifted(arr2d, off: int):
-    """out[r, l] = flat(arr2d)[r*LANES + l + off], for the first ROWS rows.
+def _shifted_full(arr2d, off: int):
+    """out[r, l] = flat(arr2d)[r*LANES + l + off], full height.
 
-    Sublane roll + lane rotate with carry between adjacent rows.
+    Sublane roll + lane rotate with carry between adjacent rows.  The last
+    ``off`` flat positions wrap circularly and carry garbage — callers keep
+    cumulative offsets below the halo so the first ROWS rows stay exact.
     """
     if off == 0:
-        return arr2d[:ROWS]
+        return arr2d
     R = arr2d.shape[0]
     o1, o2 = divmod(off, LANES)
 
@@ -63,59 +72,119 @@ def _shifted(arr2d, off: int):
 
     a = row_shift(o1)
     if o2 == 0:
-        return a[:ROWS]
+        return a
     b = row_shift(o1 + 1)
     rot_a = pltpu.roll(a, LANES - o2, 1)
     rot_b = pltpu.roll(b, LANES - o2, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, arr2d.shape, 1)
-    return jnp.where(lane < LANES - o2, rot_a, rot_b)[:ROWS]
+    return jnp.where(lane < LANES - o2, rot_a, rot_b)
 
 
-def _pack_kernel(buf_hbm, ok_ref, *rest, perm, offsets, L, bits, n_win,
-                 revcomp, omit_soft):
-    scratch, sem = rest[-2], rest[-1]
-    word_refs = rest[:-2]
+def _shifted(arr2d, off: int):
+    """_shifted_full truncated to the ROWS output rows."""
+    return _shifted_full(arr2d, off)[:ROWS]
+
+
+def _ladder(first, combine, shift_amounts):
+    """Doubling chunk ladder: arrs[a] covers ``a`` flat positions from i."""
+    arrs = {1: first}
+    a = 1
+    for _ in shift_amounts:
+        arrs[2 * a] = combine(arrs[a], _shifted_full(arrs[a], a), a)
+        a *= 2
+    return arrs
+
+
+def _ladder_sizes(max_m: int):
+    sizes, a = [], 1
+    while 2 * a <= min(max_m, 16):
+        sizes.append(a)
+        a *= 2
+    return sizes
+
+
+def _tree_kernel(main_ref, halo_ref, ok_ref, *rest, runs, L, bits, n_win,
+                 omit_soft, W):
+    """Both strands of one genome tile: shared input + codes + validity,
+    log-tree packing per layout word (see module docstring).  The input
+    arrives as two pipelined VMEM blocks (the tile and its halo) so the
+    grid's DMAs double-buffer automatically instead of stalling per step."""
+    fwd_refs, rc_refs = rest[:W], rest[W:2 * W]
     t = pl.program_id(0)
 
-    copy = pltpu.make_async_copy(
-        buf_hbm.at[pl.ds(t * ROWS, ROWS + HALO_ROWS), :], scratch, sem)
-    copy.start()
-    copy.wait()
+    tile = jnp.concatenate([main_ref[:], halo_ref[:]], axis=0)
+    codes, valid = _codes_and_valid(tile.astype(jnp.uint32), omit_soft)
 
-    codes, valid = _codes_and_valid(scratch[:].astype(jnp.uint32), omit_soft)
-    if revcomp:
-        codes = jnp.uint32(3) - codes
+    max_m = max((r[2] for rs in runs.values() for r in rs), default=1)
+    sizes = _ladder_sizes(max(max_m, min(L, 16)))
+    c = _ladder(codes,
+                lambda lo, hi, a: (lo << jnp.uint32(bits * a)) | hi, sizes)
+    rc = _ladder(jnp.uint32(3) - codes,
+                 lambda lo, hi, a: (hi << jnp.uint32(bits * a)) | lo, sizes)
+    v = _ladder(valid, lambda lo, hi, a: lo & hi, sizes)
 
-    ok = jnp.ones((ROWS, LANES), bool)
-    for j in range(L):
-        ok = ok & (_shifted(valid, j) != 0)
+    # window validity: AND the binary decomposition of the L-wide stencil
+    ok = None
+    consumed, a = 0, 16
+    while consumed < L:
+        if a <= L - consumed:
+            piece = _shifted_full(v[a], consumed)
+            ok = piece if ok is None else ok & piece
+            consumed += a
+        else:
+            a //= 2
     row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
     base = (t * ROWS + row) * LANES + lane
-    ok_ref[:] = ok & (base < n_win)
+    ok_ref[:] = (ok[:ROWS] != 0) & (base < n_win)
 
-    for w, word_ref in enumerate(word_refs):
-        acc = jnp.zeros((ROWS, LANES), jnp.uint32)
-        for p, off in zip(perm, offsets):
-            if off // 32 != w:
-                continue
-            sh = jnp.uint32(32 - (off % 32) - bits)
-            src = L - 1 - p if revcomp else p
-            acc = acc | (_shifted(codes, src) << sh)
-        word_ref[:] = acc
+    def compose_fwd(p0, bit0, m):
+        acc, consumed, a = None, 0, 16
+        while consumed < m:
+            if a <= m - consumed:
+                sh = jnp.uint32(32 - bit0 - bits * (consumed + a))
+                part = _shifted_full(c[a], p0 + consumed) << sh
+                acc = part if acc is None else acc | part
+                consumed += a
+            else:
+                a //= 2
+        return acc
+
+    def compose_rc(p0, bit0, m):
+        # key slots p0..p0+m-1 hold sources L-1-p0 descending == the
+        # revcomp chunk of source span [L-p0-m, L-p0), decomposed from
+        # its most-significant (largest-source) end
+        acc, consumed, a = None, 0, 16
+        while consumed < m:
+            if a <= m - consumed:
+                sh = jnp.uint32(32 - bit0 - bits * (consumed + a))
+                part = _shifted_full(rc[a], L - p0 - consumed - a) << sh
+                acc = part if acc is None else acc | part
+                consumed += a
+            else:
+                a //= 2
+        return acc
+
+    for refs, compose in ((fwd_refs, compose_fwd), (rc_refs, compose_rc)):
+        for w in range(W):
+            acc = jnp.zeros((ROWS, LANES), jnp.uint32)
+            for p0, bit0, m in runs.get(w, []):
+                acc = acc | compose(p0, bit0, m)[:ROWS]
+            refs[w][:] = acc
 
 
 @partial(jax.jit, static_argnames=("left", "mid", "right", "bits", "n_files",
-                                   "revcomp", "omit_soft", "interpret"))
-def pallas_window_keys(buffer, left: int, mid: int, right: int, bits: int,
-                       n_files: int, revcomp: bool = False,
-                       omit_soft: bool = False, interpret: bool = False):
-    """One strand of bit-packed window keys via the Pallas kernel.
+                                   "omit_soft", "interpret"))
+def pallas_window_keys_both(buffer, left: int, mid: int, right: int,
+                            bits: int, n_files: int, omit_soft: bool = False,
+                            interpret: bool = False):
+    """Both strands of bit-packed window keys in one fused kernel.
 
-    buffer: uint8[P].  Returns (ok bool[n_pad], words list of uint32[n_pad])
-    where n_pad rounds the window count up to TILE.  2-bit encoding only.
+    buffer: uint8[P].  Returns (ok bool[n_pad], fwd words, rc words) where
+    n_pad rounds the window count up to TILE; ok applies to both strands.
+    2-bit encoding only.
     """
-    from .encode import KeyLayout
+    from .encode import KeyLayout, _word_runs
 
     assert bits == 2, "pallas pack kernel covers the 2-bit fast path"
     L = left + mid + right
@@ -133,24 +202,47 @@ def pallas_window_keys(buffer, left: int, mid: int, right: int, bits: int,
     perm_flank = tuple(range(left)) + tuple(range(left + mid, L))
     perm_mid = tuple(range(left, left + mid))
     off_flank, off_mid = layout.base_offsets()
-    perm = perm_flank + perm_mid
-    offsets = tuple(off_flank) + tuple(off_mid)
+    runs = dict(_word_runs(perm_flank + perm_mid,
+                           tuple(off_flank) + tuple(off_mid), bits))
 
     W = layout.n_words
-    kernel = partial(_pack_kernel, perm=perm, offsets=offsets, L=L,
-                     bits=bits, n_win=n_win, revcomp=revcomp,
-                     omit_soft=omit_soft)
+    kernel = partial(_tree_kernel, runs=runs, L=L, bits=bits, n_win=n_win,
+                     omit_soft=omit_soft, W=W)
 
+    # main tile block + halo block over the SAME buffer: the halo block
+    # index advances ROWS//HALO_ROWS halo-sized steps per tile, landing at
+    # the rows just past the tile
+    step = ROWS // HALO_ROWS
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec((ROWS, LANES), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((HALO_ROWS, LANES),
+                               lambda t: (step * t + step, 0),
+                               memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((n_tiles * ROWS, LANES), jnp.bool_)]
-        + [jax.ShapeDtypeStruct((n_tiles * ROWS, LANES), jnp.uint32)] * W,
+        + [jax.ShapeDtypeStruct((n_tiles * ROWS, LANES), jnp.uint32)] * (2 * W),
         out_specs=[pl.BlockSpec((ROWS, LANES), lambda t: (t, 0),
-                                memory_space=pltpu.VMEM)] * (W + 1),
-        scratch_shapes=[pltpu.VMEM((ROWS + HALO_ROWS, LANES), jnp.uint8),
-                        pltpu.SemaphoreType.DMA],
+                                memory_space=pltpu.VMEM)] * (2 * W + 1),
         interpret=interpret,
-    )(buf2d)
-    return out[0].reshape(-1), [w.reshape(-1) for w in out[1:]]
+    )(buf2d, buf2d)
+    ok = out[0].reshape(-1)
+    words = [w.reshape(-1) for w in out[1:]]
+    return ok, words[:W], words[W:]
+
+
+def pallas_window_keys(buffer, left: int, mid: int, right: int, bits: int,
+                       n_files: int, revcomp: bool = False,
+                       omit_soft: bool = False, interpret: bool = False):
+    """One strand of bit-packed window keys (thin view over the fused
+    both-strands kernel; the product pipeline calls
+    pallas_window_keys_both directly).
+
+    buffer: uint8[P].  Returns (ok bool[n_pad], words list of uint32[n_pad])
+    where n_pad rounds the window count up to TILE.  2-bit encoding only.
+    """
+    ok, fwd, rc = pallas_window_keys_both(buffer, left, mid, right, bits,
+                                          n_files, omit_soft=omit_soft,
+                                          interpret=interpret)
+    return ok, (rc if revcomp else fwd)
