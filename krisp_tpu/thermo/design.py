@@ -396,6 +396,35 @@ class _DesignJob:
         return out
 
 
+# Structure screens are pure functions of the oligo sequence (the salt
+# model is fixed constants, nn.effective_monovalent), and sliding windows
+# re-screen the SAME candidate primers across overlapping templates — a
+# sequence-keyed memo removes the repeats bit-exactly
+# (nn.batch_self_screens / pair_screens_batch are composition-invariant,
+# pinned by tests/test_thermo.py).
+_SELF_MEMO_CAP = 1 << 19
+_SELF_MEMO: dict = {}
+_PAIR_MEMO: dict = {}
+
+
+def _memo_batch(memo, keys, compute):
+    """Memoized batched evaluation preserving input order."""
+    miss = [k for k in dict.fromkeys(keys) if k not in memo]
+    if miss:
+        if len(memo) + len(miss) > _SELF_MEMO_CAP:
+            memo.clear()
+        for k, r in zip(miss, compute(miss)):
+            memo[k] = r
+    return [memo[k] for k in keys]
+
+
+def clear_screen_memos():
+    """Drop the screen memos (bench methodology: a 'warm' scan means warm
+    code paths, not pre-computed screen answers)."""
+    _SELF_MEMO.clear()
+    _PAIR_MEMO.clear()
+
+
 def design_primers_batch(jobs_args, **kwargs):
     """Design primer pairs for many (template, target_start, target_len)
     jobs, fusing each screen round across every live job: one
@@ -418,8 +447,9 @@ def design_primers_batch(jobs_args, **kwargs):
         selfs = [(i, r[1]) for i, (_, r) in enumerate(live)
                  if r[0] == "self"]
         if selfs:
-            ths = nn.batch_self_screens([s for _, seqs in selfs
-                                         for s in seqs])
+            ths = _memo_batch(_SELF_MEMO,
+                              [s for _, seqs in selfs for s in seqs],
+                              nn.batch_self_screens)
             off = 0
             for i, seqs in selfs:
                 results[i] = ths[off:off + len(seqs)]
@@ -428,8 +458,9 @@ def design_primers_batch(jobs_args, **kwargs):
                if r[0] == "pair"]
         if prs:
             for (i, _), th2 in zip(prs,
-                                   nn.pair_screens_batch([p for _, p
-                                                          in prs])):
+                                   _memo_batch(_PAIR_MEMO,
+                                               [tuple(p) for _, p in prs],
+                                               nn.pair_screens_batch)):
                 results[i] = th2
         nxt = []
         for (g, _), res in zip(live, results):

@@ -309,3 +309,26 @@ class TestPublishedStatsRow:
             + "GGC" + "A" + "CCC" + "T" + "GGCCC"
         th3 = nn.hairpin_th(seq)
         assert th3 > 40
+
+
+def test_screen_memo_composition_invariant():
+    """The sequence-keyed screen memo may not change any design output:
+    a memo-hot run (screens answered from prior, differently-composed
+    batches) must be bit-identical to a memo-cold run."""
+    from krisp_tpu.thermo import design as D
+    rng = __import__("random").Random(5)
+    bases = "ACGT"
+    templates = ["".join(rng.choice(bases) for _ in range(160))
+                 for _ in range(6)]
+    jobs = [(t, 60, 30) for t in templates]
+
+    D.clear_screen_memos()
+    cold = D.design_primers_batch(jobs, amp_size=(70, 150))
+
+    # reshuffle memo contents: screen overlapping job subsets first
+    D.clear_screen_memos()
+    D.design_primers_batch(jobs[3:], amp_size=(70, 150))
+    D.design_primers_batch(jobs[:4], amp_size=(70, 150))
+    hot = D.design_primers_batch(jobs, amp_size=(70, 150))
+    assert cold == hot
+    assert len(D._SELF_MEMO) > 0   # the memo actually engaged
