@@ -106,34 +106,49 @@ def enumerate_candidates(template: str, lo: int, hi: int, primer_size,
             acc_ds[:n - k] += src_ds[k:n]
             acc_steps += 1
 
-    for size in range(primer_size[0], min(primer_size[1], n) + 1):
-        starts = np.arange(n - size + 1)
-        keep = (acgt_bad[starts + size] - acgt_bad[starts]) == 0
-        if size > MAX_POLY_X:
-            keep &= (over_poly[starts + size]
-                     - over_poly[starts + MAX_POLY_X]) == 0
-        gc_cnt = gc_pre[starts + size] - gc_pre[starts]
-        gc_val = 100.0 * gc_cnt / size
-        keep &= (gc_val >= gc_range[0]) & (gc_val <= gc_range[1])
-        if gc_clamp:
-            # primer 3' end: window tail (forward) / head (reverse);
-            # complementation preserves G/C membership
-            if reverse:
-                clamp_cnt = gc_pre[starts + gc_clamp] - gc_pre[starts]
-            else:
-                clamp_cnt = gc_pre[starts + size] \
-                    - gc_pre[starts + size - gc_clamp]
-            keep &= clamp_cnt == gc_clamp
-        if max_end_gc is not None:
-            k5 = min(5, size)
-            if reverse:
-                end_cnt = gc_pre[starts + k5] - gc_pre[starts]
-            else:
-                end_cnt = gc_pre[starts + size] - gc_pre[starts + size - k5]
-            keep &= end_cnt <= max_end_gc
+    # all cheap filters for every (size, start) in one 2-D pass: purely
+    # boolean/int prefix-sum tests, so vectorizing across sizes cannot
+    # perturb any float (the NN sums below keep their per-size order)
+    s_lo, s_hi = primer_size[0], min(primer_size[1], n)
+    sizes = np.arange(s_lo, s_hi + 1)
+    starts2 = np.arange(n - s_lo + 1)
+    ends2 = sizes[:, None] + starts2[None, :]        # (S, n_starts)
+    in_range = ends2 <= n
+    e2 = np.minimum(ends2, n)
+    keep2 = in_range & ((acgt_bad[e2] - acgt_bad[starts2][None, :]) == 0)
+    poly_rows = sizes > MAX_POLY_X
+    if poly_rows.any():
+        pstart = np.minimum(starts2 + MAX_POLY_X, n)
+        keep2 &= np.where(poly_rows[:, None],
+                          (over_poly[e2] - over_poly[pstart][None, :]) == 0,
+                          True)
+    gc_cnt2 = gc_pre[e2] - gc_pre[starts2][None, :]
+    gc_val2 = 100.0 * gc_cnt2 / sizes[:, None]
+    keep2 &= (gc_val2 >= gc_range[0]) & (gc_val2 <= gc_range[1])
+    if gc_clamp:
+        # primer 3' end: window tail (forward) / head (reverse);
+        # complementation preserves G/C membership
+        if reverse:
+            clamp2 = (gc_pre[np.minimum(starts2 + gc_clamp, n)]
+                      - gc_pre[starts2])[None, :]
+        else:
+            clamp2 = gc_pre[e2] - gc_pre[np.maximum(e2 - gc_clamp, 0)]
+        keep2 &= clamp2 == gc_clamp
+    if max_end_gc is not None:
+        k5s = np.minimum(5, sizes)
+        if reverse:
+            end2 = (gc_pre[np.minimum(starts2[None, :] + k5s[:, None], n)]
+                    - gc_pre[starts2][None, :])
+        else:
+            end2 = gc_pre[e2] - gc_pre[np.maximum(e2 - k5s[:, None], 0)]
+        keep2 &= end2 <= max_end_gc
+
+    for si, size in enumerate(sizes):
+        keep = keep2[si, :n - size + 1]
         if not keep.any():
             continue
-        ks = starts[keep]
+        gc_val = gc_val2[si, :n - size + 1]
+        ks = np.nonzero(keep)[0]
         _advance(size - 1)
         if reverse:
             b0 = n - ks - size
