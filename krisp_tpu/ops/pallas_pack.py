@@ -80,27 +80,16 @@ def _shifted_full(arr2d, off: int):
     return jnp.where(lane < LANES - o2, rot_a, rot_b)
 
 
-def _shifted(arr2d, off: int):
-    """_shifted_full truncated to the ROWS output rows."""
-    return _shifted_full(arr2d, off)[:ROWS]
-
-
-def _ladder(first, combine, shift_amounts):
-    """Doubling chunk ladder: arrs[a] covers ``a`` flat positions from i."""
+def _ladder(first, combine, top: int):
+    """Doubling chunk ladder up to chunk size ``top`` (a power of two,
+    at most 16 = one full u32): arrs[a] covers ``a`` flat positions
+    starting at i."""
     arrs = {1: first}
     a = 1
-    for _ in shift_amounts:
+    while 2 * a <= top:
         arrs[2 * a] = combine(arrs[a], _shifted_full(arrs[a], a), a)
         a *= 2
     return arrs
-
-
-def _ladder_sizes(max_m: int):
-    sizes, a = [], 1
-    while 2 * a <= min(max_m, 16):
-        sizes.append(a)
-        a *= 2
-    return sizes
 
 
 def _tree_kernel(main_ref, halo_ref, ok_ref, *rest, runs, L, bits, n_win,
@@ -116,12 +105,14 @@ def _tree_kernel(main_ref, halo_ref, ok_ref, *rest, runs, L, bits, n_win,
     codes, valid = _codes_and_valid(tile.astype(jnp.uint32), omit_soft)
 
     max_m = max((r[2] for rs in runs.values() for r in rs), default=1)
-    sizes = _ladder_sizes(max(max_m, min(L, 16)))
+    top = 1
+    while 2 * top <= min(max(max_m, L), 16):
+        top *= 2
     c = _ladder(codes,
-                lambda lo, hi, a: (lo << jnp.uint32(bits * a)) | hi, sizes)
+                lambda lo, hi, a: (lo << jnp.uint32(bits * a)) | hi, top)
     rc = _ladder(jnp.uint32(3) - codes,
-                 lambda lo, hi, a: (hi << jnp.uint32(bits * a)) | lo, sizes)
-    v = _ladder(valid, lambda lo, hi, a: lo & hi, sizes)
+                 lambda lo, hi, a: (hi << jnp.uint32(bits * a)) | lo, top)
+    v = _ladder(valid, lambda lo, hi, a: lo & hi, top)
 
     # window validity: AND the binary decomposition of the L-wide stencil
     ok = None
