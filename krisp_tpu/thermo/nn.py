@@ -11,14 +11,17 @@ implements the same published model from first principles:
     conversion (Owczarzy) using primer3's default ion concentrations
     (50 mM monovalent, 1.5 mM divalent, 0.6 mM dNTP, 50 nM oligo)
   - duplex/hairpin melting temperatures for secondary-structure screening:
-    structures are one, two, or three helices joined by bulges/internal
-    loops (SantaLucia & Hicks 2004 loop ΔG tables with Jacobson-Stockmayer
-    extrapolation, loops treated as entropic — thal's zero/one/two-defect
-    structure classes).  Hairpins additionally pay the terminal-loop
-    entropy and a loop-closure terminal-mismatch term, rank by minimum
-    ΔG37, use the monomolecular Tm, and report 0 when unstable at 37 °C —
-    the behavior that reproduces BOTH hairpin values libprimer3 published
-    for this repo's workloads (37.5163 and 0.0, README.md:216-223).
+    a structure is ANY number of perfectly-complementary helices joined by
+    bulges/internal loops (SantaLucia & Hicks 2004 loop ΔG tables with
+    Jacobson-Stockmayer extrapolation, loops treated as entropic) —
+    searched EXHAUSTIVELY by a Pareto chain DP over all maximal match-runs
+    (chain.py native kernel, thermo/oracle.py independent Python mirror;
+    equality fuzzed by tests/test_thermo_oracle.py).  Hairpins
+    additionally pay the terminal-loop entropy and a loop-closure
+    terminal-mismatch term, rank by minimum ΔG37, use the monomolecular
+    Tm, and report 0 when unstable at 37 °C — the behavior that reproduces
+    BOTH hairpin values libprimer3 published for this repo's workloads
+    (37.5163 and 0.0, README.md:216-223).
 
 Fidelity against every published libprimer3 value is quantified in
 PARITY.md and pinned by tests/test_thermo.py::TestPublishedStatsRow: Tm,
@@ -32,6 +35,8 @@ from __future__ import annotations
 import math
 
 import numpy as np
+
+from . import chain
 
 R_GAS = 1.987  # cal/(K*mol)
 
@@ -393,26 +398,20 @@ def hairpin_gate_tm(dh: float, ds: float) -> float:
 _TOP_R = 16
 
 
-_TOP_R3 = 6
+def _best_structures(runs, C, inner_desc, end_i=None, loops=False):
+    """Per-candidate strongest SINGLE helix under the legacy stack-only
+    model (``loops=False`` — the scalar-oracle ranking by most-negative
+    ΔH).  The production ``loops=True`` structure search lives in
+    chain.py (exhaustive chain DP over the same run set); this path is
+    kept as the pinned equality oracle for the stack-only screens.
 
-
-def _best_structures(runs, C, inner_desc, end_i=None, loops=True):
-    """Per-candidate most stable structure from single helices and (when
-    ``loops``) two or three helices joined by bulges/internal loops
-    (thal's one- and two-defect structure classes).
-
-    ``inner_desc``: second coordinate decreases along the structure —
-    hairpin geometry.  Hairpin structures (loops model) additionally pay
-    the terminal-loop entropy of the innermost helix plus the loop-closure
-    terminal-mismatch term (TMM_DS) and rank by the monomolecular Tm.
-    Returns (dh[C], ds[C]) of the max-Tm structure per candidate (0,0 when
-    none); with ``end_i`` (per-candidate or scalar), only structures whose
-    3'-most helix ends at ``end_i`` qualify (SELF_END anchoring)."""
+    Returns (dh[C], ds[C]) of the best run per candidate (0,0 when none);
+    with ``end_i`` (per-candidate or scalar), only runs ending at
+    ``end_i`` qualify (SELF_END anchoring)."""
+    assert not loops, "loops=True is handled by chain.duplex/hairpin_structures"
     zeros = (np.zeros(C), np.zeros(C))
     if runs is None:
         return zeros
-    is_hairpin = inner_desc and loops
-    rank_tm = _neg_dg37 if is_hairpin else _tm_of
     dense = runs.get("_dense")  # ANY and END share one densify pass
     if dense is None:
         nr = runs["dh"].shape[0]
@@ -443,119 +442,21 @@ def _best_structures(runs, C, inner_desc, end_i=None, loops=True):
         valid[cc, rk] = True
         runs["_dense"] = dense = (dh, ds, ln, i0, i1, k0, k1, valid)
     dh, ds, ln, i0, i1, k0, k1, valid = dense
-    R = _TOP_R
 
     if end_i is not None:
         end_i = np.broadcast_to(np.asarray(end_i), (C,))
 
-    # hairpin structures pay the terminal loop of their INNERMOST helix
-    # (gap between the stem's inner ends) plus the loop-closure terminal
-    # mismatch; duplex structures pay neither
-    if is_hairpin:
-        tloop = np.clip(k1 - i1 - 1, 3, _MAX_LOOP)
-        # a 3-nt terminal loop has no room for a stacked terminal mismatch
-        ds_term = _HAIRPIN_DS[tloop] + np.where(tloop > 3, TMM_DS, 0.0)
-    else:
-        ds_term = np.zeros_like(dh)
-
-    # single-helix structures (len >= 3); ranked by Tm in the loop-aware
-    # model, by most-negative ΔH in the stack-only oracle model
+    # single-helix runs (len >= 3), ranked by most-negative ΔH
     s_ok = valid & (ln >= 3) & (dh < 0)
     if end_i is not None:
         s_ok &= i1 == end_i[:, None]
-    ds_s = ds + ds_term if loops else ds
-    s_tm = np.where(s_ok, rank_tm(dh, ds_s) if loops else -dh, -np.inf)
+    s_tm = np.where(s_ok, -dh, -np.inf)
 
-    best_dh = np.zeros(C)
-    best_ds = np.zeros(C)
-    best_tm = np.full(C, -np.inf)
     sb = np.argmax(s_tm, axis=1)
-    sb_tm = s_tm[np.arange(C), sb]
-    upd = sb_tm > best_tm
-    best_tm = np.where(upd, sb_tm, best_tm)
-    best_dh = np.where(upd, dh[np.arange(C), sb], best_dh)
-    best_ds = np.where(upd, ds_s[np.arange(C), sb], best_ds)
-
-    if loops:
-        # two helices (each len >= 2) joined by one bulge / internal loop;
-        # the second index is the inner helix
-        h_ok = valid & (ln >= 2)
-        i1e = i1[:, :, None]
-        i2s = i0[:, None, :]
-        if inner_desc:
-            gap2 = k1[:, :, None] - k0[:, None, :] - 1  # y decreases inward
-        else:
-            gap2 = k0[:, None, :] - k1[:, :, None] - 1
-        gap1 = i2s - i1e - 1
-        geom_ok = (h_ok[:, :, None] & h_ok[:, None, :]
-                   & (gap1 >= 0) & (gap2 >= 0) & ((gap1 + gap2) > 0))
-        size = np.clip(gap1 + gap2, 0, _MAX_LOOP)
-        is_bulge = (gap1 == 0) | (gap2 == 0)
-        ds_loop = np.where(is_bulge, _BULGE_DS[size], _INTERNAL_DS[size])
-        dh_c = dh[:, :, None] + dh[:, None, :]
-        ds_c = ds[:, :, None] + ds[:, None, :] + ds_loop + ds_term[:, None, :]
-        c_ok = geom_ok & (dh_c < 0)
-        if end_i is not None:
-            c_ok &= (i1[:, None, :] == end_i[:, None, None])
-        c_tm = np.where(c_ok, rank_tm(dh_c, ds_c), -np.inf)
-        c_flat = c_tm.reshape(C, R * R)
-        cb = np.argmax(c_flat, axis=1)
-        cb_tm = c_flat[np.arange(C), cb]
-        upd = cb_tm > best_tm
-        best_tm = np.where(upd, cb_tm, best_tm)
-        best_dh = np.where(upd, dh_c.reshape(C, R * R)[np.arange(C), cb],
-                           best_dh)
-        best_ds = np.where(upd, ds_c.reshape(C, R * R)[np.arange(C), cb],
-                           best_ds)
-
-        # three helices / two defects (thal's next structure class,
-        # VERDICT r2 ask #3), over the strongest few runs per candidate
-        R3 = min(_TOP_R3, R)
-        if R3 >= 3:
-            sl = slice(None, R3)
-            dh3, ds3, i0_3, i1_3 = dh[:, sl], ds[:, sl], i0[:, sl], i1[:, sl]
-            k0_3, k1_3 = k0[:, sl], k1[:, sl]
-            h3 = (valid & (ln >= 2))[:, sl]
-            dst3 = ds_term[:, sl]
-
-            def pair_geom():
-                """(ok, loop ΔS) for helix (axis 1, outer) -> helix
-                (axis 2, inner): shape (C, R3, R3)."""
-                g1 = i0_3[:, None, :] - i1_3[:, :, None] - 1
-                if inner_desc:
-                    g2 = k1_3[:, :, None] - k0_3[:, None, :] - 1
-                else:
-                    g2 = k0_3[:, None, :] - k1_3[:, :, None] - 1
-                ok = (g1 >= 0) & (g2 >= 0) & ((g1 + g2) > 0)
-                sz = np.clip(g1 + g2, 0, _MAX_LOOP)
-                bulge = (g1 == 0) | (g2 == 0)
-                return ok, np.where(bulge, _BULGE_DS[sz], _INTERNAL_DS[sz])
-
-            # the same (outer, inner) pair table serves both joins
-            ok_ab, ds_ab = pair_geom()
-            ok_bc, ds_bc = ok_ab, ds_ab
-            geom3 = (h3[:, :, None, None] & h3[:, None, :, None]
-                     & h3[:, None, None, :]
-                     & ok_ab[:, :, :, None] & ok_bc[:, None, :, :])
-            dh_t = (dh3[:, :, None, None] + dh3[:, None, :, None]
-                    + dh3[:, None, None, :])
-            ds_t = (ds3[:, :, None, None] + ds3[:, None, :, None]
-                    + ds3[:, None, None, :] + ds_ab[:, :, :, None]
-                    + ds_bc[:, None, :, :] + dst3[:, None, None, :])
-            t_ok = geom3 & (dh_t < 0)
-            if end_i is not None:
-                t_ok &= (i1_3[:, None, None, :]
-                         == end_i[:, None, None, None])
-            t_tm = np.where(t_ok, rank_tm(dh_t, ds_t), -np.inf)
-            t_flat = t_tm.reshape(C, R3 ** 3)
-            tb = np.argmax(t_flat, axis=1)
-            tb_tm = t_flat[np.arange(C), tb]
-            upd = tb_tm > best_tm
-            best_tm = np.where(upd, tb_tm, best_tm)
-            best_dh = np.where(
-                upd, dh_t.reshape(C, R3 ** 3)[np.arange(C), tb], best_dh)
-            best_ds = np.where(
-                upd, ds_t.reshape(C, R3 ** 3)[np.arange(C), tb], best_ds)
+    rows = np.arange(C)
+    best_tm = s_tm[rows, sb]
+    best_dh = dh[rows, sb]
+    best_ds = ds[rows, sb]
 
     none = ~np.isfinite(best_tm)
     return np.where(none, 0.0, best_dh), np.where(none, 0.0, best_ds)
@@ -566,12 +467,13 @@ def batch_self_screens(seqs, loops=True):
     one numpy pass, amortizing per-call overhead across the whole
     candidate shortlist.
 
-    ``loops=True`` (default): structures are single helices OR two helices
-    joined by one bulge/internal loop scored with the SantaLucia loop
-    tables, selected by melting temperature — the dominant defect class of
-    libprimer3's thal alignment (the reference's engine,
-    Amplicon.py:143-151).  ``loops=False`` reproduces the stack-only model
-    (the scalar oracle)."""
+    ``loops=True`` (default): structures are ANY number of helices joined
+    by bulges/internal loops scored with the SantaLucia loop tables,
+    searched exhaustively by the chain DP (chain.py) and selected by
+    melting temperature — the structure grammar of libprimer3's thal
+    alignment (the reference's engine, Amplicon.py:143-151).
+    ``loops=False`` reproduces the stack-only model (the scalar
+    oracle)."""
     C = len(seqs)
     if C == 0:
         return []
@@ -602,9 +504,14 @@ def batch_self_screens(seqs, loops=True):
     bflat = both.reshape(C, L * L)[:, order].ravel()
     runs = _collect_runs(flat, bflat, dh_row, ds_row,
                          dkey, ikey, ikey - dkey, C, L * L)
-    any_dh, any_ds = _best_structures(runs, C, inner_desc=False, loops=loops)
-    end_dh, end_ds = _best_structures(runs, C, inner_desc=False,
-                                      end_i=lens - 1, loops=loops)
+    if loops:
+        any_dh, any_ds, end_dh, end_ds = chain.duplex_structures(
+            runs, C, end_i=lens - 1)
+    else:
+        any_dh, any_ds = _best_structures(runs, C, inner_desc=False,
+                                          loops=False)
+        end_dh, end_ds = _best_structures(runs, C, inner_desc=False,
+                                          end_i=lens - 1, loops=False)
 
     # hairpin (self matrix, anti-diagonal stems, terminal loop >= 3)
     yy = np.arange(L)
@@ -617,7 +524,11 @@ def batch_self_screens(seqs, loops=True):
     hbflat = hboth.reshape(C, L * L)[:, horder].ravel()
     hruns = _collect_runs(hflat, hbflat, dh_row, ds_row,
                           qkey, xkey, qkey - xkey, C, L * L)
-    hp_dh, hp_ds = _best_structures(hruns, C, inner_desc=True, loops=loops)
+    if loops:
+        hp_dh, hp_ds = chain.hairpin_structures(hruns, C)
+    else:
+        hp_dh, hp_ds = _best_structures(hruns, C, inner_desc=True,
+                                        loops=False)
 
     hp_tm = hairpin_gate_tm if loops else duplex_tm
     return [(round(duplex_tm(any_dh[ci], any_ds[ci]), 5),
@@ -678,8 +589,7 @@ def self_end_th(seq: str, loops=True) -> float:
 def pair_screens_batch(pairs, loops=True):
     """[(PAIR_COMPL_ANY_TH, PAIR_COMPL_END_TH)] for a batch of primer
     pairs in one numpy pass, under the same structure model as the self
-    screens (single helix or two helices joined by one bulge/internal
-    loop when ``loops``).
+    screens (exhaustive helix-chain search when ``loops``).
 
     Padding keeps every real cell's (i, k) coordinates: s1 pads at its 3'
     end, the reversed s2 pads past its end, and pad code 4 never
@@ -716,10 +626,14 @@ def pair_screens_batch(pairs, loops=True):
     bflat = both.reshape(C, L1 * L2)[:, order].ravel()
     runs = _collect_runs(flat, bflat, dh_row, ds_row,
                          dkey, ikey, ikey - dkey, C, L1 * L2)
-    any_dh, any_ds = _best_structures(runs, C, inner_desc=False,
-                                      loops=loops)
-    end_dh, end_ds = _best_structures(runs, C, inner_desc=False,
-                                      end_i=a_lens - 1, loops=loops)
+    if loops:
+        any_dh, any_ds, end_dh, end_ds = chain.duplex_structures(
+            runs, C, end_i=a_lens - 1)
+    else:
+        any_dh, any_ds = _best_structures(runs, C, inner_desc=False,
+                                          loops=False)
+        end_dh, end_ds = _best_structures(runs, C, inner_desc=False,
+                                          end_i=a_lens - 1, loops=False)
     return [(0.0, 0.0) if not ok[ci]
             else (round(duplex_tm(any_dh[ci], any_ds[ci]), 5),
                   round(duplex_tm(end_dh[ci], end_ds[ci]), 5))
@@ -728,8 +642,8 @@ def pair_screens_batch(pairs, loops=True):
 
 def pair_screens(s1: str, s2: str, loops=True):
     """(PAIR_COMPL_ANY_TH, PAIR_COMPL_END_TH) for a primer pair under the
-    same structure model as the self screens (single helix or two helices
-    joined by one bulge/internal loop when ``loops``)."""
+    same structure model as the self screens (exhaustive helix-chain
+    search when ``loops``)."""
     return pair_screens_batch([(s1, s2)], loops=loops)[0]
 
 
@@ -742,8 +656,8 @@ def pair_end_th(seq1: str, seq2: str, loops=True) -> float:
 
 
 def hairpin_th(seq: str, loops=True) -> float:
-    """Best hairpin Tm: stem helix (or, with ``loops``, two stems joined
-    by one interior bulge/loop) with a terminal loop of >= 3 bases."""
+    """Best hairpin Tm: any number of stem helices joined by interior
+    bulges/loops (exhaustive with ``loops``), terminal loop >= 3 bases."""
     return batch_self_screens([seq], loops=loops)[0][2]
 
 
