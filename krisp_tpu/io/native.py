@@ -9,16 +9,14 @@ or zlib headers are unavailable.
 from __future__ import annotations
 
 import ctypes
-import subprocess
 import threading
 from pathlib import Path
 
 import numpy as np
 
-_REPO = Path(__file__).resolve().parent.parent.parent
-_SRC = _REPO / "csrc" / "fastaio.cpp"
-_LIB_DIR = Path(__file__).resolve().parent / "_native"
-_LIB = _LIB_DIR / "libkrispio.so"
+from ..nativebuild import load_native
+
+_LIB = Path(__file__).resolve().parent / "_native" / "libkrispio.so"
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
@@ -30,17 +28,6 @@ class _KBuf(ctypes.Structure):
                 ("n_records", ctypes.c_size_t)]
 
 
-def _build() -> bool:
-    _LIB_DIR.mkdir(exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC),
-           "-lz", "-o", str(_LIB)]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, timeout=120)
-        return proc.returncode == 0
-    except (OSError, subprocess.TimeoutExpired):
-        return False
-
-
 def get_lib():
     """Load (building if needed) the native library, or None."""
     global _lib, _build_failed
@@ -49,13 +36,8 @@ def get_lib():
             return _lib
         if _build_failed:
             return None
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _build():
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(str(_LIB))
-        except OSError:
+        lib = load_native("fastaio.cpp", _LIB, extra_flags=["-lz"])
+        if lib is None:
             _build_failed = True
             return None
         lib.kfasta_read.restype = ctypes.POINTER(_KBuf)

@@ -8,16 +8,14 @@ GB-scale input path for whole-genome VCF scans.
 from __future__ import annotations
 
 import ctypes
-import subprocess
 import threading
 from pathlib import Path
 
 import numpy as np
 
-_REPO = Path(__file__).resolve().parent.parent.parent
-_SRC = _REPO / "csrc" / "vcfio.cpp"
-_LIB_DIR = Path(__file__).resolve().parent / "_native"
-_LIB = _LIB_DIR / "libkrispvcf.so"
+from ..nativebuild import load_native
+
+_LIB = Path(__file__).resolve().parent / "_native" / "libkrispvcf.so"
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
@@ -65,17 +63,6 @@ class _KIdx(ctypes.Structure):
     ]
 
 
-def _build() -> bool:
-    _LIB_DIR.mkdir(exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-           str(_SRC), "-lz", "-o", str(_LIB)]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, timeout=120)
-        return proc.returncode == 0
-    except (OSError, subprocess.TimeoutExpired):
-        return False
-
-
 def get_lib():
     global _lib, _build_failed
     with _lock:
@@ -83,13 +70,8 @@ def get_lib():
             return _lib
         if _build_failed:
             return None
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _build():
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(str(_LIB))
-        except OSError:
+        lib = load_native("vcfio.cpp", _LIB, extra_flags=["-pthread", "-lz"])
+        if lib is None:
             _build_failed = True
             return None
         lib.kvcf_read.restype = ctypes.POINTER(_KVcf)

@@ -19,16 +19,14 @@ from __future__ import annotations
 import ctypes
 import math
 import os
-import subprocess
 import threading
 from pathlib import Path
 
 import numpy as np
 
-_REPO = Path(__file__).resolve().parent.parent.parent
-_SRC = _REPO / "csrc" / "thermochain.cpp"
-_LIB_DIR = Path(__file__).resolve().parent / "_native"
-_LIB = _LIB_DIR / "libkrispthermo.so"
+from ..nativebuild import load_native
+
+_LIB = Path(__file__).resolve().parent / "_native" / "libkrispthermo.so"
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
@@ -36,17 +34,6 @@ _build_failed = False
 _F64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 _I32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _I64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-
-
-def _build() -> bool:
-    _LIB_DIR.mkdir(exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC),
-           "-o", str(_LIB)]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, timeout=120)
-        return proc.returncode == 0
-    except (OSError, subprocess.TimeoutExpired):
-        return False
 
 
 def get_lib():
@@ -59,13 +46,8 @@ def get_lib():
             return _lib
         if _build_failed:
             return None
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _build():
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(str(_LIB))
-        except OSError:
+        lib = load_native("thermochain.cpp", _LIB)
+        if lib is None:
             _build_failed = True
             return None
         fn = lib.krisp_thermo_chain
