@@ -58,7 +58,7 @@ extern "C" int krisp_thermo_chain(
     double tmm_ds,    // loop-closure terminal-mismatch dS (loops > 3 nt)
     double t37,       // 310.15 K
     double salt_ds,   // 0.368 * ln(salt): dS salt correction
-    double dconst,    // salt_ds + R * ln(c/4): duplex Tm denominator shift
+    double rlogc,     // R * ln(c/4): duplex Tm concentration term
     double* out       // [n_cand*4]: any_dh, any_ds, end_dh, end_ds
 ) {
   std::vector<int> order;
@@ -122,7 +122,9 @@ extern "C" int krisp_thermo_chain(
           rank = -(e.dh * 1000.0 - t37 * (ds_tot + salt_ds));
         } else {
           if (e.ds >= 0) continue;  // nn._tm_of's guard on the raw dS
-          rank = e.dh * 1000.0 / (ds_tot + dconst);
+          // associate exactly as nn._tm_of: (ds + salt) + R*ln(c/4),
+          // minus 273.15, so native and Python rank bit-identically
+          rank = e.dh * 1000.0 / ((ds_tot + salt_ds) + rlogc) - 273.15;
         }
         if (rank > best_any) {
           best_any = rank;

@@ -60,7 +60,7 @@ def get_lib():
             ctypes.c_void_p,                         # end_i (or NULL)
             _F64, _F64, _F64, ctypes.c_int32,        # loop tables, max_loop
             ctypes.c_double, ctypes.c_double,        # tmm_ds, t37
-            ctypes.c_double, ctypes.c_double,        # salt_ds, dconst
+            ctypes.c_double, ctypes.c_double,        # salt_ds, rlogc
             _F64,                                    # out
         ]
         _lib = lib
@@ -70,8 +70,8 @@ def get_lib():
 def _consts():
     from . import nn
     salt_ds = 0.368 * math.log(nn.effective_monovalent() / 1000.0)
-    dconst = salt_ds + nn.R_GAS * math.log(50.0 * 1e-9 / 4.0)
-    return nn, salt_ds, dconst
+    rlogc = nn.R_GAS * math.log(50.0 * 1e-9 / 4.0)
+    return nn, salt_ds, rlogc
 
 
 def _solve(runs, C, inner_desc, hairpin, end_i):
@@ -92,7 +92,7 @@ def _solve(runs, C, inner_desc, hairpin, end_i):
     if end_i is not None:
         end_i = np.ascontiguousarray(
             np.broadcast_to(np.asarray(end_i), (C,)).astype(np.int32))
-    nn, salt_ds, dconst = _consts()
+    nn, salt_ds, rlogc = _consts()
     lib = get_lib()
     if lib is None:
         return _solve_py(offsets, cols, dh, ds, C, inner_desc, hairpin,
@@ -102,7 +102,7 @@ def _solve(runs, C, inner_desc, hairpin, end_i):
         cols["len"], dh, ds, int(inner_desc), int(hairpin),
         None if end_i is None else end_i.ctypes.data_as(ctypes.c_void_p),
         nn._BULGE_DS, nn._INTERNAL_DS, nn._HAIRPIN_DS, nn._MAX_LOOP,
-        nn.TMM_DS, nn._T37, salt_ds, dconst, out.reshape(-1))
+        nn.TMM_DS, nn._T37, salt_ds, rlogc, out.reshape(-1))
     return out
 
 
