@@ -82,6 +82,51 @@ class _Span:
             yield self._ring[j]
 
 
+def _consensus_tokens(var, group, annotate):
+    """Tokens a variant splices into the assembled sequence.
+
+    Case encodes diagnosticity (upper = allele diagnostic for ``group``);
+    annotate mode emits one ``allele+count`` summary token at diagnostic
+    sites, <>-wrapped when diagnostic for this group.  Token values are
+    byte-visible output (reference: the replacement arm of
+    krisp_vcf.py:404-436)."""
+    if group is None:
+        rep = var.variant.ref
+    else:
+        counts = var.allele_counts[group]
+        diag_here = var.diagnostic[group] is not None
+        if annotate and any(d is not None for d in var.diagnostic.values()):
+            rep = ";".join(f"{a}{n}" for a, n in counts.items())
+            if diag_here:
+                rep = f"<{rep}>"
+        else:
+            rep = (collapse_to_iupac(counts.keys()) if counts
+                   else "N" * var.variant.rlen)
+            rep = rep.upper() if (annotate or diag_here) else rep.lower()
+    return [rep] if annotate else list(rep)
+
+
+def _apply_splices(base, cuts):
+    """Assemble ``base`` tokens with each [rs, re) range replaced by its
+    cut's tokens.  Cuts arrive ordered by reference end; disjoint cuts
+    (the normal case) assemble left-to-right in one pass.  Overlapping
+    loci keep right-fold semantics — each cut, in descending end order,
+    splices at the previous assembly's token indices — which is what the
+    byte-goldens pin."""
+    if all(a[1] <= b[0] for a, b in zip(cuts, cuts[1:])):
+        out, tail = [], 0
+        for rs, re_, tokens in cuts:
+            out += base[tail:rs]
+            out += tokens
+            tail = re_
+        out += base[tail:]
+        return out
+    out = base
+    for rs, re_, tokens in reversed(cuts):
+        out = out[:rs] + tokens + out[re_:]
+    return out
+
+
 def group_span(variants, group) -> int:
     """Group-coordinate length of the reference interval covered by
     ``variants``: the span of the union of their reference loci, plus each
@@ -206,75 +251,67 @@ class VariantWindow:
             self._frozen = cache = (all_vars, starts, ends)
         return cache
 
-    def sequence(self, reference, start, end, group=None, annotate=False):
-        """Infer the group consensus over reference coords [start, end]
-        (0-based inclusive), applying variants in reverse sorted order."""
+    def _vars_touching(self, start, end):
+        """Context variants whose reference locus starts or ends inside
+        [start, end], in context order (behind-nearest-first, in-window,
+        ahead)."""
         frozen = self._frozen_arrays()
         if frozen is not None:
-            # identical selection predicate, vectorized over the cached
-            # position arrays (the cascade tail calls sequence() several
-            # times per candidate window with the same variant set)
+            # cached position arrays: the cascade tail calls sequence()
+            # several times per candidate window with the same variant set
             all_vars, starts_a, ends_a = frozen
             mask = (((start <= ends_a) & (ends_a <= end))
                     | ((start <= starts_a) & (starts_a <= end)))
-            in_range = [all_vars[i] for i in mask.nonzero()[0]]
-        else:
-            all_vars = (list(self.downstream) + list(self.variants)
-                        + list(self.upstream))
-            v_starts = [v.variant.pos - 1 for v in all_vars]
-            v_ends = [v.variant.pos + v.variant.rlen - 2 for v in all_vars]
-            in_range = [v for v, vs, ve in zip(all_vars, v_starts, v_ends)
-                        if start <= ve <= end or start <= vs <= end]
+            return [all_vars[i] for i in mask.nonzero()[0]]
+        hits = []
+        for v in (*self.downstream, *self.variants, *self.upstream):
+            lo = v.variant.pos - 1
+            hi = lo + v.variant.rlen - 1
+            if start <= hi <= end or start <= lo <= end:
+                hits.append(v)
+        return hits
 
-        if len({v.variant.chrom for v in in_range}) > 1:
+    def _splice_plan(self, start, end, group, annotate):
+        """(cuts, chrom, pad_start, pad_end) for ``sequence``.
+
+        Each cut is ``(rs, re, tokens)`` in token coordinates local to the
+        padded slice [pad_start, pad_end]: drop base[rs:re], insert
+        ``tokens``.  Cuts are ordered by reference end (stable), the order
+        the byte-goldens pin for coincident loci."""
+        sel = self._vars_touching(start, end)
+        if len({v.variant.chrom for v in sel}) > 1:
             raise ValueError("Variants cannot span multiple chromosomes")
         chrom = self.variants[-1].variant.chrom
+        if not sel:
+            return [], chrom, start, end
+        loci = [(v.variant.pos - 1, v.variant.pos + v.variant.rlen - 2)
+                for v in sel]
+        pad_start = min(start, min(lo for lo, _ in loci))
+        pad_end = max(end, max(hi for _, hi in loci))
+        order = sorted(range(len(sel)), key=lambda i: loci[i][1])
+        cuts = []
+        for i in order:
+            rs = loci[i][0] - pad_start
+            cuts.append((rs, rs + len(sel[i].variant.ref),
+                         _consensus_tokens(sel[i], group, annotate)))
+        return cuts, chrom, pad_start, pad_end
 
-        if not in_range:
-            return list(self._ref_slice(reference, chrom, start, end + 1).lower())
-
-        v_starts = [v.variant.pos - 1 for v in in_range]
-        v_ends = [s + v.variant.rlen - 1 for v, s in zip(in_range, v_starts)]
-        in_range = [x for _, x in sorted(zip(v_ends, in_range),
-                                         key=lambda p: p[0])]
-
-        seq_start = min(v_starts + [start])
-        seq_end = max(v_ends + [end])
-        out = list(self._ref_slice(reference, chrom, seq_start, seq_end + 1).lower())
-
-        for var in reversed(in_range):
-            rep_start = var.variant.pos - 1 - seq_start
-            rep_end = rep_start + len(var.variant.ref)
-            is_diag_site = any(x is not None for x in var.diagnostic.values())
-            if group is None:
-                replacement = var.variant.ref
-            else:
-                is_diag_for_group = var.diagnostic[group] is not None
-                alleles = var.allele_counts[group]
-                if len(alleles) == 0:
-                    consensus = "N" * var.variant.rlen
-                else:
-                    consensus = collapse_to_iupac(alleles.keys())
-                if annotate:
-                    if is_diag_site:
-                        replacement = ";".join(k + str(v)
-                                               for k, v in alleles.items())
-                        if is_diag_for_group:
-                            replacement = "<" + replacement + ">"
-                    else:
-                        replacement = consensus.upper()
-                else:
-                    replacement = (consensus.upper() if is_diag_for_group
-                                   else consensus.lower())
-            if annotate:
-                out = out[:rep_start] + [replacement] + out[rep_end:]
-            else:
-                out = out[:rep_start] + list(replacement) + out[rep_end:]
-
-        if seq_end > end:
-            out = out[:len(out) - (seq_end - end)]
-        if seq_start < start:
-            out = out[start - seq_start:]
+    def sequence(self, reference, start, end, group=None, annotate=False):
+        """Group-consensus tokens over reference coords [start, end]
+        (0-based inclusive): a splice plan over the context variants,
+        assembled onto the lowercased reference slice, margins trimmed
+        back to the requested range.  Token-for-token parity with the
+        reference's GroupedRegion.sequence() (krisp_vcf.py:359-443) is
+        pinned by the golden scan tests."""
+        cuts, chrom, pad_start, pad_end = self._splice_plan(
+            start, end, group, annotate)
+        base = list(self._ref_slice(reference, chrom,
+                                    pad_start, pad_end + 1).lower())
+        out = _apply_splices(base, cuts)
+        if pad_end > end:
+            del out[len(out) - (pad_end - end):]
+        if pad_start < start:
+            del out[:start - pad_start]
         return out
 
     @staticmethod
@@ -288,59 +325,80 @@ class VariantWindow:
     #: coordinate transform never touches variant objects
     _coords = None
 
-    def ref_pos_from_group_offset(self, ref_pos, offset):
+    def _context_coords(self):
+        """(pos 1-based, group allele-length delta) arrays over the
+        window's context variants in ascending order; cached only on
+        frozen windows (live sliding windows mutate under the caller)."""
         if self._coords is not None:
-            import numpy as np
-            pos_arr, delta_arr = self._coords
-            d = (pos_arr - 1) - ref_pos
-            add = np.where(d >= 0, delta_arr, 0)
-            off_before = np.cumsum(add) - add
-            stop = d + off_before >= offset
-            if stop.any():
-                off = off_before[np.argmax(stop)]
-            else:
-                off = off_before[-1] + add[-1] if add.size else 0
-            return int(ref_pos + offset - off)
-        ref_diff_offset = 0
-        for v in (list(reversed(self.downstream)) + list(self.variants)
-                  + list(self.upstream)):
-            var_pos_diff = v.variant.pos - 1 - ref_pos
-            if var_pos_diff + ref_diff_offset >= offset:
-                break
-            if var_pos_diff >= 0:
-                group_len = v.max_allele_len(self.group)
-                ref_diff_offset += group_len - len(v.variant.ref)
-        return ref_pos + offset - ref_diff_offset
+            return self._coords
+        import numpy as np
+        ctx = (list(reversed(self.downstream)) + list(self.variants)
+               + list(self.upstream))
+        n = len(ctx)
+        coords = (
+            np.fromiter((v.variant.pos for v in ctx), np.int64, n),
+            np.fromiter(
+                (v.max_allele_len(self.group) - len(v.variant.ref)
+                 for v in ctx), np.int64, n),
+        )
+        if getattr(self, "_frozen", None):
+            self._coords = coords
+        return coords
+
+    def ref_pos_from_group_offset(self, ref_pos, offset):
+        """Reference position ``offset`` group-coordinate bases past
+        ``ref_pos``: group coordinates drift from reference ones by the
+        cumulative allele-length delta of the variants in between, so the
+        answer is ref_pos + offset minus the drift accumulated before the
+        first context position whose group offset reaches ``offset``
+        (reference semantics: krisp_vcf.py:467-479)."""
+        import numpy as np
+        pos_arr, delta_arr = self._context_coords()
+        d = (pos_arr - 1) - ref_pos
+        add = np.where(d >= 0, delta_arr, 0)
+        off_before = np.cumsum(add) - add
+        stop = d + off_before >= offset
+        if stop.any():
+            off = off_before[np.argmax(stop)]
+        else:
+            off = off_before[-1] + add[-1] if add.size else 0
+        return int(ref_pos + offset - off)
 
 
 def consv_border_n(group, border_var, nearby_vars, max_offset):
-    """Max adjacent conserved run in ref and group coordinates
-    (parity: krisp_vcf.py:579-609)."""
-    # deques index and iterate directly; only materialize other iterables
+    """Adjacent conserved run next to ``border_var``, in reference and
+    group coordinates, capped at ``max_offset`` group bases.
+
+    Array formulation: per nearby variant, its reference-coordinate gap
+    to the border and the allele-length drift accumulated before it; the
+    run ends at the first variant that crosses the cap in group
+    coordinates or is not conserved in ``group``, else spans the whole
+    neighborhood (reference semantics: krisp_vcf.py:579-609)."""
+    import numpy as np
     nearby = (nearby_vars if hasattr(nearby_vars, "__getitem__")
               else list(nearby_vars))
-    if nearby and border_var.variant.pos < nearby[0].variant.pos:
-        ref_diff_offset = (border_var.max_allele_len(group)
-                           - len(border_var.variant.ref))
-    else:
-        ref_diff_offset = 0
-    ref_diff = 0
-    for nv in nearby:
-        group_len = nv.max_allele_len(group)
-        ref_len = len(nv.variant.ref)
-        ref_start = nv.variant.pos
-        ref_end = ref_start + ref_len - 1
-        if border_var.variant.pos <= ref_start:
-            ref_diff = ref_start - border_var.variant.pos
-        else:
-            ref_diff = border_var.variant.pos - ref_end
-        if ref_diff + ref_diff_offset >= max_offset:
-            return {"ref": max_offset - ref_diff_offset, "group": max_offset}
-        if nv.conserved[group] is None:
-            return {"ref": ref_diff - 1,
-                    "group": ref_diff + ref_diff_offset - 1}
-        ref_diff_offset += group_len - ref_len
-    return {"ref": ref_diff - ref_diff_offset, "group": ref_diff}
+    n = len(nearby)
+    if n == 0:
+        return {"ref": 0, "group": 0}
+    bp = border_var.variant.pos
+    init = (border_var.max_allele_len(group) - len(border_var.variant.ref)
+            if bp < nearby[0].variant.pos else 0)
+    pos = np.fromiter((v.variant.pos for v in nearby), np.int64, n)
+    rlen = np.fromiter((len(v.variant.ref) for v in nearby), np.int64, n)
+    delta = np.fromiter((v.max_allele_len(group) for v in nearby),
+                        np.int64, n) - rlen
+    # gap: distance border -> variant start (border left of it) or
+    # variant end -> border (border right of it)
+    gap = np.where(bp <= pos, pos - bp, bp - (pos + rlen - 1))
+    drift = init + np.cumsum(delta) - delta  # drift before each variant
+    stop = (gap + drift >= max_offset) | np.fromiter(
+        (v.conserved[group] is None for v in nearby), bool, n)
+    if stop.any():
+        i = int(np.argmax(stop))
+        if gap[i] + drift[i] >= max_offset:
+            return {"ref": int(max_offset - drift[i]), "group": max_offset}
+        return {"ref": int(gap[i]) - 1, "group": int(gap[i] + drift[i]) - 1}
+    return {"ref": int(gap[-1] - init - delta.sum()), "group": int(gap[-1])}
 
 
 class DiagnosticRegion(VariantWindow):
