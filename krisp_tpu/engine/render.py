@@ -66,80 +66,117 @@ def simple_table(field_names, rows, align="l") -> str:
     return "\n".join(lines)
 
 
+def _stats_by_role(p3: dict) -> dict:
+    """Best-pair statistics keyed by role: ``{'LEFT': {stat: value}, …}``,
+    preserving p3 insertion order.  A key contributes when it has the
+    shape PRIMER_<role>_0_<stat>; bare position keys (PRIMER_LEFT_0) and
+    other indices do not."""
+    out = {"LEFT": {}, "RIGHT": {}, "PAIR": {}}
+    for key, val in p3.items():
+        role, sep, stat = key.removeprefix("PRIMER_").partition("_0_")
+        if sep and stat and role in out:
+            out[role][stat] = val
+    return out
+
+
+def _stat_name(stat: str) -> str:
+    return stat.title().replace("_", " ")
+
+
+def _stat_cell(value):
+    return str(round(value, 5)) if isinstance(value, float) else value
+
+
 def render_primer3_stats(p3: dict) -> str:
-    """Primer/pair statistics tables (parity: Amplicon.py:566-595)."""
-    left = {k[14:]: v for k, v in p3.items() if 'PRIMER_LEFT_0_' in k}
-    right = {k[15:]: v for k, v in p3.items() if 'PRIMER_RIGHT_0_' in k}
-    pair = {k[14:]: v for k, v in p3.items() if 'PRIMER_PAIR_0_' in k}
-
-    def names(keys):
-        return [x.title().replace('_', ' ') for x in keys]
-
-    def vals(values):
-        return [str(round(x, 5)) if isinstance(x, float) else x for x in values]
-
-    primer_tbl = simple_table(['Direction'] + names(left.keys()),
-                              [['Forward'] + vals(left.values()),
-                               ['Reverse'] + vals(right.values())])
-    pair_tbl = simple_table(names(pair.keys()), [vals(pair.values())])
-    return ('\nPrimer statistics:\n' + primer_tbl +
-            '\n\nPair statistics:\n' + pair_tbl)
+    """Primer/pair statistics tables.  Byte-format target:
+    Amplicon.py:566-595 (PrettyTable border=False; forward and reverse
+    stats share the forward row's column names positionally)."""
+    stats = _stats_by_role(p3)
+    primer_tbl = simple_table(
+        ["Direction", *map(_stat_name, stats["LEFT"])],
+        [["Forward", *map(_stat_cell, stats["LEFT"].values())],
+         ["Reverse", *map(_stat_cell, stats["RIGHT"].values())]])
+    pair_tbl = simple_table([*map(_stat_name, stats["PAIR"])],
+                            [[*map(_stat_cell, stats["PAIR"].values())]])
+    return ("\nPrimer statistics:\n" + primer_tbl
+            + "\n\nPair statistics:\n" + pair_tbl)
 
 
 def make_bracket(group: FlankGroup) -> str:
-    """`{--*--#}` diagnostic bracket under the alignment
-    (parity: Amplicon.py:523-540)."""
-    start = len(group.left)
-    end = start + len(group.amplicons[0].mid)
-    bracket = list(" " * (start - 1) + "{" + "-" * (end - start) + "}")
-    for d in group.diagnostic_columns():
-        bracket[start + d] = "*"
-    for d in group.ingroup_unique_columns():
-        bracket[start + d] = "#"
-    return "".join(bracket)
+    """`{--*--#}` diagnostic bracket under the alignment: one glyph per
+    column of the diagnostic window — ``{``/``}`` at the frame (the
+    ``{`` sits one column left of the window, a quirk the goldens pin),
+    ``*`` diagnostic, ``#`` ingroup-unique, ``-`` filler
+    (byte-format target: Amplicon.py:523-540)."""
+    lo = len(group.left)
+    width = len(group.amplicons[0].mid)
+    glyph = {-1: "{", width: "}"}
+    glyph.update((c, "*") for c in group.diagnostic_columns())
+    glyph.update((c, "#") for c in group.ingroup_unique_columns())
+    return " " * (lo - 1) + "".join(
+        glyph.get(c, "-") for c in range(-1, width + 1))
+
+
+def _amplicon_rows(group: FlankGroup) -> list:
+    """Alignment body rows: amplicons in label order; when an ingroup is
+    set, rows sharing a label with it float to the top (stable)."""
+    ranked = sorted(group.amplicons, key=lambda a: a.labels)
+    if group.ingroup is not None:
+        members = set(group.ingroup)
+        ranked = sorted(ranked, key=lambda a: not (set(a.labels) & members))
+    return [str(a) for a in ranked]
+
+
+def _dot_mask(rows: list, width: int) -> list:
+    """Replace bases matching the top row with '.' within the alignment
+    width; columns past the width (annotations) pass through."""
+    top = rows[0]
+    return [top] + [
+        "".join("." if row[c] == top[c] else row[c]
+                for c in range(width)) + row[width:]
+        for row in rows[1:]]
+
+
+def _primer_lane(p3: dict) -> str:
+    """`└─Forward─┘ … └─Reverse─┘` lane, each tag as wide as its primer
+    and starting at the primer's template position.  The inter-tag gap is
+    measured from the forward primer's length, not the tag width — for
+    primers shorter than the label the tag overflows rightward without
+    shifting the reverse tag (reference quirk, Amplicon.py:638-642)."""
+    def tag(word, seq):
+        return "└" + word.center(len(seq) - 2, "─") + "┘"
+
+    fwd_seq = p3["PRIMER_LEFT_0_SEQUENCE"]
+    fwd_at = p3["PRIMER_LEFT_0"][0]
+    rev_at = p3["PRIMER_RIGHT_0"][0] - p3["PRIMER_RIGHT_0"][1]
+    return (" " * fwd_at + tag("Forward", fwd_seq)
+            + " " * (rev_at - fwd_at - len(fwd_seq) + 1)
+            + tag("Reverse", p3["PRIMER_RIGHT_0_SEQUENCE"]))
+
+
+def _merge_lane(bottom: str, lane: str) -> str:
+    """Overlay the primer lane onto the bracket row: lane glyphs fill the
+    bracket's blank columns, bracket glyphs win elsewhere."""
+    padded = bottom.ljust(len(lane))
+    return "".join(l if b == " " else b for b, l in zip(padded, lane))
 
 
 def render_alignment(group: FlankGroup, enable_dot: bool = False) -> str:
-    """Human-readable alignment for one flank group
-    (parity: Amplicon.py:598-661)."""
-    rows = []
-    amps = sorted(group.amplicons, key=lambda a: a.labels)
-    if group.ingroup is not None:
-        in_rows = [str(a) for a in amps if set(a.labels) & set(group.ingroup)]
-        out_rows = [str(a) for a in amps if not (set(a.labels) & set(group.ingroup))]
-        rows = in_rows + out_rows
-    else:
-        rows = [str(a) for a in amps]
-
-    amp_len = len(group.amplicons[0].sequence)
+    """Human-readable alignment for one flank group: body rows, then
+    either a dot-masked body or the diagnostic bracket, then the primer
+    lane (a separate row in dot mode, merged into the bracket otherwise)
+    and the statistics tables (byte-format target: Amplicon.py:598-661)."""
+    rows = _amplicon_rows(group)
     if enable_dot:
-        top = rows[0]
-        masked = [top]
-        for row in rows[1:]:
-            chars = list(row)
-            for i in range(amp_len):
-                if top[i] == chars[i]:
-                    chars[i] = "."
-            masked.append("".join(chars))
-        rows = masked
+        rows = _dot_mask(rows, len(group.amplicons[0].sequence))
     else:
         rows.append(make_bracket(group))
-
     if group.p3 is not None:
-        fwd_seq = group.p3['PRIMER_LEFT_0_SEQUENCE']
-        rev_seq = group.p3['PRIMER_RIGHT_0_SEQUENCE']
-        fwd_start = group.p3['PRIMER_LEFT_0'][0]
-        rev_start = group.p3['PRIMER_RIGHT_0'][0] - group.p3['PRIMER_RIGHT_0'][1]
-        fwd_annot = '└' + 'Forward'.center(len(fwd_seq) - 2, '─') + '┘'
-        rev_annot = '└' + 'Reverse'.center(len(rev_seq) - 2, '─') + '┘'
-        text = (' ' * fwd_start + fwd_annot +
-                ' ' * (rev_start - fwd_start - len(fwd_seq) + 1) + rev_annot)
+        lane = _primer_lane(group.p3)
         if enable_dot:
-            rows.append(text)
+            rows.append(lane)
         else:
-            base = rows[-1].ljust(len(text))
-            rows[-1] = "".join(a if b == ' ' else b for b, a in zip(base, text))
+            rows[-1] = _merge_lane(rows[-1], lane)
         rows.append(render_primer3_stats(group.p3))
-
     rows[-1] += "\n"
     return "\n".join(rows)
