@@ -74,6 +74,7 @@ def run_ours(paths, left=LEFT, mid=MID, right=RIGHT, genome_size=None):
     # look stall-inflated and the tunnel is recovering.
     best = None
     groups = []
+    times = []
     reps, improved = 0, True
     deadline = time.monotonic() + 300
     while reps < 3 or (improved and reps < 8
@@ -83,11 +84,12 @@ def run_ours(paths, left=LEFT, mid=MID, right=RIGHT, genome_size=None):
         dt = time.perf_counter() - t0
         improved = best is None or dt < best * 0.9
         best = dt if best is None else min(best, dt)
+        times.append(dt)
         reps += 1
         print(f"  rep {reps}: {dt:.2f}s (best {best:.2f}s)",
               file=sys.stderr)
     n_keys = N_FILES * 2 * (genome_size - geom.total + 1)  # both strands
-    return n_keys, best, len(groups)
+    return n_keys, best, len(groups), times
 
 
 def run_reference(tmpdir: Path, left=LEFT, mid=MID, right=RIGHT):
@@ -155,10 +157,11 @@ def _vcf_scan_rate(records=100_000, samples=100):
 
         from krisp_tpu.thermo.design import clear_screen_memos
         scan()               # warm-up: compiles + columnar slice cache
-        clear_screen_memos()   # warm = code paths, not memoized answers
-        v1 = scan()
-        clear_screen_memos()
-        vps = max(v1, scan())
+        rates = []
+        for _ in range(3):
+            clear_screen_memos()   # warm = code paths, not memoized answers
+            rates.append(scan())
+        vps = max(rates)
     finally:
         idx.cleanup()
 
@@ -166,7 +169,7 @@ def _vcf_scan_rate(records=100_000, samples=100):
     data = json.loads(cache.read_text()) if cache.exists() else {}
     key = f"vcf_ref_variants_per_s_r{records}_s{samples}"
     ref_vps = data.get(key, 60.5)  # measured 2026-08 on this machine
-    return vps, ref_vps
+    return vps, ref_vps, rates
 
 
 def _kstream_rate(tmpdir: Path, k=28, size=2_000_000):
@@ -217,12 +220,12 @@ def _kstream_rate(tmpdir: Path, k=28, size=2_000_000):
     n = run_fast_kstream(paths[0], plan, _Sink())     # warm-up
     if n is None:
         raise RuntimeError("fast kstream fell back to the string pipeline")
-    best = None
-    for _ in range(3):
+    rates = []
+    for _ in range(5):
         t0 = time.perf_counter()
         run_fast_kstream(paths[0], plan, _Sink())
-        best = min(best or 1e9, time.perf_counter() - t0)
-    return n / best, ref_rate
+        rates.append(n / (time.perf_counter() - t0))
+    return max(rates), ref_rate, rates
 
 
 def _device_watchdog(timeout_s: float):
@@ -265,6 +268,18 @@ def _device_watchdog(timeout_s: float):
         os._exit(2)
 
 
+def _rate_samples(n_keys, times):
+    return [round(n_keys / t) for t in times]
+
+
+def _spread_pct(samples):
+    """(max-min) as a percentage of the best sample: the variance bar the
+    recorded protocol carries next to every best-of-N value."""
+    if len(samples) < 2:
+        return 0.0
+    return round(100.0 * (max(samples) - min(samples)) / max(samples), 1)
+
+
 def main():
     import tempfile
     from krisp_tpu.runtime import setup
@@ -274,14 +289,21 @@ def main():
         tmpdir = Path(td)
         ref_rate = baseline_rate(tmpdir)
         paths = synth_genomes(tmpdir, GENOME_SIZE)
-        n_keys, dt, n_groups = run_ours(paths)
+        n_keys, dt, n_groups, times = run_ours(paths)
         rate = n_keys / dt
+        variance = {"kmers_per_s_sort_intersect": {
+            "samples": _rate_samples(n_keys, times),
+            "spread_pct": _spread_pct(times)}}
 
         # amplicon mode (L=100, multi-word keys — SURVEY §7.4's hard part)
         amp_ref = baseline_rate(tmpdir, key="kmers_per_s_amplicon",
                                 left=AMP_LEFT, mid=AMP_MID, right=AMP_RIGHT)
-        amp_keys, amp_dt, _ = run_ours(paths, AMP_LEFT, AMP_MID, AMP_RIGHT)
+        amp_keys, amp_dt, _, amp_times = run_ours(paths, AMP_LEFT, AMP_MID,
+                                                  AMP_RIGHT)
         amp_rate = amp_keys / amp_dt
+        variance["amplicon_mode"] = {
+            "samples": _rate_samples(amp_keys, amp_times),
+            "spread_pct": _spread_pct(amp_times)}
 
         out = {
             "metric": "kmers_per_s_sort_intersect",
@@ -308,19 +330,26 @@ def main():
             # krisp_vcf vertical (informational): device scan rate on the
             # 100k-record x 100-sample synthetic VCF, vs the measured
             # reference scan rate (tools/bench_vcf_scaled.py methodology)
-            vps, ref_vps = _vcf_scan_rate()
+            vps, ref_vps, vcf_samples = _vcf_scan_rate()
             out["vcf_variants_per_s"] = round(vps)
             out["vcf_vs_reference"] = round(vps / ref_vps, 2)
+            variance["vcf_variants_per_s"] = {
+                "samples": [round(r) for r in vcf_samples],
+                "spread_pct": _spread_pct(vcf_samples)}
         except Exception as exc:
             print(f"vcf probe skipped: {exc!r}", file=sys.stderr)
         try:
             # kstream vertical (informational): device fast-path rate on a
             # 2 Mb FASTA vs the reference kstream CLI measured live
-            ks_rate, ks_ref = _kstream_rate(tmpdir)
+            ks_rate, ks_ref, ks_samples = _kstream_rate(tmpdir)
             out["kstream_kmers_per_s"] = round(ks_rate)
             out["kstream_vs_reference"] = round(ks_rate / ks_ref, 2)
+            variance["kstream_kmers_per_s"] = {
+                "samples": [round(r) for r in ks_samples],
+                "spread_pct": _spread_pct(ks_samples)}
         except Exception as exc:
             print(f"kstream probe skipped: {exc!r}", file=sys.stderr)
+        out["variance"] = variance
         if out["vs_baseline"] < 100:
             print(f"WARNING: vs_baseline {out['vs_baseline']} below the "
                   f"100x north star (BASELINE.json)", file=sys.stderr)
@@ -329,10 +358,12 @@ def main():
             (REPO / "BENCH_LASTGOOD.json").write_text(json.dumps(
                 {**out, "measured_at": time.strftime("%Y-%m-%d %H:%M UTC",
                                                      time.gmtime()),
-                 "note": ("single-run snapshot for the tunnel-outage "
-                          "fallback; run-to-run tunnel/host variance is "
-                          "large (BASELINE.md), so diffs against this file "
-                          "are not regressions by themselves")}) + "\n")
+                 "note": ("best-of-N snapshot for the tunnel-outage "
+                          "fallback; per-metric samples and spread_pct are "
+                          "under 'variance'. Run-to-run tunnel/host "
+                          "variance is large (BASELINE.md), so diffs "
+                          "against this file are not regressions by "
+                          "themselves")}) + "\n")
         except OSError:
             pass
         print(json.dumps(out))

@@ -89,6 +89,63 @@ def test_vcf_device_engine_matches_host(tmp_path):
     assert dev_align == host_align
 
 
+def test_vcf_full_file_golden(tmp_path):
+    """Whole-file scan (all 10k records, no --pos): the reference's
+    default workload shape (krisp_vcf.py:1378-1388)."""
+    csv = tmp_path / "out.csv"
+    align = tmp_path / "out.align.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "krisp_tpu.cli.krisp_vcf", META, REF_FASTA,
+         "--vcf", VCF, "--groups", "NA1", "NA2", "EU1",
+         "--out_csv", str(csv), "--out_align", str(align)],
+        capture_output=True, text=True, timeout=900,
+        env={"PYTHONHASHSEED": "0", "PYTHONPATH": "/root/repo",
+             "PATH": "/usr/bin:/bin", "COLUMNS": "80"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert csv.read_text() == (GOLD / "vcf_full.csv").read_text()
+    assert align.read_text() == (GOLD / "vcf_full.align.txt").read_text()
+
+
+def test_vcf_stdin_pipe_golden(tmp_path):
+    """VCF streamed over stdin (no --vcf: the reference's default source,
+    krisp_vcf.py:928-929) must produce the whole-file output byte-for-
+    byte — the reference oracle's stdin run equals its file run."""
+    import gzip
+    csv = tmp_path / "out.csv"
+    align = tmp_path / "out.align.txt"
+    with gzip.open(VCF, "rb") as fh:
+        vcf_text = fh.read()
+    proc = subprocess.run(
+        [sys.executable, "-m", "krisp_tpu.cli.krisp_vcf", META, REF_FASTA,
+         "--groups", "NA1", "NA2", "EU1",
+         "--out_csv", str(csv), "--out_align", str(align)],
+        input=vcf_text, capture_output=True, timeout=900,
+        env={"PYTHONHASHSEED": "0", "PYTHONPATH": "/root/repo",
+             "PATH": "/usr/bin:/bin", "COLUMNS": "80"})
+    assert proc.returncode == 0, proc.stderr[-2000:].decode()
+    assert csv.read_text() == (GOLD / "vcf_full.csv").read_text()
+    assert align.read_text() == (GOLD / "vcf_full.align.txt").read_text()
+
+
+def test_vcf_chroms_golden(tmp_path):
+    """--chroms contig selection combined with --pos — byte parity
+    against the reference oracle."""
+    csv = tmp_path / "out.csv"
+    align = tmp_path / "out.align.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "krisp_tpu.cli.krisp_vcf", META, REF_FASTA,
+         "--vcf", VCF, "--groups", "NA1", "NA2", "EU1",
+         "--chroms", "Phyram_PR-102_s0001", "--pos", "260000", "400000",
+         "--out_csv", str(csv), "--out_align", str(align)],
+        capture_output=True, text=True, timeout=600,
+        env={"PYTHONHASHSEED": "0", "PYTHONPATH": "/root/repo",
+             "PATH": "/usr/bin:/bin", "COLUMNS": "80"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert csv.read_text() == (GOLD / "vcf_chroms_260k_400k.csv").read_text()
+    assert align.read_text() == \
+        (GOLD / "vcf_chroms_260k_400k.align.txt").read_text()
+
+
 def test_vcf_custom_knobs_golden(tmp_path):
     """Non-default geometry/quality knobs (README.md:414-417 style) —
     byte parity against the reference oracle."""
