@@ -302,6 +302,65 @@ class TestPublishedStatsRow:
         assert out["PRIMER_PAIR_0_COMPL_ANY_TH"] == 0.0
         assert out["PRIMER_PAIR_0_COMPL_END_TH"] == 0.0
 
+    def test_right_primer_divergence_is_template_end_proximity(self):
+        """The one unexplained selection divergence, localized (r4).
+
+        Nine right-primer candidates beat libprimer3's published 25-mer
+        (penalty 6.43757) under the documented penalty formula, and every
+        computable screen passes all of them: Tm/GC windows, GC clamp,
+        end-GC, poly-X, product size, and the thermodynamic screens —
+        including probes under a grammar extended with single-mismatch
+        stacks and dangling ends, which leave every value far below the
+        40 C gate.  The pair screens cannot differ at all: every
+        candidate shares the published primer's 3' end (COMPL_END and
+        SELF_END anchor there), and the 5' extensions add no new
+        complementarity to the left primer.
+
+        What does separate them is geometry: every better candidate's
+        template span ends inside the final 3 bases of the 100-nt
+        template (97..99), while the chosen primer ends at 96.  The
+        exact mechanism is inside libprimer3's right-primer enumeration
+        or its thal scoring near the blunt template end, and is not
+        derivable from its documentation — verifying it needs the C
+        library, which this environment cannot build (PARITY.md).  This
+        test pins the fingerprint so a future environment with primer3
+        can settle it."""
+        import re
+        from krisp_tpu.thermo.design import design_primers
+        t = ("ACGCACAAGGACAAGTGCCACTAAACCAGCCAGCCCTGACGCAGATCATCCCGCGC"
+             "TTACTGACCAAGCTGCGAGAGTATCTTGTCGATGGGAACGATAG")
+        rc = str.maketrans("ACGT", "TGCA")
+        pub_pen = abs(nn.tm_santalucia(self.RIGHT) - 60.5) + 5  # 6.43757
+        better = []   # candidates strictly beating the published primer
+        for length in range(25, 36):
+            for a in range(70, len(t) - length + 1):
+                seq = t[a:a + length].translate(rc)[::-1]
+                tm = nn.tm_santalucia(seq)
+                pen = abs(tm - 60.5) + abs(length - 30)
+                if pen >= pub_pen:
+                    continue
+                # drop candidates any documented static screen rejects
+                # (both implementations agree on those)
+                if not (53 <= tm <= 68 and 40 <= nn.gc_percent(seq) <= 70
+                        and seq[-1] in "GC"                  # gc_clamp 1
+                        and sum(c in "GC" for c in seq[-5:]) <= 4
+                        and not re.search(r"(A{5,}|C{5,}|G{5,}|T{5,})", seq)
+                        and 70 <= (a + length - 1) - 3 + 1 <= 150):
+                    continue
+                # the survivors must also pass every thermodynamic screen
+                any_th, end_th, hp = nn.batch_self_screens([seq])[0]
+                assert any_th <= 40 and end_th <= 40 and hp <= 40, seq
+                better.append((pen, a, a + length - 1, seq))
+        assert len(better) == 9
+        # shared 3' end with the published primer (template position 72)
+        assert {b[1] for b in better} <= {70, 71, 72, 74}
+        # the fingerprint: every better candidate runs into the last 3
+        # template bases; the published 25-mer stops at 96
+        assert all(97 <= b[2] <= 99 for b in better)
+        # and our enumeration picks the best of them
+        out = design_primers(t, 30, 40, amp_size=(70, 150))
+        assert out["PRIMER_RIGHT_0_SEQUENCE"] == min(better)[3]
+
     def test_two_defect_structures_searched(self):
         # three helices joined by two defects: a hairpin whose best
         # structure needs two internal loops to assemble
