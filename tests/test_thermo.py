@@ -239,9 +239,10 @@ class TestPublishedStatsRow:
 
     LEFT = the published forward primer, RIGHT = the published reverse
     primer.  Exact unless stated; the one known gap is the left primer's
-    SELF_END_TH (thal: 2.14676 — a 2-bp 3' anchor whose value needs
-    thal's dangling-end parameters; we report 0.0, a 2.2 °C gap against a
-    40 °C gate).  See PARITY.md."""
+    SELF_END_TH (thal: 2.14676 — a long 3'-anchored quasi-helix threaded
+    through single mismatches, a structure class outside our grammar; we
+    report 0.0, a 2.2 °C gap against a 40 °C gate, diagnosed r4).  See
+    PARITY.md."""
 
     LEFT = "CACAAGGACAAGTGCCACTAAACCAG"
     RIGHT = "TCGTTCCCATCGACAAGATACTCTC"
