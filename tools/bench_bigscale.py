@@ -35,6 +35,10 @@ def main():
     tools_dir = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, os.path.dirname(tools_dir))  # repo root
     sys.path.insert(0, tools_dir)
+    # persistent compile cache: cold TPU compiles ride the (slow) remote
+    # tunnel, and this workload builds several large programs
+    from krisp_tpu.runtime import setup
+    setup()
     from make_bigscale_fasta import make_genomes
 
     gdir = os.path.join(args.dir, f"genomes_{args.size}")
