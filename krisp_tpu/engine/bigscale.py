@@ -148,7 +148,12 @@ def partitioned_global_intersect(parts, layout, n_files: int,
 
     out_w, out_c, out_g = [], [], []
     gid_base = 0
-    for bounds in all_bounds:
+    progress = os.environ.get("KRISP_TPU_PROGRESS") == "1"
+    for pass_no, bounds in enumerate(all_bounds):
+        if progress:
+            import sys as _sys
+            print(f"[bigscale] global pass {pass_no + 1}/{len(all_bounds)}",
+                  file=_sys.stderr, flush=True)
         w, c = _slice_range(parts, bounds)
         if w is None:
             continue
