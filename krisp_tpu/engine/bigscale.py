@@ -31,6 +31,7 @@ sharding (shared.py:133-207).
 from __future__ import annotations
 
 import os
+import sys
 
 import numpy as np
 
@@ -151,9 +152,8 @@ def partitioned_global_intersect(parts, layout, n_files: int,
     progress = os.environ.get("KRISP_TPU_PROGRESS") == "1"
     for pass_no, bounds in enumerate(all_bounds):
         if progress:
-            import sys as _sys
             print(f"[bigscale] global pass {pass_no + 1}/{len(all_bounds)}",
-                  file=_sys.stderr, flush=True)
+                  file=sys.stderr, flush=True)
         w, c = _slice_range(parts, bounds)
         if w is None:
             continue

@@ -42,19 +42,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_sort import LANES, _scalar_masks, _stage
+from .pallas_sort import LANES, _cmp_gt_lt, _scalar_masks, _stage
 
 _INF = jnp.uint32(0xFFFFFFFF)
 
 
 def _lex_lt(a_words, b_words):
-    """Lexicographic a < b over per-word uint32 arrays."""
-    V = len(a_words)
-    lt = a_words[0] < b_words[0]
-    eq = a_words[0] == b_words[0]
-    for w in range(1, V):
-        lt = lt | (eq & (a_words[w] < b_words[w]))
-        eq = eq & (a_words[w] == b_words[w])
+    """Lexicographic a < b over per-word uint32 arrays (the sort
+    kernel's comparator, so search and merge can never diverge)."""
+    _, lt = _cmp_gt_lt(a_words, b_words)
     return lt
 
 
@@ -181,12 +177,18 @@ def merge_sorted_words(A, B, interpret: bool = False, block_rows: int = 8):
 
     def a_map(which):
         def f(g, splits_ref):
-            return (0, splits_ref[g] // blk + which, 0)
+            # clamp: when a run is fully consumed its split sits at the
+            # last real block boundary and the halo index would run one
+            # past the padded array — an OOB block DMA on TPU (the
+            # fetched data is fully masked either way)
+            return (0, jnp.minimum(splits_ref[g] // blk + which, nblk_a),
+                    0)
         return f
 
     def b_map(which):
         def f(g, splits_ref):
-            return (0, (g * blk - splits_ref[g]) // blk + which, 0)
+            return (0, jnp.minimum((g * blk - splits_ref[g]) // blk
+                                   + which, nblk_b), 0)
         return f
 
     word_spec_a = [pl.BlockSpec((1, rows, LANES), a_map(w))
