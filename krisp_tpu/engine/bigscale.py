@@ -146,6 +146,16 @@ def partitioned_global_intersect(parts, layout, n_files: int,
     sizes = [sum(b - a for per_part in bounds for a, b in per_part)
              for bounds in all_bounds]
     pad = bucket_size(max(max(sizes), 1))
+    # KRISP_TPU_GLOBAL_PAD pins the padded pass size so the program can
+    # be pre-compiled (tools/precompile_global.py) and cache-hit here —
+    # today's remote compile service wedges on large fresh compiles
+    pinned = int(os.environ.get("KRISP_TPU_GLOBAL_PAD", 0))
+    if pinned:
+        if pinned < pad:
+            raise ValueError(
+                f"KRISP_TPU_GLOBAL_PAD={pinned} below required pass size "
+                f"{pad}; raise the pad or lower KRISP_TPU_GLOBAL_ROWS")
+        pad = pinned
 
     out_w, out_c, out_g = [], [], []
     gid_base = 0

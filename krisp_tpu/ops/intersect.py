@@ -53,22 +53,22 @@ def _reverse_cummin(x):
 
 def _seg_last(values, last_flag):
     """For every row, the ``values`` entry at the LAST row of its run
-    (runs delimited by ``last_flag`` marking tail rows), gather-free.
+    (runs delimited by ``last_flag`` marking tail rows; the final row
+    must be a tail).
 
-    A reversed "latest-flagged-value" segmented associative scan.  Unlike
-    the reverse-cummin index trick used elsewhere, it puts no monotonicity
-    requirement on ``values`` — needed where values are prefix sums that
-    may wrap the integer width (see ``survivor_mark_bits``)."""
-    vr = values[::-1]
-    fr = last_flag[::-1].astype(jnp.int32)
-
-    def comb(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf != 0, bv, av), af | bf
-
-    out, _ = jax.lax.associative_scan(comb, (vr, fr))
-    return out[::-1]
+    One reverse cummin over row INDICES — monotone by construction, so
+    ``values`` itself carries no monotonicity requirement (it may be a
+    wrapping uint32 prefix sum, see ``survivor_mark_bits``) — plus a
+    single take.  This replaces a custom associative_scan whose compile
+    the axon remote TPU compiler cannot finish at multi-million-row
+    shapes (probed in isolation: the scan at 4M rows wedges for >6 min
+    while every surrounding cumsum/cummin/sort compiles in seconds; see
+    tools/precompile_global.py).  The take costs one extra memory pass
+    per call — the price of compiling at all."""
+    n = values.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    tail_idx = _reverse_cummin(jnp.where(last_flag, idx, n - 1))
+    return jnp.take(values, tail_idx)
 
 
 def dedup_sorted(words, n_valid):
