@@ -108,9 +108,12 @@ def _rolled_front(win, off, rows):
     return full[:rows]
 
 
-def _merge_kernel(splits_ref, *refs, V, rows):
-    """One output block: align A/B windows to their splits, mask tails,
-    bitonic-merge the (A asc, B desc) concatenation."""
+def _merge_kernel(splits_ref, *refs, V, rows, n_pad_b):
+    """One output block: align the A window to its split (ascending,
+    tail inf-masked) and the PRE-REVERSED B window so its descending
+    values sit right-aligned (front inf-masked) — Mosaic has no ``rev``
+    lowering, so B arrives flipped from XLA.  The concatenation is
+    bitonic; one log2(2*blk)-stage bitonic merge yields the block."""
     g = pl.program_id(0)
     blk = rows * LANES
     a_lo = splits_ref[g]
@@ -127,20 +130,23 @@ def _merge_kernel(splits_ref, *refs, V, rows):
     flat = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES \
         + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
 
-    def slice_of(main, halo, off_in_blk, cnt):
+    def slice_of(main, halo, off_in_blk, keep):
         out = []
-        keep = flat < cnt
         for w in range(V):
             win = jnp.concatenate([main[w][0], halo[w][0]], axis=0)
             front = _rolled_front(win, off_in_blk, rows)
             out.append(jnp.where(keep, front, jnp.uint32(0xFFFFFFFF)))
         return out
 
-    a_words = slice_of(a_main, a_halo, a_lo % blk, a_hi - a_lo)
-    b_words = slice_of(b_main, b_halo, b_lo % blk, b_hi - b_lo)
+    a_words = slice_of(a_main, a_halo, a_lo % blk, flat < a_hi - a_lo)
+    # reversed-B window: flat offset n_pad_b - b_lo - blk in the flipped
+    # array puts B[b_lo:b_hi] descending at positions [blk-cnt, blk)
+    b_off = (n_pad_b - b_lo) % blk
+    b_words = slice_of(b_main, b_halo, b_off,
+                       flat >= blk - (b_hi - b_lo))
 
-    # (A ascending, B reversed => descending) is bitonic over 2*blk
-    words = [jnp.concatenate([aw, bw[::-1, ::-1]], axis=0)
+    # (A ascending with inf tail, B descending with inf head) is bitonic
+    words = [jnp.concatenate([aw, bw], axis=0)
              for aw, bw in zip(a_words, b_words)]
     asc, nasc = _scalar_masks(jnp.int32(1), 2 * rows)
     j = blk
@@ -173,7 +179,11 @@ def merge_sorted_words(A, B, interpret: bool = False, block_rows: int = 8):
     splits = _merge_splits(Ap, Bp, nblk_a * blk, nblk_b * blk, blk, G)
 
     A3 = Ap.reshape(V, (nblk_a + 1) * rows, LANES)
-    B3 = Bp.reshape(V, (nblk_b + 1) * rows, LANES)
+    # B ships pre-reversed: Mosaic has no rev lowering, and the flipped
+    # layout lets each block read its descending slice with the same
+    # rolled-window machinery as A (one XLA pass over B, done once)
+    n_pad_b = (nblk_b + 1) * blk
+    B3 = Bp[:, ::-1].reshape(V, (nblk_b + 1) * rows, LANES)
 
     def a_map(which):
         def f(g, splits_ref):
@@ -187,8 +197,9 @@ def merge_sorted_words(A, B, interpret: bool = False, block_rows: int = 8):
 
     def b_map(which):
         def f(g, splits_ref):
-            return (0, jnp.minimum((g * blk - splits_ref[g]) // blk
-                                   + which, nblk_b), 0)
+            b_lo = g * blk - splits_ref[g]
+            return (0, jnp.minimum((n_pad_b - b_lo - blk) // blk + which,
+                                   nblk_b), 0)
         return f
 
     word_spec_a = [pl.BlockSpec((1, rows, LANES), a_map(w))
@@ -207,7 +218,7 @@ def merge_sorted_words(A, B, interpret: bool = False, block_rows: int = 8):
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
-        partial(_merge_kernel, V=V, rows=rows),
+        partial(_merge_kernel, V=V, rows=rows, n_pad_b=n_pad_b),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, G * rows, LANES), jnp.uint32)
                    for _ in range(V)],

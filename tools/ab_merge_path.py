@@ -67,14 +67,20 @@ def main():
     merge_j = jax.jit(lambda a, b: merge_sorted_words(
         a, b, interpret=interpret))
 
+    def force(out):
+        # block_until_ready resolves without executing under the axon
+        # relay; pulling one element forces the computation (and charges
+        # both arms the same ~26 ms dispatch round-trip)
+        np.asarray(jax.tree.leaves(out)[0][..., :1])
+
     def timed(f, *xs):
         out = f(*xs)                      # compile + warm
-        jax.block_until_ready(out)
+        force(out)
         best = None
         for _ in range(args.reps):
             t0 = time.perf_counter()
             out = f(*xs)
-            jax.block_until_ready(out)
+            force(out)
             best = min(best or 1e9, time.perf_counter() - t0)
         return out, best
 
