@@ -53,6 +53,31 @@ def test_merge_heavy_ties_within_and_across():
     assert np.array_equal(_to_u64(out), np.sort(np.concatenate([A, B])))
 
 
+import os
+
+
+@pytest.mark.skipif(os.environ.get("KRISP_TPU_PERF_TEST") != "1",
+                    reason="needs the real TPU; set KRISP_TPU_PERF_TEST=1")
+def test_merge_tpu_bit_parity():
+    """On-chip Mosaic lowering must agree bit-for-bit with the big sort
+    (tools/ab_merge_path.py's parity check, pytest-visible gate).
+    Subprocess with a cleaned env because conftest forces the CPU
+    backend in-process (same pattern as test_perf_floor)."""
+    import json
+    import subprocess
+    import sys
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "tools/ab_merge_path.py", "--n", "500000",
+         "--reps", "1"], cwd="/root/repo", capture_output=True,
+        text=True, timeout=3000, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["backend"] == "tpu"
+    assert out["bit_parity"] is True
+
+
 def test_merge_single_word_keys():
     rng = np.random.default_rng(3)
     A = np.sort(rng.integers(0, 2**32, 2500, dtype=np.uint64))
