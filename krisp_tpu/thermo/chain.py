@@ -81,14 +81,21 @@ def _solve(runs, C, inner_desc, hairpin, end_i):
     if runs is None:
         return out
     keep = runs["len"] >= 2  # chain members; singles re-gated at len >= 3
-    cand = np.ascontiguousarray(runs["cand"][keep].astype(np.int64))
+    cand = np.ascontiguousarray(
+        runs["cand"][keep].astype(np.int64, copy=False))
     if cand.size == 0:
         return out
     offsets = np.searchsorted(cand, np.arange(C + 1)).astype(np.int64)
-    cols = {k: np.ascontiguousarray(runs[k][keep].astype(np.int32))
+    # boolean indexing already yields fresh contiguous arrays; the dtype
+    # casts are no-ops when the run tables arrive int32/float64 (nn.py
+    # builds them that way), so nothing here copies twice
+    cols = {k: np.ascontiguousarray(
+                runs[k][keep].astype(np.int32, copy=False))
             for k in ("i0", "i1", "k0", "k1", "len")}
-    dh = np.ascontiguousarray(runs["dh"][keep].astype(np.float64))
-    ds = np.ascontiguousarray(runs["ds"][keep].astype(np.float64))
+    dh = np.ascontiguousarray(runs["dh"][keep].astype(np.float64,
+                                                     copy=False))
+    ds = np.ascontiguousarray(runs["ds"][keep].astype(np.float64,
+                                                      copy=False))
     if end_i is not None:
         end_i = np.ascontiguousarray(
             np.broadcast_to(np.asarray(end_i), (C,)).astype(np.int32))

@@ -205,10 +205,14 @@ def _duplex_order(n, m):
     key = ("d", n, m)
     hit = _ORDER_CACHE.get(key)
     if hit is None:
-        ii = np.broadcast_to(np.arange(n)[:, None], (n, m)).ravel()
-        jj = np.broadcast_to(np.arange(m)[None, :], (n, m)).ravel()
+        ii = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None],
+                             (n, m)).ravel()
+        jj = np.broadcast_to(np.arange(m, dtype=np.int32)[None, :],
+                             (n, m)).ravel()
         d = ii - jj
         order = np.lexsort((ii, d))
+        # int32 keys end to end: the run tables inherit the dtype, so the
+        # native chain DP's argument prep copies nothing (chain._solve)
         hit = (order, d[order], ii[order])
         _ORDER_CACHE[key] = hit
     return hit
@@ -219,8 +223,10 @@ def _hairpin_order(n):
     key = ("h", n)
     hit = _ORDER_CACHE.get(key)
     if hit is None:
-        xx = np.broadcast_to(np.arange(n)[:, None], (n, n)).ravel()
-        yy = np.broadcast_to(np.arange(n)[None, :], (n, n)).ravel()
+        xx = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None],
+                             (n, n)).ravel()
+        yy = np.broadcast_to(np.arange(n, dtype=np.int32)[None, :],
+                             (n, n)).ravel()
         q = xx + yy
         order = np.lexsort((xx, q))
         hit = (order, q[order], xx[order])
@@ -295,7 +301,7 @@ def _batch_keys(dkey, ikey, kkey, C, cell_count):
     ck_key = (id(dkey), C, cell_count)
     hit = _KEYS_CACHE.get(ck_key)
     if hit is None:
-        ck = np.repeat(np.arange(C), cell_count)
+        ck = np.repeat(np.arange(C, dtype=np.int32), cell_count)
         span = int(dkey.max() - dkey.min()) + 1
         dk = np.tile(dkey - dkey.min(), C) + ck * span
         ik = np.tile(ikey, C)
