@@ -1,0 +1,238 @@
+// Native kstream host engine: rolling-window packed keys -> parallel LSD
+// radix sort -> text decode, one call per (file, plan).
+//
+// Covers exactly the plan shapes of the host-vectorized numpy engine
+// (krisp_tpu/kstream_vec.py): ONE k-mer length k<=32 (a whole k-mer in one
+// u64), modes plain/complements/canonicals, sorted output with duplicate
+// lines re-emitted.  All base semantics (encode ranks, validity incl.
+// --disallow/--omitsoft, decode alphabet) come from tables passed in by the
+// caller — the same dna.py tables the numpy engine uses — so the two
+// engines cannot drift.  Reference behavior being replaced: the
+// per-character Python k-mer loop + GNU sort pipe of
+// src/krisp/kstream/kstream.py (hot loop around lines 617-642).
+//
+// Key layout matches kstream_vec._pack_keys: base at the window start in
+// the HIGH bits (numeric order == lexicographic order), right-aligned to
+// the low 2k bits.  Reverse complement matches _revcomp_keys: complement
+// (3-c) of each base, base order reversed.  Sorting is a stable 8-bit LSD
+// radix over ceil(2k/8) byte digits, each pass histogram+scatter across a
+// small thread team; equal keys are bit-identical so stability questions
+// cannot reach the output.
+//
+// Exposed via ctypes (no pybind11 in this environment):
+//   KsResult* kstream_core_run(buf, n, k, mode, code_tab, valid_tab,
+//                              decode_tab, threads)
+//   void      kstream_core_free(KsResult*)
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <thread>
+#include <vector>
+#include <array>
+
+extern "C" {
+
+struct KsResult {
+    uint8_t* text;     // n_keys rows of (k+1) bytes: "<kmer>\n"
+    int64_t text_len;  // == n_keys * (k+1)
+    int64_t n_keys;    // emitted line count (duplicates included)
+};
+
+}  // extern "C" (reopened below for the entry points)
+
+namespace {
+
+enum Mode { PLAIN = 0, COMPLEMENTS = 1, CANONICALS = 2 };
+
+template <class F>
+void run_team(int T, F&& body) {
+    if (T <= 1) { body(0); return; }
+    std::vector<std::thread> ts;
+    ts.reserve(T - 1);
+    for (int t = 1; t < T; ++t) ts.emplace_back(body, t);
+    body(0);
+    for (auto& th : ts) th.join();
+}
+
+// Stable LSD radix sort on the low n_bytes*8 bits.  `tmp` is scratch of
+// the same size; the sorted data always ends back in `a`.
+void radix_sort_u64(uint64_t* a, uint64_t* tmp, int64_t n, int n_bytes,
+                    int T) {
+    std::vector<std::array<int64_t, 256>> counts(T), starts(T);
+    uint64_t* src = a;
+    uint64_t* dst = tmp;
+    for (int p = 0; p < n_bytes; ++p) {
+        const int shift = 8 * p;
+        run_team(T, [&](int t) {
+            auto& c = counts[t];
+            c.fill(0);
+            const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+            for (int64_t i = lo; i < hi; ++i)
+                c[(src[i] >> shift) & 255]++;
+        });
+        // skip passes whose digit is constant across all keys (common for
+        // the high bytes when 2k is well below 8*n_bytes)
+        int64_t off = 0;
+        bool constant = false;
+        for (int d = 0; d < 256 && !constant; ++d) {
+            int64_t tot = 0;
+            for (int t = 0; t < T; ++t) tot += counts[t][d];
+            if (tot == n) constant = true;
+        }
+        if (constant) continue;
+        for (int d = 0; d < 256; ++d)
+            for (int t = 0; t < T; ++t) {
+                starts[t][d] = off;
+                off += counts[t][d];
+            }
+        run_team(T, [&](int t) {
+            auto s = starts[t];  // private cursor copy
+            const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+            for (int64_t i = lo; i < hi; ++i) {
+                const uint64_t v = src[i];
+                dst[s[(v >> shift) & 255]++] = v;
+            }
+        });
+        std::swap(src, dst);
+    }
+    if (src != a) memcpy(a, src, size_t(n) * 8);
+}
+
+}  // namespace
+
+extern "C" {
+
+KsResult* kstream_core_run(const uint8_t* buf, int64_t n, int k, int mode,
+                           const uint8_t* code_tab,
+                           const uint8_t* valid_tab,
+                           const uint8_t* decode_tab, int threads) {
+    if (k < 1 || k > 32 || n < k) {
+        auto* r = (KsResult*)calloc(1, sizeof(KsResult));
+        return r;
+    }
+    const int64_t n_win = n - k + 1;
+    int T = threads > 0 ? threads : 1;
+    if (int64_t(T) > n_win) T = 1;
+
+    // ---- phase A: rolling window keys, validity-compacted, per thread
+    const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    const int rc_top = 2 * (k - 1);
+    std::vector<std::vector<uint64_t>> parts(T);
+    run_team(T, [&](int t) {
+        const int64_t wlo = n_win * t / T, whi = n_win * (t + 1) / T;
+        auto& out = parts[t];
+        out.reserve(size_t(whi - wlo) * (mode == COMPLEMENTS ? 2 : 1));
+        uint64_t fwd = 0, rc = 0;
+        int64_t last_bad = wlo - 1;
+        // prime the first k-1 bases of the first window
+        for (int64_t j = wlo; j < wlo + k - 1; ++j) {
+            const uint8_t b = buf[j];
+            const uint64_t c = code_tab[b] & 3u;
+            fwd = ((fwd << 2) | c) & mask;
+            rc = (rc >> 2) | ((3ull - c) << rc_top);
+            if (!valid_tab[b]) last_bad = j;
+        }
+        for (int64_t i = wlo; i < whi; ++i) {
+            const uint8_t b = buf[i + k - 1];
+            const uint64_t c = code_tab[b] & 3u;
+            fwd = ((fwd << 2) | c) & mask;
+            rc = (rc >> 2) | ((3ull - c) << rc_top);
+            if (!valid_tab[b]) last_bad = i + k - 1;
+            if (last_bad < i) {
+                switch (mode) {
+                    case PLAIN:
+                        out.push_back(fwd);
+                        break;
+                    case COMPLEMENTS:
+                        out.push_back(fwd);
+                        out.push_back(rc);
+                        break;
+                    default:
+                        out.push_back(fwd < rc ? fwd : rc);
+                }
+            }
+        }
+    });
+
+    int64_t total = 0;
+    std::vector<int64_t> offs(T + 1, 0);
+    for (int t = 0; t < T; ++t) {
+        offs[t] = total;
+        total += int64_t(parts[t].size());
+    }
+    offs[T] = total;
+
+    auto* r = (KsResult*)calloc(1, sizeof(KsResult));
+    r->n_keys = total;
+    if (total == 0) return r;
+
+    uint64_t* keys = (uint64_t*)malloc(size_t(total) * 8);
+    uint64_t* tmp = (uint64_t*)malloc(size_t(total) * 8);
+    if (!keys || !tmp) {
+        free(keys);
+        free(tmp);
+        r->n_keys = -1;  // allocation failure: caller falls back
+        return r;
+    }
+    run_team(T, [&](int t) {
+        memcpy(keys + offs[t], parts[t].data(), parts[t].size() * 8);
+        parts[t] = {};  // release segment storage before the sort
+    });
+
+    // ---- phase B: stable LSD radix over the occupied low bytes
+    radix_sort_u64(keys, tmp, total, (2 * k + 7) / 8, T);
+    free(tmp);
+
+    // ---- phase C: decode "<kmer>\n" rows (duplicates re-emitted as-is)
+    const int W = k + 1;
+    const int J = (k + 7) / 8;            // 8-char LUT chunks per row
+    uint8_t* text = (uint8_t*)malloc(size_t(total) * W + 16);
+    if (!text) {
+        free(keys);
+        r->n_keys = -1;
+        return r;
+    }
+    // u16 (8 packed bases, MSB-first) -> 8 ASCII chars
+    static_assert(sizeof(uint64_t) == 8, "");
+    std::vector<uint8_t> lut(size_t(65536) * 8);
+    for (uint32_t v = 0; v < 65536; ++v)
+        for (int j = 0; j < 8; ++j)
+            lut[size_t(v) * 8 + j] = decode_tab[(v >> (14 - 2 * j)) & 3];
+    const int lshift = 64 - 2 * k;
+    run_team(T, [&](int t) {
+        const int64_t lo = total * t / T, hi = total * (t + 1) / T;
+        const uint8_t* seg_end = text + hi * W;
+        for (int64_t i = lo; i < hi; ++i) {
+            uint8_t* row = text + i * W;
+            const uint64_t kk = keys[i] << lshift;
+            for (int j = 0; j < J; ++j) {
+                const uint16_t idx = uint16_t(kk >> (48 - 16 * j));
+                const uint8_t* src8 = &lut[size_t(idx) * 8];
+                if (row + 8 * j + 8 <= seg_end) {
+                    // spill past byte k lands in this row's newline slot
+                    // and later rows' heads — all rewritten afterwards by
+                    // this same thread (rows ascend); near the segment
+                    // edge the exact-width path keeps every write inside
+                    // the segment, so threads never touch shared bytes
+                    memcpy(row + 8 * j, src8, 8);
+                } else {
+                    memcpy(row + 8 * j, src8, size_t(k - 8 * j));
+                }
+            }
+            row[k] = '\n';
+        }
+    });
+    free(keys);
+    r->text = text;
+    r->text_len = int64_t(total) * W;
+    return r;
+}
+
+void kstream_core_free(KsResult* r) {
+    if (!r) return;
+    free(r->text);
+    free(r);
+}
+
+}  // extern "C"

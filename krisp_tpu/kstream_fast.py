@@ -39,10 +39,14 @@ def _mem_available() -> int:
 
 
 def host_bytes_estimate(n_bases: int, plan: DevicePlan) -> int:
-    """Peak host-engine footprint: u32 codes + u64 keys per strand plus
-    one u64 temp, validity/raw bytes, and the slab-bounded decode."""
+    """Peak host-engine footprint, whichever of its two cores runs: the
+    numpy path (u32 codes + u64 keys per strand + u64 temp + validity/raw
+    bytes + slab-bounded decode) or the native core (u64 keys + u64 radix
+    scratch + the full decoded text, all per strand)."""
     strands = 2 if plan.mode == "complements" else 1
-    return n_bases * (4 + 8 * strands + 8 + 2) + (1 << 26)
+    numpy_peak = n_bases * (4 + 8 * strands + 8 + 2)
+    native_peak = n_bases * strands * (16 + plan.k + 1) + n_bases
+    return max(numpy_peak, native_peak) + (1 << 26)
 
 
 def run_fast_kstream(path, plan: DevicePlan, out_stream, engine: str = "auto",

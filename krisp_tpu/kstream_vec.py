@@ -1,12 +1,21 @@
-"""Host-vectorized kstream engine: numpy bit-packed keys, no accelerator.
+"""Host kstream engine: bit-packed u64 keys, no accelerator.
 
 Covers the same plan shapes as the device fast path (one k-mer length,
 plain/complements/canonicals, ``--disallow Nn``, softmask policies, sort)
-for k <= 32, where a whole k-mer packs into ONE uint64 key.  The entire
-pipeline — window packing (a log-tree of shift/or combines), reverse
-complement, canonical min, sort, run-length counting, ASCII decode — is
-vectorized numpy; there is no per-k-mer Python (the reference's hot loop,
-/root/reference/src/krisp/kstream/kstream.py:617-642, is per-character).
+for k <= 32, where a whole k-mer packs into ONE uint64 key.  Two cores
+share the tables and the output format byte-for-byte:
+
+- native (default; csrc/kstreamcore.cpp via ctypes): rolling-window pack,
+  thread-parallel LSD radix sort, 16-bit-LUT text decode — one C++ call
+  per file.
+- numpy fallback: window packing as a log-tree of shift/or combines,
+  reverse complement as a 2-bit-group bit reversal, quicksort, run-length
+  counting, LUT16 decode with overlapping u64 stores.
+
+Neither has per-k-mer Python (the reference's hot loop,
+/root/reference/src/krisp/kstream/kstream.py:617-642, is per-character);
+KRISP_TPU_KSTREAM_HOST=numpy forces the fallback (the fuzz parity test
+pins the two against each other).
 
 Why this exists next to the device engine (kstream_device.py): the k-mer
 *content* pulled back from the device is information-dense (2 bits/base of
@@ -20,6 +29,10 @@ tests/test_kstream_vec.py against the exact string pipeline).
 """
 
 from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
 
 import numpy as np
 
@@ -185,6 +198,76 @@ def _emit(out_stream, uniq: np.ndarray, counts: np.ndarray, k: int) -> None:
                                            axis=0).reshape(-1))
 
 
+class _KsResult(ctypes.Structure):
+    _fields_ = [("text", ctypes.POINTER(ctypes.c_uint8)),
+                ("text_len", ctypes.c_int64),
+                ("n_keys", ctypes.c_int64)]
+
+
+_CORE = None
+_MODE_ID = {"plain": 0, "complements": 1, "canonicals": 2}
+
+
+def _load_core():
+    """Build/load the native engine core (csrc/kstreamcore.cpp); None when
+    unavailable (the numpy path below is the complete fallback)."""
+    global _CORE
+    if _CORE is None:
+        from .nativebuild import load_native
+        lib = load_native("kstreamcore.cpp",
+                          Path(__file__).parent / "_native"
+                          / "libkstreamcore.so",
+                          extra_flags=["-pthread"])
+        if lib is not None:
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.kstream_core_run.restype = ctypes.POINTER(_KsResult)
+            lib.kstream_core_run.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                u8p, u8p, u8p, ctypes.c_int]
+            lib.kstream_core_free.restype = None
+            lib.kstream_core_free.argtypes = [ctypes.POINTER(_KsResult)]
+        _CORE = lib if lib is not None else False
+    return _CORE or None
+
+
+def _run_native(buf: np.ndarray, plan: DevicePlan, out_stream):
+    """One native call: rolling pack -> parallel radix sort -> text decode
+    (csrc/kstreamcore.cpp).  Same tables, same output bytes as the numpy
+    path (fuzzed equal by tests/test_kstream_vec.py).  Returns the line
+    count, or None to fall back to numpy."""
+    lib = _load_core()
+    if lib is None:
+        return None
+    k = plan.k
+    code = np.ascontiguousarray(dna.CODE2_TABLE, np.uint8)
+    valid = np.ascontiguousarray(
+        dna.base_validity_table(2, disallow="Nn",
+                                omit_soft=plan.omit_soft), np.uint8)
+    decode = np.ascontiguousarray(dna.DECODE2[:4], np.uint8)
+    buf = np.ascontiguousarray(buf)
+    n_win = buf.size - k + 1
+    T = max(1, min(os.cpu_count() or 1, 4, n_win // 65536))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    res = lib.kstream_core_run(
+        buf.ctypes.data_as(u8p), buf.size, k, _MODE_ID[plan.mode],
+        code.ctypes.data_as(u8p), valid.ctypes.data_as(u8p),
+        decode.ctypes.data_as(u8p), T)
+    try:
+        n_keys = res.contents.n_keys
+        if n_keys < 0:        # native allocation failure
+            return None
+        if n_keys and res.contents.text_len:
+            mv = memoryview(ctypes.cast(
+                res.contents.text,
+                ctypes.POINTER(ctypes.c_uint8
+                               * res.contents.text_len)).contents)
+            out_stream.write(mv)
+            mv.release()
+        return int(n_keys)
+    finally:
+        lib.kstream_core_free(res)
+
+
 def run_vec_kstream(path, plan: DevicePlan, out_stream,
                     buf: np.ndarray | None = None):
     """Execute the plan on the host; writes sorted k-mer lines to
@@ -200,6 +283,11 @@ def run_vec_kstream(path, plan: DevicePlan, out_stream,
         return None
     if buf.size < k:
         return 0
+
+    if os.environ.get("KRISP_TPU_KSTREAM_HOST", "native") != "numpy":
+        n = _run_native(buf, plan, out_stream)
+        if n is not None:
+            return n
 
     valid_table = dna.base_validity_table(2, disallow="Nn",
                                           omit_soft=plan.omit_soft)

@@ -161,3 +161,34 @@ def test_host_bytes_estimate_scales_with_strands():
     plan_p = device_plan(kmers=[8], disallow="Nn", sort=True)
     assert (host_bytes_estimate(1 << 20, plan_c)
             > host_bytes_estimate(1 << 20, plan_p))
+
+
+def test_native_core_matches_numpy_fuzz(monkeypatch):
+    """The C++ engine core (csrc/kstreamcore.cpp) and the numpy pipeline
+    must emit identical bytes on random plans/inputs — same tables, so any
+    drift is a bug in one of them.  (The goldens above run whichever
+    engine is default; this pins the two against each other directly.)"""
+    from krisp_tpu import kstream_vec as kv
+
+    if kv._load_core() is None:
+        pytest.skip("native core unavailable (no toolchain)")
+    rng = np.random.default_rng(11)
+    for trial in range(24):
+        k = int(rng.integers(1, 33))
+        comp, canon = [(False, False), (True, False),
+                       (False, True)][trial % 3]
+        omit = bool(rng.integers(0, 2))
+        plan = device_plan(kmers=[k], complements=comp, canonicals=canon,
+                           disallow="Nn", omitsoft=omit, sort=True)
+        n = int(rng.integers(k, 4000))
+        alpha = b"ACGTN" + (b"acgt" if omit else b"")
+        buf = rng.choice(np.frombuffer(alpha, np.uint8), size=n)
+        if n > 10:
+            buf[rng.integers(0, n, 3)] = 0  # record sentinels
+        a, b = io.BytesIO(), io.BytesIO()
+        monkeypatch.setenv("KRISP_TPU_KSTREAM_HOST", "numpy")
+        rn = kv.run_vec_kstream(None, plan, a, buf=buf.copy())
+        monkeypatch.setenv("KRISP_TPU_KSTREAM_HOST", "native")
+        rm = kv.run_vec_kstream(None, plan, b, buf=buf.copy())
+        assert rn == rm, (k, plan.mode, omit)
+        assert a.getvalue() == b.getvalue(), (k, plan.mode, omit)
