@@ -24,7 +24,9 @@
 //                              decode_tab, threads)
 //   void      kstream_core_free(KsResult*)
 
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <thread>
@@ -45,6 +47,20 @@ namespace {
 
 enum Mode { PLAIN = 0, COMPLEMENTS = 1, CANONICALS = 2 };
 
+// KSCORE_TIMING=1: print per-phase wall times to stderr (perf triage only)
+struct PhaseClock {
+    bool on = getenv("KSCORE_TIMING") != nullptr;
+    std::chrono::steady_clock::time_point t0 =
+        std::chrono::steady_clock::now();
+    void lap(const char* name) {
+        if (!on) return;
+        auto t1 = std::chrono::steady_clock::now();
+        fprintf(stderr, "[kscore] %-8s %6.1f ms\n", name,
+                std::chrono::duration<double, std::milli>(t1 - t0).count());
+        t0 = t1;
+    }
+};
+
 template <class F>
 void run_team(int T, F&& body) {
     if (T <= 1) { body(0); return; }
@@ -55,43 +71,43 @@ void run_team(int T, F&& body) {
     for (auto& th : ts) th.join();
 }
 
-// Stable LSD radix sort on the low n_bytes*8 bits.  `tmp` is scratch of
-// the same size; the sorted data always ends back in `a`.
-void radix_sort_u64(uint64_t* a, uint64_t* tmp, int64_t n, int n_bytes,
+// Stable LSD radix sort on the low `bits` bits: 14-bit digits (16K
+// buckets — per-thread cursor tables stay L2-resident while halving the
+// pass count vs 8-bit digits).  `tmp` is scratch of the same size; the
+// sorted data always ends back in `a`.
+void radix_sort_u64(uint64_t* a, uint64_t* tmp, int64_t n, int bits,
                     int T) {
-    std::vector<std::array<int64_t, 256>> counts(T), starts(T);
+    constexpr int DIG = 14;
+    constexpr int NB = 1 << DIG;
+    const int passes = (bits + DIG - 1) / DIG;
+    std::vector<std::vector<int64_t>> counts(T), starts(T);
+    for (int t = 0; t < T; ++t) {
+        counts[t].resize(NB);
+        starts[t].resize(NB);
+    }
     uint64_t* src = a;
     uint64_t* dst = tmp;
-    for (int p = 0; p < n_bytes; ++p) {
-        const int shift = 8 * p;
+    for (int p = 0; p < passes; ++p) {
+        const int shift = DIG * p;
         run_team(T, [&](int t) {
             auto& c = counts[t];
-            c.fill(0);
+            std::fill(c.begin(), c.end(), 0);
             const int64_t lo = n * t / T, hi = n * (t + 1) / T;
             for (int64_t i = lo; i < hi; ++i)
-                c[(src[i] >> shift) & 255]++;
+                c[(src[i] >> shift) & (NB - 1)]++;
         });
-        // skip passes whose digit is constant across all keys (common for
-        // the high bytes when 2k is well below 8*n_bytes)
         int64_t off = 0;
-        bool constant = false;
-        for (int d = 0; d < 256 && !constant; ++d) {
-            int64_t tot = 0;
-            for (int t = 0; t < T; ++t) tot += counts[t][d];
-            if (tot == n) constant = true;
-        }
-        if (constant) continue;
-        for (int d = 0; d < 256; ++d)
+        for (int d = 0; d < NB; ++d)
             for (int t = 0; t < T; ++t) {
                 starts[t][d] = off;
                 off += counts[t][d];
             }
         run_team(T, [&](int t) {
-            auto s = starts[t];  // private cursor copy
+            int64_t* s = starts[t].data();
             const int64_t lo = n * t / T, hi = n * (t + 1) / T;
             for (int64_t i = lo; i < hi; ++i) {
                 const uint64_t v = src[i];
-                dst[s[(v >> shift) & 255]++] = v;
+                dst[s[(v >> shift) & (NB - 1)]++] = v;
             }
         });
         std::swap(src, dst);
@@ -114,6 +130,7 @@ KsResult* kstream_core_run(const uint8_t* buf, int64_t n, int k, int mode,
     const int64_t n_win = n - k + 1;
     int T = threads > 0 ? threads : 1;
     if (int64_t(T) > n_win) T = 1;
+    PhaseClock clk;
 
     // ---- phase A: rolling window keys, validity-compacted, per thread
     const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
@@ -122,7 +139,8 @@ KsResult* kstream_core_run(const uint8_t* buf, int64_t n, int k, int mode,
     run_team(T, [&](int t) {
         const int64_t wlo = n_win * t / T, whi = n_win * (t + 1) / T;
         auto& out = parts[t];
-        out.reserve(size_t(whi - wlo) * (mode == COMPLEMENTS ? 2 : 1));
+        out.resize(size_t(whi - wlo) * (mode == COMPLEMENTS ? 2 : 1));
+        uint64_t* w = out.data();
         uint64_t fwd = 0, rc = 0;
         int64_t last_bad = wlo - 1;
         // prime the first k-1 bases of the first window
@@ -133,28 +151,46 @@ KsResult* kstream_core_run(const uint8_t* buf, int64_t n, int k, int mode,
             rc = (rc >> 2) | ((3ull - c) << rc_top);
             if (!valid_tab[b]) last_bad = j;
         }
-        for (int64_t i = wlo; i < whi; ++i) {
-            const uint8_t b = buf[i + k - 1];
-            const uint64_t c = code_tab[b] & 3u;
-            fwd = ((fwd << 2) | c) & mask;
-            rc = (rc >> 2) | ((3ull - c) << rc_top);
-            if (!valid_tab[b]) last_bad = i + k - 1;
-            if (last_bad < i) {
-                switch (mode) {
-                    case PLAIN:
-                        out.push_back(fwd);
-                        break;
-                    case COMPLEMENTS:
-                        out.push_back(fwd);
-                        out.push_back(rc);
-                        break;
-                    default:
-                        out.push_back(fwd < rc ? fwd : rc);
+        // per-mode loops with a raw write cursor (no per-window capacity
+        // checks or mode dispatch); the final resize trims dropped windows
+        switch (mode) {
+            case PLAIN:
+                for (int64_t i = wlo; i < whi; ++i) {
+                    const uint8_t b = buf[i + k - 1];
+                    const uint64_t c = code_tab[b] & 3u;
+                    fwd = ((fwd << 2) | c) & mask;
+                    if (!valid_tab[b]) last_bad = i + k - 1;
+                    *w = fwd;
+                    w += (last_bad < i);
                 }
-            }
+                break;
+            case COMPLEMENTS:
+                for (int64_t i = wlo; i < whi; ++i) {
+                    const uint8_t b = buf[i + k - 1];
+                    const uint64_t c = code_tab[b] & 3u;
+                    fwd = ((fwd << 2) | c) & mask;
+                    rc = (rc >> 2) | ((3ull - c) << rc_top);
+                    if (!valid_tab[b]) last_bad = i + k - 1;
+                    w[0] = fwd;
+                    w[1] = rc;
+                    w += 2 * (last_bad < i);
+                }
+                break;
+            default:
+                for (int64_t i = wlo; i < whi; ++i) {
+                    const uint8_t b = buf[i + k - 1];
+                    const uint64_t c = code_tab[b] & 3u;
+                    fwd = ((fwd << 2) | c) & mask;
+                    rc = (rc >> 2) | ((3ull - c) << rc_top);
+                    if (!valid_tab[b]) last_bad = i + k - 1;
+                    *w = fwd < rc ? fwd : rc;
+                    w += (last_bad < i);
+                }
         }
+        out.resize(size_t(w - out.data()));
     });
 
+    clk.lap("pack");
     int64_t total = 0;
     std::vector<int64_t> offs(T + 1, 0);
     for (int t = 0; t < T; ++t) {
@@ -180,9 +216,11 @@ KsResult* kstream_core_run(const uint8_t* buf, int64_t n, int k, int mode,
         parts[t] = {};  // release segment storage before the sort
     });
 
-    // ---- phase B: stable LSD radix over the occupied low bytes
-    radix_sort_u64(keys, tmp, total, (2 * k + 7) / 8, T);
+    clk.lap("concat");
+    // ---- phase B: stable LSD radix over the occupied low bits
+    radix_sort_u64(keys, tmp, total, 2 * k, T);
     free(tmp);
+    clk.lap("sort");
 
     // ---- phase C: decode "<kmer>\n" rows (duplicates re-emitted as-is)
     const int W = k + 1;
@@ -223,6 +261,7 @@ KsResult* kstream_core_run(const uint8_t* buf, int64_t n, int k, int mode,
             row[k] = '\n';
         }
     });
+    clk.lap("decode");
     free(keys);
     r->text = text;
     r->text_len = int64_t(total) * W;
