@@ -20,9 +20,10 @@
 // cannot reach the output.
 //
 // Exposed via ctypes (no pybind11 in this environment):
-//   KsResult* kstream_core_run(buf, n, k, mode, code_tab, valid_tab,
-//                              decode_tab, threads)
-//   void      kstream_core_free(KsResult*)
+//   int64_t kstream_core_run(buf, n, k, mode, code_tab, valid_tab,
+//                            decode_tab, threads, write_cb)
+// returning the emitted line count (output bytes stream through write_cb
+// in bounded slabs; -1 = allocation failure, -2 = callback failure).
 
 #include <chrono>
 #include <cstdint>
@@ -33,15 +34,12 @@
 #include <vector>
 #include <array>
 
+// Output is streamed through a caller-supplied write callback in bounded
+// slabs, so peak memory is keys + radix scratch + one slab — GB-scale
+// inputs never materialize the full decoded text.
 extern "C" {
-
-struct KsResult {
-    uint8_t* text;     // n_keys rows of (k+1) bytes: "<kmer>\n"
-    int64_t text_len;  // == n_keys * (k+1)
-    int64_t n_keys;    // emitted line count (duplicates included)
-};
-
-}  // extern "C" (reopened below for the entry points)
+typedef int64_t (*ks_write_fn)(const uint8_t* data, int64_t len);
+}
 
 namespace {
 
@@ -119,14 +117,14 @@ void radix_sort_u64(uint64_t* a, uint64_t* tmp, int64_t n, int bits,
 
 extern "C" {
 
-KsResult* kstream_core_run(const uint8_t* buf, int64_t n, int k, int mode,
-                           const uint8_t* code_tab,
-                           const uint8_t* valid_tab,
-                           const uint8_t* decode_tab, int threads) {
-    if (k < 1 || k > 32 || n < k) {
-        auto* r = (KsResult*)calloc(1, sizeof(KsResult));
-        return r;
-    }
+// Returns the emitted line count; -1 on allocation failure (caller falls
+// back to the numpy path), -2 when the write callback reports failure.
+int64_t kstream_core_run(const uint8_t* buf, int64_t n, int k, int mode,
+                         const uint8_t* code_tab,
+                         const uint8_t* valid_tab,
+                         const uint8_t* decode_tab, int threads,
+                         ks_write_fn write_cb) {
+    if (k < 1 || k > 32 || n < k) return 0;
     const int64_t n_win = n - k + 1;
     int T = threads > 0 ? threads : 1;
     if (int64_t(T) > n_win) T = 1;
@@ -199,17 +197,14 @@ KsResult* kstream_core_run(const uint8_t* buf, int64_t n, int k, int mode,
     }
     offs[T] = total;
 
-    auto* r = (KsResult*)calloc(1, sizeof(KsResult));
-    r->n_keys = total;
-    if (total == 0) return r;
+    if (total == 0) return 0;
 
     uint64_t* keys = (uint64_t*)malloc(size_t(total) * 8);
     uint64_t* tmp = (uint64_t*)malloc(size_t(total) * 8);
     if (!keys || !tmp) {
         free(keys);
         free(tmp);
-        r->n_keys = -1;  // allocation failure: caller falls back
-        return r;
+        return -1;  // allocation failure: caller falls back
     }
     run_team(T, [&](int t) {
         memcpy(keys + offs[t], parts[t].data(), parts[t].size() * 8);
@@ -222,14 +217,15 @@ KsResult* kstream_core_run(const uint8_t* buf, int64_t n, int k, int mode,
     free(tmp);
     clk.lap("sort");
 
-    // ---- phase C: decode "<kmer>\n" rows (duplicates re-emitted as-is)
+    // ---- phase C: decode "<kmer>\n" rows (duplicates re-emitted as-is),
+    // streamed through the callback in bounded slabs
     const int W = k + 1;
     const int J = (k + 7) / 8;            // 8-char LUT chunks per row
-    uint8_t* text = (uint8_t*)malloc(size_t(total) * W + 16);
-    if (!text) {
+    const int64_t SLAB = 1 << 20;         // rows per emitted slab
+    uint8_t* slab = (uint8_t*)malloc(size_t(SLAB) * W + 16);
+    if (!slab) {
         free(keys);
-        r->n_keys = -1;
-        return r;
+        return -1;
     }
     // u16 (8 packed bases, MSB-first) -> 8 ASCII chars
     static_assert(sizeof(uint64_t) == 8, "");
@@ -238,40 +234,42 @@ KsResult* kstream_core_run(const uint8_t* buf, int64_t n, int k, int mode,
         for (int j = 0; j < 8; ++j)
             lut[size_t(v) * 8 + j] = decode_tab[(v >> (14 - 2 * j)) & 3];
     const int lshift = 64 - 2 * k;
-    run_team(T, [&](int t) {
-        const int64_t lo = total * t / T, hi = total * (t + 1) / T;
-        const uint8_t* seg_end = text + hi * W;
-        for (int64_t i = lo; i < hi; ++i) {
-            uint8_t* row = text + i * W;
-            const uint64_t kk = keys[i] << lshift;
-            for (int j = 0; j < J; ++j) {
-                const uint16_t idx = uint16_t(kk >> (48 - 16 * j));
-                const uint8_t* src8 = &lut[size_t(idx) * 8];
-                if (row + 8 * j + 8 <= seg_end) {
-                    // spill past byte k lands in this row's newline slot
-                    // and later rows' heads — all rewritten afterwards by
-                    // this same thread (rows ascend); near the segment
-                    // edge the exact-width path keeps every write inside
-                    // the segment, so threads never touch shared bytes
-                    memcpy(row + 8 * j, src8, 8);
-                } else {
-                    memcpy(row + 8 * j, src8, size_t(k - 8 * j));
+    for (int64_t base = 0; base < total; base += SLAB) {
+        const int64_t rows = std::min(SLAB, total - base);
+        run_team(T, [&](int t) {
+            const int64_t lo = rows * t / T, hi = rows * (t + 1) / T;
+            const uint8_t* seg_end = slab + hi * W;
+            for (int64_t i = lo; i < hi; ++i) {
+                uint8_t* row = slab + i * W;
+                const uint64_t kk = keys[base + i] << lshift;
+                for (int j = 0; j < J; ++j) {
+                    const uint16_t idx = uint16_t(kk >> (48 - 16 * j));
+                    const uint8_t* src8 = &lut[size_t(idx) * 8];
+                    if (row + 8 * j + 8 <= seg_end) {
+                        // spill past byte k lands in this row's newline
+                        // slot and later rows' heads — all rewritten
+                        // afterwards by this same thread (rows ascend);
+                        // near the segment edge the exact-width path
+                        // keeps every write inside the segment, so
+                        // threads never touch shared bytes
+                        memcpy(row + 8 * j, src8, 8);
+                    } else {
+                        memcpy(row + 8 * j, src8, size_t(k - 8 * j));
+                    }
                 }
+                row[k] = '\n';
             }
-            row[k] = '\n';
+        });
+        if (write_cb(slab, rows * W) < 0) {
+            free(slab);
+            free(keys);
+            return -2;  // caller's stream failed; it re-raises
         }
-    });
+    }
     clk.lap("decode");
+    free(slab);
     free(keys);
-    r->text = text;
-    r->text_len = int64_t(total) * W;
-    return r;
-}
-
-void kstream_core_free(KsResult* r) {
-    if (!r) return;
-    free(r->text);
-    free(r);
+    return total;
 }
 
 }  // extern "C"

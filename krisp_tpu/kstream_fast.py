@@ -42,10 +42,10 @@ def host_bytes_estimate(n_bases: int, plan: DevicePlan) -> int:
     """Peak host-engine footprint, whichever of its two cores runs: the
     numpy path (u32 codes + u64 keys per strand + u64 temp + validity/raw
     bytes + slab-bounded decode) or the native core (u64 keys + u64 radix
-    scratch + the full decoded text, all per strand)."""
+    scratch per strand; its decoded text streams out in bounded slabs)."""
     strands = 2 if plan.mode == "complements" else 1
     numpy_peak = n_bases * (4 + 8 * strands + 8 + 2)
-    native_peak = n_bases * strands * (16 + plan.k + 1) + n_bases
+    native_peak = n_bases * strands * 16 + n_bases
     return max(numpy_peak, native_peak) + (1 << 26)
 
 

@@ -198,14 +198,10 @@ def _emit(out_stream, uniq: np.ndarray, counts: np.ndarray, k: int) -> None:
                                            axis=0).reshape(-1))
 
 
-class _KsResult(ctypes.Structure):
-    _fields_ = [("text", ctypes.POINTER(ctypes.c_uint8)),
-                ("text_len", ctypes.c_int64),
-                ("n_keys", ctypes.c_int64)]
-
-
 _CORE = None
 _MODE_ID = {"plain": 0, "complements": 1, "canonicals": 2}
+_WRITE_FN = ctypes.CFUNCTYPE(ctypes.c_int64,
+                             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64)
 
 
 def _load_core():
@@ -220,21 +216,21 @@ def _load_core():
                           extra_flags=["-pthread"])
         if lib is not None:
             u8p = ctypes.POINTER(ctypes.c_uint8)
-            lib.kstream_core_run.restype = ctypes.POINTER(_KsResult)
+            lib.kstream_core_run.restype = ctypes.c_int64
             lib.kstream_core_run.argtypes = [
                 u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
-                u8p, u8p, u8p, ctypes.c_int]
-            lib.kstream_core_free.restype = None
-            lib.kstream_core_free.argtypes = [ctypes.POINTER(_KsResult)]
+                u8p, u8p, u8p, ctypes.c_int, _WRITE_FN]
         _CORE = lib if lib is not None else False
     return _CORE or None
 
 
 def _run_native(buf: np.ndarray, plan: DevicePlan, out_stream):
     """One native call: rolling pack -> parallel radix sort -> text decode
-    (csrc/kstreamcore.cpp).  Same tables, same output bytes as the numpy
-    path (fuzzed equal by tests/test_kstream_vec.py).  Returns the line
-    count, or None to fall back to numpy."""
+    (csrc/kstreamcore.cpp), output streamed back through a write callback
+    in bounded slabs (peak memory = keys + radix scratch + one slab).
+    Same tables, same output bytes as the numpy path (fuzzed equal by
+    tests/test_kstream_vec.py).  Returns the line count, or None to fall
+    back to numpy."""
     lib = _load_core()
     if lib is None:
         return None
@@ -248,24 +244,27 @@ def _run_native(buf: np.ndarray, plan: DevicePlan, out_stream):
     n_win = buf.size - k + 1
     T = max(1, min(os.cpu_count() or 1, 4, n_win // 65536))
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    res = lib.kstream_core_run(
+    cb_error: list = []
+
+    @_WRITE_FN
+    def write_cb(data, length):
+        try:
+            out_stream.write(memoryview(ctypes.cast(
+                data, ctypes.POINTER(ctypes.c_uint8 * length)).contents))
+            return length
+        except BaseException as exc:  # never unwind through C
+            cb_error.append(exc)
+            return -1
+
+    n_keys = lib.kstream_core_run(
         buf.ctypes.data_as(u8p), buf.size, k, _MODE_ID[plan.mode],
         code.ctypes.data_as(u8p), valid.ctypes.data_as(u8p),
-        decode.ctypes.data_as(u8p), T)
-    try:
-        n_keys = res.contents.n_keys
-        if n_keys < 0:        # native allocation failure
-            return None
-        if n_keys and res.contents.text_len:
-            mv = memoryview(ctypes.cast(
-                res.contents.text,
-                ctypes.POINTER(ctypes.c_uint8
-                               * res.contents.text_len)).contents)
-            out_stream.write(mv)
-            mv.release()
-        return int(n_keys)
-    finally:
-        lib.kstream_core_free(res)
+        decode.ctypes.data_as(u8p), T, write_cb)
+    if cb_error:
+        raise cb_error[0]
+    if n_keys < 0:            # native allocation failure
+        return None
+    return int(n_keys)
 
 
 def run_vec_kstream(path, plan: DevicePlan, out_stream,
