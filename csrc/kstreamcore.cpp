@@ -2,8 +2,9 @@
 // radix sort -> text decode, one call per (file, plan).
 //
 // Covers exactly the plan shapes of the host-vectorized numpy engine
-// (krisp_tpu/kstream_vec.py): ONE k-mer length k<=32 (a whole k-mer in one
-// u64), modes plain/complements/canonicals, sorted output with duplicate
+// (krisp_tpu/kstream_vec.py): ONE k-mer length — k<=32 in one u64 key
+// (kstream_core_run), 33..64 in a lo/hi pair (kstream_core_run_w2) —
+// modes plain/complements/canonicals, sorted output with duplicate
 // lines re-emitted.  All base semantics (encode ranks, validity incl.
 // --disallow/--omitsoft, decode alphabet) come from tables passed in by the
 // caller — the same dna.py tables the numpy engine uses — so the two
@@ -264,6 +265,220 @@ int64_t kstream_core_run(const uint8_t* buf, int64_t n, int k, int mode,
             free(slab);
             free(keys);
             return -2;  // caller's stream failed; it re-raises
+        }
+    }
+    clk.lap("decode");
+    free(slab);
+    free(keys);
+    return total;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Two-word path: 32 < k <= 64 (the whole k-mer in a 128-bit lo/hi pair).
+// Same phases and semantics as the single-word engine above; the key value
+// is hi*2^64 + lo with the window-start base in the highest occupied bits,
+// so numeric (hi, lo) order equals lexicographic base order.
+
+namespace {
+
+struct K2 {
+    uint64_t lo, hi;
+};
+
+inline bool k2_less(const K2& a, const K2& b) {
+    return a.hi != b.hi ? a.hi < b.hi : a.lo < b.lo;
+}
+
+// bits [s, s+14) of the 128-bit value, for the radix digit extraction
+inline uint32_t k2_digit(const K2& v, int s, uint32_t dmask) {
+    uint64_t x;
+    if (s >= 64)
+        x = v.hi >> (s - 64);
+    else {
+        x = v.lo >> s;
+        if (s) x |= v.hi << (64 - s);
+    }
+    return uint32_t(x) & dmask;
+}
+
+void radix_sort_k2(K2* a, K2* tmp, int64_t n, int bits, int T) {
+    constexpr int DIG = 14;
+    constexpr int NB = 1 << DIG;
+    const int passes = (bits + DIG - 1) / DIG;
+    std::vector<std::vector<int64_t>> counts(T), starts(T);
+    for (int t = 0; t < T; ++t) {
+        counts[t].resize(NB);
+        starts[t].resize(NB);
+    }
+    K2* src = a;
+    K2* dst = tmp;
+    for (int p = 0; p < passes; ++p) {
+        const int shift = DIG * p;
+        run_team(T, [&](int t) {
+            auto& c = counts[t];
+            std::fill(c.begin(), c.end(), 0);
+            const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+            for (int64_t i = lo; i < hi; ++i)
+                c[k2_digit(src[i], shift, NB - 1)]++;
+        });
+        int64_t off = 0;
+        for (int d = 0; d < NB; ++d)
+            for (int t = 0; t < T; ++t) {
+                starts[t][d] = off;
+                off += counts[t][d];
+            }
+        run_team(T, [&](int t) {
+            int64_t* s = starts[t].data();
+            const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+            for (int64_t i = lo; i < hi; ++i) {
+                const K2 v = src[i];
+                dst[s[k2_digit(v, shift, NB - 1)]++] = v;
+            }
+        });
+        std::swap(src, dst);
+    }
+    if (src != a) memcpy(a, src, size_t(n) * sizeof(K2));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Two-word variant of kstream_core_run for 32 < k <= 64; same contract.
+int64_t kstream_core_run_w2(const uint8_t* buf, int64_t n, int k, int mode,
+                            const uint8_t* code_tab,
+                            const uint8_t* valid_tab,
+                            const uint8_t* decode_tab, int threads,
+                            ks_write_fn write_cb) {
+    if (k <= 32 || k > 64 || n < k) return 0;
+    const int64_t n_win = n - k + 1;
+    int T = threads > 0 ? threads : 1;
+    if (int64_t(T) > n_win) T = 1;
+    PhaseClock clk;
+
+    // ---- phase A: rolling 128-bit window keys
+    const int hi_bits = 2 * k - 64;  // occupied bits of the hi word (>0)
+    const uint64_t hi_mask =
+        (hi_bits == 64) ? ~0ull : ((1ull << hi_bits) - 1);
+    const int rc_top = hi_bits - 2;  // top base position within hi
+    std::vector<std::vector<K2>> parts(T);
+    run_team(T, [&](int t) {
+        const int64_t wlo = n_win * t / T, whi = n_win * (t + 1) / T;
+        auto& out = parts[t];
+        out.resize(size_t(whi - wlo) * (mode == COMPLEMENTS ? 2 : 1));
+        K2* w = out.data();
+        uint64_t flo = 0, fhi = 0, rlo = 0, rhi = 0;
+        int64_t last_bad = wlo - 1;
+        auto step = [&](int64_t j) {
+            const uint8_t b = buf[j];
+            const uint64_t c = code_tab[b] & 3u;
+            fhi = ((fhi << 2) | (flo >> 62)) & hi_mask;
+            flo = (flo << 2) | c;
+            rlo = (rlo >> 2) | (rhi << 62);
+            rhi = (rhi >> 2) | ((3ull - c) << rc_top);
+            if (!valid_tab[b]) last_bad = j;
+        };
+        for (int64_t j = wlo; j < wlo + k - 1; ++j) step(j);
+        for (int64_t i = wlo; i < whi; ++i) {
+            step(i + k - 1);
+            const bool ok = last_bad < i;
+            switch (mode) {
+                case PLAIN:
+                    *w = {flo, fhi};
+                    w += ok;
+                    break;
+                case COMPLEMENTS:
+                    w[0] = {flo, fhi};
+                    w[1] = {rlo, rhi};
+                    w += 2 * ok;
+                    break;
+                default: {
+                    const K2 f{flo, fhi}, r{rlo, rhi};
+                    *w = k2_less(r, f) ? r : f;
+                    w += ok;
+                }
+            }
+        }
+        out.resize(size_t(w - out.data()));
+    });
+
+    clk.lap("pack");
+    int64_t total = 0;
+    std::vector<int64_t> offs(T + 1, 0);
+    for (int t = 0; t < T; ++t) {
+        offs[t] = total;
+        total += int64_t(parts[t].size());
+    }
+    offs[T] = total;
+    if (total == 0) return 0;
+
+    K2* keys = (K2*)malloc(size_t(total) * sizeof(K2));
+    K2* tmp = (K2*)malloc(size_t(total) * sizeof(K2));
+    if (!keys || !tmp) {
+        free(keys);
+        free(tmp);
+        return -1;
+    }
+    run_team(T, [&](int t) {
+        memcpy(keys + offs[t], parts[t].data(),
+               parts[t].size() * sizeof(K2));
+        parts[t] = {};
+    });
+
+    clk.lap("concat");
+    radix_sort_k2(keys, tmp, total, 2 * k, T);
+    free(tmp);
+    clk.lap("sort");
+
+    // ---- phase C: slab-streamed decode.  The key shifted left so the
+    // first base sits at the top of the 128-bit field: chunks 0-3 read
+    // from the shifted hi word, 4-7 from the shifted lo word.
+    const int W = k + 1;
+    const int J = (k + 7) / 8;
+    const int64_t SLAB = 1 << 20;
+    uint8_t* slab = (uint8_t*)malloc(size_t(SLAB) * W + 16);
+    if (!slab) {
+        free(keys);
+        return -1;
+    }
+    std::vector<uint8_t> lut(size_t(65536) * 8);
+    for (uint32_t v = 0; v < 65536; ++v)
+        for (int j = 0; j < 8; ++j)
+            lut[size_t(v) * 8 + j] = decode_tab[(v >> (14 - 2 * j)) & 3];
+    const int lshift = 128 - 2 * k;  // 0 <= lshift < 64
+    for (int64_t base = 0; base < total; base += SLAB) {
+        const int64_t rows = std::min(SLAB, total - base);
+        run_team(T, [&](int t) {
+            const int64_t lo = rows * t / T, hi = rows * (t + 1) / T;
+            const uint8_t* seg_end = slab + hi * W;
+            for (int64_t i = lo; i < hi; ++i) {
+                uint8_t* row = slab + i * W;
+                const K2 v = keys[base + i];
+                uint64_t shi = v.hi, slo = v.lo;
+                if (lshift) {
+                    shi = (shi << lshift) | (slo >> (64 - lshift));
+                    slo <<= lshift;
+                }
+                for (int j = 0; j < J; ++j) {
+                    const uint64_t word = (j < 4) ? shi : slo;
+                    const uint16_t idx =
+                        uint16_t(word >> (48 - 16 * (j & 3)));
+                    const uint8_t* src8 = &lut[size_t(idx) * 8];
+                    if (row + 8 * j + 8 <= seg_end) {
+                        memcpy(row + 8 * j, src8, 8);
+                    } else {
+                        memcpy(row + 8 * j, src8, size_t(k - 8 * j));
+                    }
+                }
+                row[k] = '\n';
+            }
+        });
+        if (write_cb(slab, rows * W) < 0) {
+            free(slab);
+            free(keys);
+            return -2;
         }
     }
     clk.lap("decode");

@@ -44,8 +44,9 @@ def host_bytes_estimate(n_bases: int, plan: DevicePlan) -> int:
     bytes + slab-bounded decode) or the native core (u64 keys + u64 radix
     scratch per strand; its decoded text streams out in bounded slabs)."""
     strands = 2 if plan.mode == "complements" else 1
+    key_bytes = 8 if plan.k <= 32 else 16
     numpy_peak = n_bases * (4 + 8 * strands + 8 + 2)
-    native_peak = n_bases * strands * 16 + n_bases
+    native_peak = n_bases * strands * 2 * key_bytes + n_bases
     return max(numpy_peak, native_peak) + (1 << 26)
 
 

@@ -2,8 +2,9 @@
 
 Covers the same plan shapes as the device fast path (one k-mer length,
 plain/complements/canonicals, ``--disallow Nn``, softmask policies, sort)
-for k <= 32, where a whole k-mer packs into ONE uint64 key.  Two cores
-share the tables and the output format byte-for-byte:
+for k <= 64: one uint64 key up to k=32, a two-word (lo, hi) pair for
+33..64 (native core only).  The cores share the tables and the output
+format byte-for-byte:
 
 - native (default; csrc/kstreamcore.cpp via ctypes): rolling-window pack,
   thread-parallel LSD radix sort, 16-bit-LUT text decode — one C++ call
@@ -60,8 +61,9 @@ _SLAB = 1 << 20
 
 
 def vec_eligible(plan: DevicePlan) -> bool:
-    """Single-u64-key fast path: k of at most 32 bases."""
-    return plan.k <= 32
+    """Host fast path: k <= 32 always (single-u64 numpy or native core);
+    33..64 when the native two-word core is available."""
+    return plan.k <= 32 or (plan.k <= 64 and _load_core() is not None)
 
 
 def _pack_keys(codes: np.ndarray, k: int) -> np.ndarray:
@@ -216,10 +218,12 @@ def _load_core():
                           extra_flags=["-pthread"])
         if lib is not None:
             u8p = ctypes.POINTER(ctypes.c_uint8)
+            args = [u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                    u8p, u8p, u8p, ctypes.c_int, _WRITE_FN]
             lib.kstream_core_run.restype = ctypes.c_int64
-            lib.kstream_core_run.argtypes = [
-                u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
-                u8p, u8p, u8p, ctypes.c_int, _WRITE_FN]
+            lib.kstream_core_run.argtypes = args
+            lib.kstream_core_run_w2.restype = ctypes.c_int64
+            lib.kstream_core_run_w2.argtypes = args
         _CORE = lib if lib is not None else False
     return _CORE or None
 
@@ -256,7 +260,8 @@ def _run_native(buf: np.ndarray, plan: DevicePlan, out_stream):
             cb_error.append(exc)
             return -1
 
-    n_keys = lib.kstream_core_run(
+    fn = lib.kstream_core_run if k <= 32 else lib.kstream_core_run_w2
+    n_keys = fn(
         buf.ctypes.data_as(u8p), buf.size, k, _MODE_ID[plan.mode],
         code.ctypes.data_as(u8p), valid.ctypes.data_as(u8p),
         decode.ctypes.data_as(u8p), T, write_cb)
@@ -283,6 +288,9 @@ def run_vec_kstream(path, plan: DevicePlan, out_stream,
     if buf.size < k:
         return 0
 
+    if k > 32:
+        # two-word native core only; no numpy mirror for 33..64
+        return _run_native(buf, plan, out_stream)
     if os.environ.get("KRISP_TPU_KSTREAM_HOST", "native") != "numpy":
         n = _run_native(buf, plan, out_stream)
         if n is not None:

@@ -108,7 +108,11 @@ def test_vec_falls_back_on_iupac(tmp_path):
 
 def test_vec_eligibility_k_cutoff():
     assert vec_eligible(device_plan(kmers=[32], disallow="Nn", sort=True))
-    assert not vec_eligible(device_plan(kmers=[33], disallow="Nn",
+    from krisp_tpu import kstream_vec as kv
+    # 33..64 needs the native two-word core; past 64 never host-eligible
+    assert (vec_eligible(device_plan(kmers=[33], disallow="Nn", sort=True))
+            == (kv._load_core() is not None))
+    assert not vec_eligible(device_plan(kmers=[65], disallow="Nn",
                                         sort=True))
 
 
@@ -149,9 +153,9 @@ def test_fast_engine_env_override(tmp_path, monkeypatch):
 
 
 def test_fast_host_ineligible_returns_none(tmp_path):
-    """engine=host with a >32-mer plan: caller must use the string path."""
+    """engine=host with a >64-mer plan: caller must use the string path."""
     path = _mkfasta(tmp_path, "a.fa", ["ACGT" * 30])
-    plan = device_plan(kmers=[40], disallow="Nn", sort=True)
+    plan = device_plan(kmers=[70], disallow="Nn", sort=True)
     assert run_fast_kstream(path, plan, io.BytesIO(), engine="host") is None
 
 
@@ -192,3 +196,28 @@ def test_native_core_matches_numpy_fuzz(monkeypatch):
         rm = kv.run_vec_kstream(None, plan, b, buf=buf.copy())
         assert rn == rm, (k, plan.mode, omit)
         assert a.getvalue() == b.getvalue(), (k, plan.mode, omit)
+
+
+@pytest.mark.parametrize("mode", ["plain", "complements", "canonicals"])
+@pytest.mark.parametrize("k", [33, 40, 64])
+def test_two_word_native_matches_string_pipeline(mode, k, tmp_path):
+    """32 < k <= 64 rides the native two-word core (kstream_core_run_w2);
+    there is no numpy mirror for this range, so the oracle is the exact
+    string pipeline."""
+    from krisp_tpu import kstream_vec as kv
+
+    if kv._load_core() is None:
+        pytest.skip("native core unavailable (no toolchain)")
+    rng = np.random.default_rng(k * 13 + len(mode))
+    path = _mkfasta(tmp_path, "w2.fa",
+                    [_rand_seq(rng, 500), _rand_seq(rng, k - 1),
+                     _rand_seq(rng, k), "ACGT" * 40])
+    plan = device_plan(kmers=[k], disallow="Nn", sort=True,
+                       complements=mode == "complements",
+                       canonicals=mode == "canonicals")
+    assert vec_eligible(plan)
+    out = io.BytesIO()
+    n = run_vec_kstream(path, plan, out)
+    want = _string_pipeline(path, plan)
+    assert out.getvalue() == want
+    assert n == want.count(b"\n")
