@@ -488,3 +488,241 @@ int64_t kstream_core_run_w2(const uint8_t* buf, int64_t n, int k, int mode,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multi-k path: several k-mer lengths in one sorted output stream (the
+// reference CLI accepts `--kmers 20 21 ...`; its sorted output is the
+// lexicographic merge of the per-k streams, where a shorter k-mer that is
+// a prefix of a longer one sorts first — '\n' < 'A' in LC_ALL=C).
+// Strategy: build each k's sorted key array as above, left-align every
+// key to the top of a 128-bit field (prefix order becomes numeric order;
+// a prefix tie leaves the aligned values equal and the shorter k wins),
+// then one S-way merge decodes straight into output slabs.
+
+namespace {
+
+// Sorted, LEFT-aligned (top-of-128-bit) keys for one k.  Returns the key
+// count, or -1 on allocation failure.
+int64_t build_sorted_aligned(const uint8_t* buf, int64_t n, int k,
+                             int mode, const uint8_t* code_tab,
+                             const uint8_t* valid_tab, int T,
+                             std::vector<K2>& out) {
+    const int64_t n_win = n - k + 1;
+    if (n_win <= 0) {
+        out.clear();
+        return 0;
+    }
+    if (int64_t(T) > n_win) T = 1;
+    std::vector<std::vector<K2>> parts(T);
+    if (k <= 32) {
+        const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+        const int rc_top = 2 * (k - 1);
+        run_team(T, [&](int t) {
+            const int64_t wlo = n_win * t / T, whi = n_win * (t + 1) / T;
+            auto& seg = parts[t];
+            seg.resize(size_t(whi - wlo) * (mode == COMPLEMENTS ? 2 : 1));
+            K2* w = seg.data();
+            uint64_t fwd = 0, rc = 0;
+            int64_t last_bad = wlo - 1;
+            for (int64_t j = wlo; j < wlo + k - 1; ++j) {
+                const uint8_t b = buf[j];
+                const uint64_t c = code_tab[b] & 3u;
+                fwd = ((fwd << 2) | c) & mask;
+                rc = (rc >> 2) | ((3ull - c) << rc_top);
+                if (!valid_tab[b]) last_bad = j;
+            }
+            for (int64_t i = wlo; i < whi; ++i) {
+                const uint8_t b = buf[i + k - 1];
+                const uint64_t c = code_tab[b] & 3u;
+                fwd = ((fwd << 2) | c) & mask;
+                rc = (rc >> 2) | ((3ull - c) << rc_top);
+                if (!valid_tab[b]) last_bad = i + k - 1;
+                const bool ok = last_bad < i;
+                switch (mode) {
+                    case PLAIN:
+                        *w = {fwd, 0};
+                        w += ok;
+                        break;
+                    case COMPLEMENTS:
+                        w[0] = {fwd, 0};
+                        w[1] = {rc, 0};
+                        w += 2 * ok;
+                        break;
+                    default:
+                        *w = {fwd < rc ? fwd : rc, 0};
+                        w += ok;
+                }
+            }
+            seg.resize(size_t(w - seg.data()));
+        });
+    } else {
+        const int hi_bits = 2 * k - 64;
+        const uint64_t hi_mask =
+            (hi_bits == 64) ? ~0ull : ((1ull << hi_bits) - 1);
+        const int rc_top = hi_bits - 2;
+        run_team(T, [&](int t) {
+            const int64_t wlo = n_win * t / T, whi = n_win * (t + 1) / T;
+            auto& seg = parts[t];
+            seg.resize(size_t(whi - wlo) * (mode == COMPLEMENTS ? 2 : 1));
+            K2* w = seg.data();
+            uint64_t flo = 0, fhi = 0, rlo = 0, rhi = 0;
+            int64_t last_bad = wlo - 1;
+            auto step = [&](int64_t j) {
+                const uint8_t b = buf[j];
+                const uint64_t c = code_tab[b] & 3u;
+                fhi = ((fhi << 2) | (flo >> 62)) & hi_mask;
+                flo = (flo << 2) | c;
+                rlo = (rlo >> 2) | (rhi << 62);
+                rhi = (rhi >> 2) | ((3ull - c) << rc_top);
+                if (!valid_tab[b]) last_bad = j;
+            };
+            for (int64_t j = wlo; j < wlo + k - 1; ++j) step(j);
+            for (int64_t i = wlo; i < whi; ++i) {
+                step(i + k - 1);
+                const bool ok = last_bad < i;
+                switch (mode) {
+                    case PLAIN:
+                        *w = {flo, fhi};
+                        w += ok;
+                        break;
+                    case COMPLEMENTS:
+                        w[0] = {flo, fhi};
+                        w[1] = {rlo, rhi};
+                        w += 2 * ok;
+                        break;
+                    default: {
+                        const K2 f{flo, fhi}, r{rlo, rhi};
+                        *w = k2_less(r, f) ? r : f;
+                        w += ok;
+                    }
+                }
+            }
+            seg.resize(size_t(w - seg.data()));
+        });
+    }
+    int64_t total = 0;
+    std::vector<int64_t> offs(T + 1, 0);
+    for (int t = 0; t < T; ++t) {
+        offs[t] = total;
+        total += int64_t(parts[t].size());
+    }
+    out.clear();
+    try {
+        out.resize(size_t(total));
+    } catch (...) {
+        return -1;
+    }
+    if (total == 0) return 0;
+    run_team(T, [&](int t) {
+        memcpy(out.data() + offs[t], parts[t].data(),
+               parts[t].size() * sizeof(K2));
+        parts[t] = {};
+    });
+    K2* tmp = (K2*)malloc(size_t(total) * sizeof(K2));
+    if (!tmp) return -1;
+    radix_sort_k2(out.data(), tmp, total, 2 * k, T);
+    free(tmp);
+    const int s = 128 - 2 * k;  // left-align: prefix order = numeric order
+    if (s) {
+        run_team(T, [&](int t) {
+            const int64_t lo = total * t / T, hi = total * (t + 1) / T;
+            for (int64_t i = lo; i < hi; ++i) {
+                K2& v = out[i];
+                if (s >= 64) {
+                    v.hi = v.lo << (s - 64);
+                    v.lo = 0;
+                } else {
+                    v.hi = (v.hi << s) | (v.lo >> (64 - s));
+                    v.lo <<= s;
+                }
+            }
+        });
+    }
+    return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Multi-k variant: ks[0..nk) distinct lengths (each 1..64); the merged
+// sorted stream of all per-k streams goes through write_cb.  Same return
+// contract as kstream_core_run.
+int64_t kstream_core_run_multi(const uint8_t* buf, int64_t n,
+                               const int32_t* ks, int nk, int mode,
+                               const uint8_t* code_tab,
+                               const uint8_t* valid_tab,
+                               const uint8_t* decode_tab, int threads,
+                               ks_write_fn write_cb) {
+    if (nk <= 0) return 0;
+    for (int s = 0; s < nk; ++s)
+        if (ks[s] < 1 || ks[s] > 64) return 0;
+    int T = threads > 0 ? threads : 1;
+    PhaseClock clk;
+
+    std::vector<std::vector<K2>> streams(nk);
+    int64_t total = 0;
+    for (int s = 0; s < nk; ++s) {
+        const int64_t got = build_sorted_aligned(
+            buf, n, ks[s], mode, code_tab, valid_tab, T, streams[s]);
+        if (got < 0) return -1;
+        total += got;
+    }
+    clk.lap("build");
+    if (total == 0) return 0;
+
+    std::vector<uint8_t> lut(size_t(65536) * 8);
+    for (uint32_t v = 0; v < 65536; ++v)
+        for (int j = 0; j < 8; ++j)
+            lut[size_t(v) * 8 + j] = decode_tab[(v >> (14 - 2 * j)) & 3];
+
+    const int64_t CAP = 1 << 25;  // slab bytes
+    uint8_t* slab = (uint8_t*)malloc(size_t(CAP) + 80);
+    if (!slab) return -1;
+    int64_t used = 0;
+    std::vector<int64_t> head(nk, 0);
+    for (int64_t emitted = 0; emitted < total; ++emitted) {
+        int best = -1;
+        for (int s = 0; s < nk; ++s) {
+            if (head[s] >= int64_t(streams[s].size())) continue;
+            if (best < 0) {
+                best = s;
+                continue;
+            }
+            const K2& a = streams[s][head[s]];
+            const K2& b = streams[best][head[best]];
+            // aligned numeric order; on a full prefix tie (equal aligned
+            // values) the shorter k-mer sorts first ('\n' < 'A')
+            if (a.hi != b.hi ? a.hi < b.hi
+                : a.lo != b.lo ? a.lo < b.lo : ks[s] < ks[best])
+                best = s;
+        }
+        const int k = ks[best];
+        const K2 v = streams[best][head[best]++];
+        uint8_t* row = slab + used;
+        const int J = (k + 7) / 8;
+        for (int j = 0; j < J; ++j) {
+            const uint64_t word = (j < 4) ? v.hi : v.lo;
+            const uint16_t idx = uint16_t(word >> (48 - 16 * (j & 3)));
+            memcpy(row + 8 * j, &lut[size_t(idx) * 8], 8);
+        }
+        row[k] = '\n';
+        used += k + 1;
+        if (used + 80 > CAP) {
+            if (write_cb(slab, used) < 0) {
+                free(slab);
+                return -2;
+            }
+            used = 0;
+        }
+    }
+    if (used && write_cb(slab, used) < 0) {
+        free(slab);
+        return -2;
+    }
+    clk.lap("merge");
+    free(slab);
+    return total;
+}
+
+}  // extern "C"

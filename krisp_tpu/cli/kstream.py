@@ -99,6 +99,34 @@ def main(argv=None):
                            mapsoft=args.map_softmask,
                            expandiupac=args.expand_iupac, split=args.split,
                            sort=args.sort, sortcols=args.sort_cols)
+        if plan is None and args.sort and not (args.sort_cols
+                or args.split or args.expand_iupac
+                or args.allow is not None) and args.disallow is not None \
+                and set(args.disallow) == {"N", "n"} \
+                and isinstance(args.kmers, list) and len(args.kmers) > 1 \
+                and all(1 <= k <= 64 for k in args.kmers):
+            # multi-k sorted jobs: native per-k tables + lexicographic
+            # merge (byte-identical to the string pipeline, which remains
+            # the fallback when the probe or budget declines)
+            from ..kstream_vec import run_multi_k_kstream
+            mode = ("canonicals" if args.canonicals
+                    else "complements" if args.complements else "plain")
+            try:
+                sink = (open(args.output, "wb") if args.output is not None
+                        else sys.stdout.buffer)
+                try:
+                    done = run_multi_k_kstream(
+                        args.file, args.kmers, mode, args.omit_softmask,
+                        args.map_softmask, sink)
+                    if args.output is None:
+                        sys.stdout.buffer.flush()
+                finally:
+                    if args.output is not None:
+                        sink.close()
+                if done is not None:
+                    return 0
+            except BrokenPipeError:
+                return 0
         if plan is not None:
             try:
                 if args.output is not None:

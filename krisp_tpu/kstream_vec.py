@@ -224,6 +224,10 @@ def _load_core():
             lib.kstream_core_run.argtypes = args
             lib.kstream_core_run_w2.restype = ctypes.c_int64
             lib.kstream_core_run_w2.argtypes = args
+            lib.kstream_core_run_multi.restype = ctypes.c_int64
+            lib.kstream_core_run_multi.argtypes = [
+                args[0], ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int, ctypes.c_int] + args[4:]
         _CORE = lib if lib is not None else False
     return _CORE or None
 
@@ -320,3 +324,63 @@ def run_vec_kstream(path, plan: DevicePlan, out_stream,
     counts = np.diff(np.append(starts, total))
     _emit(out_stream, keys[starts], counts, k)
     return int(total)
+
+
+def run_multi_k_kstream(path, ks, mode, omit_soft, map_soft, out_stream,
+                        buf: np.ndarray | None = None):
+    """Multi-k sorted stream through the native core: per-k sorted aligned
+    key arrays merged lexicographically (a shorter k-mer that prefixes a
+    longer one sorts first, matching LC_ALL=C line order).  Returns the
+    line count, or None when ineligible (no native core, content probe,
+    or host-memory budget) — the caller falls back to the exact string
+    pipeline."""
+    lib = _load_core()
+    if lib is None or not ks or any(k < 1 or k > 64 for k in ks):
+        return None
+    if len(set(ks)) != len(ks):
+        return None            # duplicate lengths: exact pipeline handles
+    probe = DevicePlan(k=max(ks), mode=mode, omit_soft=omit_soft,
+                      map_soft=map_soft)
+    if buf is None:
+        buf = load_buffer(path)
+    if not content_ok(buf, probe):
+        return None
+    strands = 2 if mode == "complements" else 1
+    est = buf.size * strands * 32 * len(ks) + (1 << 26)
+    from .kstream_fast import _mem_available
+    budget = int(os.environ.get("KRISP_TPU_HOST_BUDGET",
+                                max(_mem_available() // 2, 1 << 30)))
+    if est > budget:
+        return None
+    code = np.ascontiguousarray(dna.CODE2_TABLE, np.uint8)
+    valid = np.ascontiguousarray(
+        dna.base_validity_table(2, disallow="Nn",
+                                omit_soft=omit_soft), np.uint8)
+    decode = np.ascontiguousarray(dna.DECODE2[:4], np.uint8)
+    buf = np.ascontiguousarray(buf)
+    ks_arr = np.ascontiguousarray(sorted(ks), np.int32)
+    T = max(1, min(os.cpu_count() or 1, 4, buf.size // 65536))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    cb_error: list = []
+
+    @_WRITE_FN
+    def write_cb(data, length):
+        try:
+            out_stream.write(memoryview(ctypes.cast(
+                data, ctypes.POINTER(ctypes.c_uint8 * length)).contents))
+            return length
+        except BaseException as exc:  # never unwind through C
+            cb_error.append(exc)
+            return -1
+
+    n_keys = lib.kstream_core_run_multi(
+        buf.ctypes.data_as(u8p), buf.size, 
+        ks_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(ks), _MODE_ID[mode],
+        code.ctypes.data_as(u8p), valid.ctypes.data_as(u8p),
+        decode.ctypes.data_as(u8p), T, write_cb)
+    if cb_error:
+        raise cb_error[0]
+    if n_keys < 0:
+        return None
+    return int(n_keys)

@@ -221,3 +221,25 @@ def test_two_word_native_matches_string_pipeline(mode, k, tmp_path):
     want = _string_pipeline(path, plan)
     assert out.getvalue() == want
     assert n == want.count(b"\n")
+
+
+@pytest.mark.parametrize("mode", ["plain", "complements", "canonicals"])
+def test_multi_k_native_matches_string_pipeline(mode, tmp_path):
+    """Multi-k sorted jobs merge per-k native tables lexicographically;
+    oracle is the exact string pipeline (prefix ties: shorter k first)."""
+    from krisp_tpu import kstream_vec as kv
+
+    if kv._load_core() is None:
+        pytest.skip("native core unavailable (no toolchain)")
+    rng = np.random.default_rng(len(mode) * 31)
+    path = _mkfasta(tmp_path, "mk.fa",
+                    [_rand_seq(rng, 600), "A" * 80, _rand_seq(rng, 90)])
+    ks = [5, 6, 40]           # spans both key widths + heavy prefix ties
+    out = io.BytesIO()
+    n = kv.run_multi_k_kstream(path, ks, mode, False, False, out)
+    s = KStream(kmers=ks, disallow="Nn", sort=True,
+                complements=mode == "complements",
+                canonicals=mode == "canonicals")
+    want = "".join(x + "\n" for x in s(path)).encode()
+    assert out.getvalue() == want
+    assert n == want.count(b"\n")
