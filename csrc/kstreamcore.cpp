@@ -26,6 +26,8 @@
 // returning the emitted line count (output bytes stream through write_cb
 // in bounded slabs; -1 = allocation failure, -2 = callback failure).
 
+#include <algorithm>
+#include <atomic>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
@@ -74,10 +76,66 @@ void run_team(int T, F&& body) {
 // buckets — per-thread cursor tables stay L2-resident while halving the
 // pass count vs 8-bit digits).  `tmp` is scratch of the same size; the
 // sorted data always ends back in `a`.
+// Large-n variant: ONE top-digit MSD partition pass (the only pass whose
+// scatter walks the whole array), then each bucket — now ~n/16K keys,
+// cache/TLB-resident — is fully sorted independently with dynamic
+// bucket-stealing across the team.  Past ~32M keys the plain LSD's 4
+// full-array scatter passes thrash the TLB (measured 3.3x rate loss at
+// 500M keys); this replaces 4 full walks with 1 + in-cache work.
+// Output is a full numeric sort either way — identical bytes.
+void msd_bucket_sort_u64(uint64_t* a, uint64_t* tmp, int64_t n, int bits,
+                         int T) {
+    constexpr int DIG = 14;
+    constexpr int NB = 1 << DIG;
+    const int top_shift = bits > DIG ? bits - DIG : 0;
+    std::vector<std::vector<int64_t>> counts(T), starts(T);
+    for (int t = 0; t < T; ++t) {
+        counts[t].assign(NB, 0);
+        starts[t].resize(NB);
+    }
+    run_team(T, [&](int t) {
+        auto& c = counts[t];
+        const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+        for (int64_t i = lo; i < hi; ++i)
+            c[(a[i] >> top_shift) & (NB - 1)]++;
+    });
+    std::vector<int64_t> bucket_lo(NB + 1);
+    int64_t off = 0;
+    for (int d = 0; d < NB; ++d) {
+        bucket_lo[d] = off;
+        for (int t = 0; t < T; ++t) {
+            starts[t][d] = off;
+            off += counts[t][d];
+        }
+    }
+    bucket_lo[NB] = n;
+    run_team(T, [&](int t) {
+        int64_t* s = starts[t].data();
+        const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint64_t v = a[i];
+            tmp[s[(v >> top_shift) & (NB - 1)]++] = v;
+        }
+    });
+    std::atomic<int> next{0};
+    run_team(T, [&](int) {
+        for (int d = next.fetch_add(1); d < NB; d = next.fetch_add(1)) {
+            const int64_t lo = bucket_lo[d], hi = bucket_lo[d + 1];
+            if (lo == hi) continue;
+            std::sort(tmp + lo, tmp + hi);
+            memcpy(a + lo, tmp + lo, size_t(hi - lo) * 8);
+        }
+    });
+}
+
 void radix_sort_u64(uint64_t* a, uint64_t* tmp, int64_t n, int bits,
                     int T) {
     constexpr int DIG = 14;
     constexpr int NB = 1 << DIG;
+    if (n >= (int64_t(1) << 25) && bits > DIG) {
+        msd_bucket_sort_u64(a, tmp, n, bits, T);
+        return;
+    }
     const int passes = (bits + DIG - 1) / DIG;
     std::vector<std::vector<int64_t>> counts(T), starts(T);
     for (int t = 0; t < T; ++t) {
