@@ -714,7 +714,9 @@ int64_t kstream_core_run_multi(const uint8_t* buf, int64_t n,
                                ks_write_fn write_cb) {
     if (nk <= 0) return 0;
     for (int s = 0; s < nk; ++s)
-        if (ks[s] < 1 || ks[s] > 64) return 0;
+        if (ks[s] < 1 || ks[s] > 64) return -3;  // invalid k: caller must
+                                                 // fall back, not emit
+                                                 // empty output as success
     int T = threads > 0 ? threads : 1;
     PhaseClock clk;
 

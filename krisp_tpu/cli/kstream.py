@@ -44,9 +44,9 @@ def parse_args(argv):
     parser.add_argument("-s", "--sort", action="store_true",
                         help="Sort resulting kmers")
     parser.add_argument("--sort-np", type=int, default=1,
-                        help="Number of processores to use for sorting "
-                             "(no effect here: sorting is a device/in-memory "
-                             "kernel; accepted for CLI parity)")
+                        help="Number of processors to use for sorting "
+                             "(sets the native host core's thread-team "
+                             "size; mirrors GNU sort --parallel)")
     parser.add_argument("--sort-mem", type=str,
                         help="Amount of memory to use for sorting, GNU "
                              "sort -S grammar (N%%, K/M/G, bare = KiB): "
@@ -75,14 +75,12 @@ def parse_args(argv):
 def main(argv=None):
     from ..kstream import KStream
 
+    import os
+
     args = parse_args(sys.argv[1:] if argv is None else argv)
     if args.devices is not None:
-        import os
         os.environ["KRISP_TPU_DEVICES"] = str(args.devices)
-    if args.sort_np != 1:
-        print("kstream: note: --sort-np has no effect (device/in-memory "
-              "sort; flag accepted for reference CLI parity)",
-              file=sys.stderr)
+    sort_np = args.sort_np if args.sort_np != 1 else None
 
     # Fast path: eligible extract+sort configurations run on the
     # host-vectorized or device packed-key engine (identical output bytes;
@@ -92,6 +90,7 @@ def main(argv=None):
     if args.file != "-":
         from ..kstream_device import device_plan
         from ..kstream_fast import run_fast_kstream
+        engine = os.environ.get("KRISP_TPU_KSTREAM_ENGINE", args.engine)
         plan = device_plan(kmers=args.kmers, complements=args.complements,
                            canonicals=args.canonicals, allow=args.allow,
                            disallow=args.disallow,
@@ -104,10 +103,12 @@ def main(argv=None):
                 or args.allow is not None) and args.disallow is not None \
                 and set(args.disallow) == {"N", "n"} \
                 and isinstance(args.kmers, list) and len(args.kmers) > 1 \
-                and all(1 <= k <= 64 for k in args.kmers):
+                and all(1 <= k <= 64 for k in args.kmers) \
+                and engine in ("auto", "host"):
             # multi-k sorted jobs: native per-k tables + lexicographic
             # merge (byte-identical to the string pipeline, which remains
-            # the fallback when the probe or budget declines)
+            # the fallback when the probe or budget declines).  A forced
+            # non-host --engine skips this host-native path.
             from ..kstream_vec import run_multi_k_kstream
             mode = ("canonicals" if args.canonicals
                     else "complements" if args.complements else "plain")
@@ -117,7 +118,8 @@ def main(argv=None):
                 try:
                     done = run_multi_k_kstream(
                         args.file, args.kmers, mode, args.omit_softmask,
-                        args.map_softmask, sink)
+                        args.map_softmask, sink, mem=args.sort_mem,
+                        threads=sort_np)
                     if args.output is None:
                         sys.stdout.buffer.flush()
                 finally:
@@ -133,12 +135,14 @@ def main(argv=None):
                     with open(args.output, "wb") as fout:
                         done = run_fast_kstream(args.file, plan, fout,
                                                 engine=args.engine,
-                                                mem=args.sort_mem)
+                                                mem=args.sort_mem,
+                                                threads=sort_np)
                 else:
                     done = run_fast_kstream(args.file, plan,
                                             sys.stdout.buffer,
                                             engine=args.engine,
-                                            mem=args.sort_mem)
+                                            mem=args.sort_mem,
+                                            threads=sort_np)
                     sys.stdout.buffer.flush()
                 if done is not None:
                     return 0

@@ -51,7 +51,7 @@ def host_bytes_estimate(n_bases: int, plan: DevicePlan) -> int:
 
 
 def run_fast_kstream(path, plan: DevicePlan, out_stream, engine: str = "auto",
-                     mem=None):
+                     mem=None, threads=None):
     """Run the plan on the selected engine.  Returns the emitted line
     count, or None when the input content requires the exact string
     pipeline (IUPAC/RNA/case probe — identical for both engines).
@@ -59,7 +59,9 @@ def run_fast_kstream(path, plan: DevicePlan, out_stream, engine: str = "auto",
     ``mem``: a GNU ``sort -S``-style spec (the CLI's --sort-mem).  When
     given it caps the host engine's memory budget, steering jobs past the
     cap onto the device engine's spill-segmented path — the TPU analog of
-    bounding GNU sort's buffer."""
+    bounding GNU sort's buffer.  ``threads``: the CLI's --sort-np (host
+    native-core team size; mirrors GNU sort --parallel,
+    reference kstream.py:66-74)."""
     engine = os.environ.get("KRISP_TPU_KSTREAM_ENGINE", engine)
     if engine not in ("auto", "host", "device"):
         raise ValueError(f"unknown kstream engine {engine!r}")
@@ -72,7 +74,8 @@ def run_fast_kstream(path, plan: DevicePlan, out_stream, engine: str = "auto",
             from .kstream import parse_memory_spec
             budget = min(budget, parse_memory_spec(mem))
         if engine == "host" or host_bytes_estimate(buf.size, plan) <= budget:
-            return run_vec_kstream(path, plan, out_stream, buf=buf)
+            return run_vec_kstream(path, plan, out_stream, buf=buf,
+                                   threads=threads)
     if engine == "host":
         return None         # caller falls back to the string pipeline
 

@@ -232,7 +232,17 @@ def _load_core():
     return _CORE or None
 
 
-def _run_native(buf: np.ndarray, plan: DevicePlan, out_stream):
+def _core_threads(n_items: int, threads=None) -> int:
+    """Native-core team size: the caller's --sort-np when given (the
+    reference forwards it to GNU sort --parallel, kstream.py:66-74), else
+    a cache-friendly heuristic; always floored by the work available."""
+    if threads is not None and threads > 0:
+        return max(1, min(int(threads), max(1, n_items // 4096)))
+    return max(1, min(os.cpu_count() or 1, 4, n_items // 65536))
+
+
+def _run_native(buf: np.ndarray, plan: DevicePlan, out_stream,
+                threads=None):
     """One native call: rolling pack -> parallel radix sort -> text decode
     (csrc/kstreamcore.cpp), output streamed back through a write callback
     in bounded slabs (peak memory = keys + radix scratch + one slab).
@@ -250,7 +260,7 @@ def _run_native(buf: np.ndarray, plan: DevicePlan, out_stream):
     decode = np.ascontiguousarray(dna.DECODE2[:4], np.uint8)
     buf = np.ascontiguousarray(buf)
     n_win = buf.size - k + 1
-    T = max(1, min(os.cpu_count() or 1, 4, n_win // 65536))
+    T = _core_threads(n_win, threads)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     cb_error: list = []
 
@@ -277,11 +287,12 @@ def _run_native(buf: np.ndarray, plan: DevicePlan, out_stream):
 
 
 def run_vec_kstream(path, plan: DevicePlan, out_stream,
-                    buf: np.ndarray | None = None):
+                    buf: np.ndarray | None = None, threads=None):
     """Execute the plan on the host; writes sorted k-mer lines to
     ``out_stream`` (binary).  Returns the line count, or None when the
     input content requires the exact string pipeline (same probe as the
-    device path)."""
+    device path).  ``threads``: the CLI's --sort-np when set (native-core
+    team size; the numpy path keeps its own heuristic pool)."""
     if not vec_eligible(plan):
         return None
     k = plan.k
@@ -294,9 +305,9 @@ def run_vec_kstream(path, plan: DevicePlan, out_stream,
 
     if k > 32:
         # two-word native core only; no numpy mirror for 33..64
-        return _run_native(buf, plan, out_stream)
+        return _run_native(buf, plan, out_stream, threads)
     if os.environ.get("KRISP_TPU_KSTREAM_HOST", "native") != "numpy":
-        n = _run_native(buf, plan, out_stream)
+        n = _run_native(buf, plan, out_stream, threads)
         if n is not None:
             return n
 
@@ -327,13 +338,16 @@ def run_vec_kstream(path, plan: DevicePlan, out_stream,
 
 
 def run_multi_k_kstream(path, ks, mode, omit_soft, map_soft, out_stream,
-                        buf: np.ndarray | None = None):
+                        buf: np.ndarray | None = None, mem=None,
+                        threads=None):
     """Multi-k sorted stream through the native core: per-k sorted aligned
     key arrays merged lexicographically (a shorter k-mer that prefixes a
     longer one sorts first, matching LC_ALL=C line order).  Returns the
     line count, or None when ineligible (no native core, content probe,
     or host-memory budget) — the caller falls back to the exact string
-    pipeline."""
+    pipeline.  ``mem`` (GNU sort -S grammar, the CLI's --sort-mem) caps
+    the budget the same way run_fast_kstream does; ``threads`` is the
+    CLI's --sort-np."""
     lib = _load_core()
     if lib is None or not ks or any(k < 1 or k > 64 for k in ks):
         return None
@@ -350,6 +364,9 @@ def run_multi_k_kstream(path, ks, mode, omit_soft, map_soft, out_stream,
     from .kstream_fast import _mem_available
     budget = int(os.environ.get("KRISP_TPU_HOST_BUDGET",
                                 max(_mem_available() // 2, 1 << 30)))
+    if mem is not None:
+        from .kstream import parse_memory_spec
+        budget = min(budget, parse_memory_spec(mem))
     if est > budget:
         return None
     code = np.ascontiguousarray(dna.CODE2_TABLE, np.uint8)
@@ -359,7 +376,7 @@ def run_multi_k_kstream(path, ks, mode, omit_soft, map_soft, out_stream,
     decode = np.ascontiguousarray(dna.DECODE2[:4], np.uint8)
     buf = np.ascontiguousarray(buf)
     ks_arr = np.ascontiguousarray(sorted(ks), np.int32)
-    T = max(1, min(os.cpu_count() or 1, 4, buf.size // 65536))
+    T = _core_threads(buf.size, threads)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     cb_error: list = []
 

@@ -13,10 +13,24 @@ see BASELINE.md for the measurement plan on real slices.
 
 from __future__ import annotations
 
+import logging
+import os
+
 import numpy as np
 
 import jax
 from jax.sharding import Mesh
+
+logger = logging.getLogger("krisp_tpu")
+
+#: environment markers that mean a distributed bring-up was CONFIGURED —
+#: a failure with any of these present is a real pod fault (bad
+#: coordinator, version skew), not "single-process environment"
+_DIST_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+    "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
+    "TPU_WORKER_HOSTNAMES", "CLOUD_TPU_TASK_ID", "MEGASCALE_COORDINATOR_ADDRESS",
+)
 
 
 def init_runtime(coordinator_address=None, num_processes=None,
@@ -25,11 +39,25 @@ def init_runtime(coordinator_address=None, num_processes=None,
 
     On TPU pods the arguments are discovered from the environment; on CPU
     fleets pass them explicitly (coordinator host:port, world size, rank).
+
+    Failure semantics: on the implicit path, "nothing configured" is the
+    expected single-process case and returns False; but when the
+    environment says a cluster WAS configured (coordinator/world-size
+    variables present), a bring-up failure re-raises — silently degrading
+    a pod job to single-process would run N disconnected copies.
     """
     if num_processes is None and coordinator_address is None:
+        configured = [v for v in _DIST_ENV_VARS if os.environ.get(v)]
         try:
             jax.distributed.initialize()
-        except Exception:
+        except Exception as exc:
+            if configured:
+                logger.error(
+                    "multi-host bring-up failed with distributed "
+                    "environment configured (%s): %s",
+                    ", ".join(configured), exc)
+                raise
+            logger.debug("no distributed environment: %s", exc)
             return False  # single-process environment
         return True
     jax.distributed.initialize(coordinator_address=coordinator_address,

@@ -206,6 +206,26 @@ def test_pod_mesh_structure():
     assert mesh.devices.size == len(jax.devices())
 
 
+def test_init_runtime_failure_semantics(monkeypatch):
+    """Implicit bring-up failure: silent False only when NO distributed
+    environment is configured; with a coordinator configured the failure
+    re-raises (a pod job must not degrade to N disconnected copies)."""
+    from krisp_tpu.parallel import multihost
+
+    def boom():
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(multihost.jax.distributed, "initialize",
+                        lambda *a, **kw: boom())
+    for var in multihost._DIST_ENV_VARS:
+        monkeypatch.delenv(var, raising=False)
+    assert multihost.init_runtime() is False   # nothing configured
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "badhost:1234")
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        multihost.init_runtime()               # configured: fail loudly
+
+
 def _group_snapshot(groups):
     return sorted((g.left, g.right,
                    sorted((a.mid, tuple(sorted(a.label_counts.items())))

@@ -181,11 +181,15 @@ def test_native_core_matches_numpy_fuzz(monkeypatch):
         k = int(rng.integers(1, 33))
         comp, canon = [(False, False), (True, False),
                        (False, True)][trial % 3]
-        omit = bool(rng.integers(0, 2))
+        # softmask policy: none / omit / map — lowercase input appears for
+        # both omit and map so the native core's mapsoft handling is pinned
+        omit, mapsoft = [(False, False), (True, False),
+                         (False, True)][int(rng.integers(0, 3))]
         plan = device_plan(kmers=[k], complements=comp, canonicals=canon,
-                           disallow="Nn", omitsoft=omit, sort=True)
+                           disallow="Nn", omitsoft=omit, mapsoft=mapsoft,
+                           sort=True)
         n = int(rng.integers(k, 4000))
-        alpha = b"ACGTN" + (b"acgt" if omit else b"")
+        alpha = b"ACGTN" + (b"acgt" if omit or mapsoft else b"")
         buf = rng.choice(np.frombuffer(alpha, np.uint8), size=n)
         if n > 10:
             buf[rng.integers(0, n, 3)] = 0  # record sentinels
@@ -194,8 +198,8 @@ def test_native_core_matches_numpy_fuzz(monkeypatch):
         rn = kv.run_vec_kstream(None, plan, a, buf=buf.copy())
         monkeypatch.setenv("KRISP_TPU_KSTREAM_HOST", "native")
         rm = kv.run_vec_kstream(None, plan, b, buf=buf.copy())
-        assert rn == rm, (k, plan.mode, omit)
-        assert a.getvalue() == b.getvalue(), (k, plan.mode, omit)
+        assert rn == rm, (k, plan.mode, omit, mapsoft)
+        assert a.getvalue() == b.getvalue(), (k, plan.mode, omit, mapsoft)
 
 
 @pytest.mark.parametrize("mode", ["plain", "complements", "canonicals"])
@@ -243,3 +247,71 @@ def test_multi_k_native_matches_string_pipeline(mode, tmp_path):
     want = "".join(x + "\n" for x in s(path)).encode()
     assert out.getvalue() == want
     assert n == want.count(b"\n")
+
+
+def test_multi_k_respects_sort_mem(tmp_path):
+    """--sort-mem caps the multi-k native path's budget the same way it
+    caps the single-k fast path: a job whose estimate exceeds the cap
+    declines (returns None) so the CLI falls back to the bounded string
+    pipeline."""
+    from krisp_tpu import kstream_vec as kv
+
+    if kv._load_core() is None:
+        pytest.skip("native core unavailable (no toolchain)")
+    rng = np.random.default_rng(7)
+    path = _mkfasta(tmp_path, "mem.fa", [_rand_seq(rng, 5000)])
+    # estimate = 5k bases * 32 B * 2 ks + 64 MiB >> 1M
+    assert kv.run_multi_k_kstream(path, [5, 6], "plain", False, False,
+                                  io.BytesIO(), mem="1M") is None
+    # and with an ample cap it runs
+    n = kv.run_multi_k_kstream(path, [5, 6], "plain", False, False,
+                               io.BytesIO(), mem="2G")
+    assert n is not None and n > 0
+
+
+def test_multi_k_cli_respects_engine(tmp_path, capsys, monkeypatch):
+    """--engine device must bypass the host-native multi-k path (output
+    stays correct via the fallback pipelines)."""
+    from krisp_tpu import kstream_vec as kv
+    from krisp_tpu.cli.kstream import main
+
+    rng = np.random.default_rng(9)
+    path = _mkfasta(tmp_path, "eng.fa", [_rand_seq(rng, 300)])
+    calls = []
+    real = kv.run_multi_k_kstream
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(kv, "run_multi_k_kstream", spy)
+    monkeypatch.delenv("KRISP_TPU_KSTREAM_ENGINE", raising=False)
+    args = [str(path), "-k", "5", "6", "--disallow", "Nn", "--sort"]
+    main(args + ["--engine", "device"])
+    dev_out = capsys.readouterr().out
+    assert not calls                      # host-native path skipped
+    main(args)                            # auto: host-native path allowed
+    auto_out = capsys.readouterr().out
+    assert calls                          # (it may still decline inside)
+    assert dev_out == auto_out            # bytes identical either way
+
+
+def test_sort_np_threads_byte_identical(tmp_path):
+    """--sort-np changes the native team size, never the bytes."""
+    from krisp_tpu import kstream_vec as kv
+
+    if kv._load_core() is None:
+        pytest.skip("native core unavailable (no toolchain)")
+    rng = np.random.default_rng(13)
+    path = _mkfasta(tmp_path, "np.fa", [_rand_seq(rng, 3000)])
+    plan = device_plan(kmers=[11], disallow="Nn", sort=True,
+                       complements=True)
+    outs = []
+    for threads in (None, 1, 3):
+        out = io.BytesIO()
+        assert kv.run_vec_kstream(path, plan, out, threads=threads)
+        outs.append(out.getvalue())
+    assert outs[0] == outs[1] == outs[2]
+    # the thread request is honored (floored by available work)
+    assert kv._core_threads(1 << 20, 3) == 3
+    assert kv._core_threads(8192, 64) == 2   # capped by items//4096
