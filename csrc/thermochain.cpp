@@ -56,6 +56,8 @@ extern "C" int krisp_thermo_chain(
     const double* hairpin_ds,  // [max_loop+1] entropic loop tables
     int32_t max_loop,
     double tmm_ds,    // loop-closure terminal-mismatch dS (loops > 3 nt)
+    double dangle5_ds,  // 5'-dangle dS at the open stem end (hairpins,
+                        // outermost helix with i0 > 0; nn.DANGLE5_DS)
     double t37,       // 310.15 K
     double salt_ds,   // 0.368 * ln(salt): dS salt correction
     double rlogc,     // R * ln(c/4): duplex Tm concentration term
@@ -80,7 +82,11 @@ extern "C" int krisp_thermo_chain(
     for (int rr = 0; rr < R; ++rr) {
       const int64_t r = lo + order[rr];
       buf.clear();
-      buf.push_back({rdh[r], rds[r], static_cast<uint8_t>(rlen[r] >= 3)});
+      // base entry = this run as the OUTERMOST helix; hairpin chains
+      // whose outer stem carries a 5' flank base earn the dangle term
+      const double ds0 =
+          rds[r] + ((hairpin && i0[r] > 0) ? dangle5_ds : 0.0);
+      buf.push_back({rdh[r], ds0, static_cast<uint8_t>(rlen[r] >= 3)});
       for (int ss = 0; ss < rr; ++ss) {
         const int64_t s = lo + order[ss];
         const int g1 = i0[r] - i1[s] - 1;

@@ -59,7 +59,8 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32,          # inner_desc, hairpin
             ctypes.c_void_p,                         # end_i (or NULL)
             _F64, _F64, _F64, ctypes.c_int32,        # loop tables, max_loop
-            ctypes.c_double, ctypes.c_double,        # tmm_ds, t37
+            ctypes.c_double, ctypes.c_double,        # tmm_ds, dangle5_ds
+            ctypes.c_double,                         # t37
             ctypes.c_double, ctypes.c_double,        # salt_ds, rlogc
             _F64,                                    # out
         ]
@@ -109,7 +110,8 @@ def _solve(runs, C, inner_desc, hairpin, end_i):
         cols["len"], dh, ds, int(inner_desc), int(hairpin),
         None if end_i is None else end_i.ctypes.data_as(ctypes.c_void_p),
         nn._BULGE_DS, nn._INTERNAL_DS, nn._HAIRPIN_DS, nn._MAX_LOOP,
-        nn.TMM_DS, nn._T37, salt_ds, rlogc, out.reshape(-1))
+        nn.TMM_DS, nn.DANGLE5_DS, nn._T37, salt_ds, rlogc,
+        out.reshape(-1))
     return out
 
 

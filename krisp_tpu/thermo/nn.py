@@ -289,6 +289,22 @@ _HAIRPIN_DS = -1000.0 * _HAIRPIN_DG / _T37
 #: tests/test_thermo.py.
 TMM_DS = 3.092400
 
+#: 5'-dangling-end stabilization at the hairpin's OPEN stem end, applied
+#: when >=1 unpaired base precedes the outermost helix's 5' start
+#: (Bommarito 2000: single-stranded nucleotides stacking on a terminal
+#: pair stabilize the helix; thal includes these terms).  Effective ΔG37 =
+#: -0.30 kcal/mol, mid-range of the published DNA dangling-end parameters,
+#: treated entropically like the loop terms.  This term settles the one
+#: README-workload selection divergence (r4's "template-end proximity"
+#: fingerprint): libprimer3 rejects the nine lower-penalty right-primer
+#: candidates whose hairpin stem carries a 5' flank (TH crosses the 40 °C
+#: gate: 40.2-46 °C across the full published dangle range -0.16..-0.35),
+#: while the published 25-mer's stem is flush at its 5' end and keeps the
+#: pinned 37.5163.  The open end's 3'-side dangle is implicitly absorbed
+#: in the TMM_DS calibration above (the calibration structure carries
+#: one).  Sensitivity pinned by tests/test_thermo.py.
+DANGLE5_DS = 0.30 * 1000.0 / _T37
+
 
 _KEYS_CACHE: dict = {}
 

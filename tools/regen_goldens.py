@@ -43,6 +43,9 @@ RUNS = [
                           "--amp_size", "50", "120", "--gc_clamp", "2",
                           "--min_samples", "4", "--crrna_len", "30",
                           "--var_location", "5", "16"]),
+    ("vcf_full", []),
+    ("vcf_chroms_260k_400k", ["--chroms", "Phyram_PR-102_s0001",
+                              "--pos", "260000", "400000"]),
 ]
 
 
