@@ -172,27 +172,32 @@ def _vcf_scan_rate(records=100_000, samples=100):
     return vps, ref_vps, rates
 
 
-def _kstream_rate(tmpdir: Path, k=28, size=2_000_000):
-    """kstream vertical: ``--kmers 28 --disallow Nn --sort --canonicals``
-    over a 2 Mb FASTA — ours through the production fast path
-    (kstream_fast.run_fast_kstream, engine=auto: the host-vectorized u64
-    engine here, byte-identical to the string pipeline —
-    tests/test_kstream_vec.py / test_kstream_device.py), the reference
-    CLI measured live on a smaller input and cached (rates compare
-    size-independently, as with the other baselines)."""
+def _kstream_rate(tmpdir: Path, k=28, size=2_000_000, flags=None,
+                  plan_kwargs=None, cache_key="kstream_ref_kmers_per_s",
+                  subdir="kstream"):
+    """kstream vertical: a flag shape over a 2 Mb FASTA — ours through the
+    production fast path (kstream_fast.run_fast_kstream, engine=auto:
+    byte-identical to the string pipeline — tests/test_kstream_vec.py /
+    test_kstream_device.py), the reference CLI measured live on a smaller
+    input and cached (rates compare size-independently, as with the other
+    baselines).  Default shape: ``--kmers 28 --disallow Nn --sort
+    --canonicals``."""
     from krisp_tpu.kstream_device import device_plan
     from krisp_tpu.kstream_fast import run_fast_kstream
 
-    flags = ["--kmers", str(k), "--disallow", "Nn", "--sort",
-             "--canonicals"]
-    paths = synth_genomes(tmpdir / "kstream", size)
+    if flags is None:
+        flags = ["--kmers", str(k), "--disallow", "Nn", "--sort",
+                 "--canonicals"]
+        plan_kwargs = dict(kmers=[k], canonicals=True, disallow="Nn",
+                           sort=True)
+    paths = synth_genomes(tmpdir / subdir, size)
 
     cache = REPO / "BASELINE_MEASURED.json"
     data = json.loads(cache.read_text()) if cache.exists() else {}
-    ref_rate = data.get("kstream_ref_kmers_per_s")
+    ref_rate = data.get(cache_key)
     if ref_rate is None:
         ref_size = 500_000
-        ref_paths = synth_genomes(tmpdir / "kstream_ref", ref_size)
+        ref_paths = synth_genomes(tmpdir / f"{subdir}_ref", ref_size)
         text = Path(ref_paths[0]).read_text()
         t0 = time.perf_counter()
         proc = subprocess.run(
@@ -205,7 +210,7 @@ def _kstream_rate(tmpdir: Path, k=28, size=2_000_000):
         if proc.returncode != 0:
             raise RuntimeError(proc.stderr[-500:].decode())
         ref_rate = (ref_size - k + 1) / dt
-        data["kstream_ref_kmers_per_s"] = ref_rate
+        data[cache_key] = ref_rate
         try:
             cache.write_text(json.dumps(data))
         except OSError:
@@ -215,7 +220,7 @@ def _kstream_rate(tmpdir: Path, k=28, size=2_000_000):
         def write(self, b):
             return len(b)
 
-    plan = device_plan(kmers=[k], canonicals=True, disallow="Nn", sort=True)
+    plan = device_plan(**plan_kwargs)
     assert plan is not None
     n = run_fast_kstream(paths[0], plan, _Sink())     # warm-up
     if n is None:
@@ -226,6 +231,21 @@ def _kstream_rate(tmpdir: Path, k=28, size=2_000_000):
         run_fast_kstream(paths[0], plan, _Sink())
         rates.append(n / (time.perf_counter() - t0))
     return max(rates), ref_rate, rates
+
+
+def _kstream_split_rate(tmpdir: Path, k=28, size=2_000_000):
+    """The reference's documented two-stage extraction shape (C12:
+    kstream.py:805-832 split + sortPipe -k columns, kstream.py:66-74):
+    ``--split 25 -2 --sort --sort-cols 0 2 --complements`` — the permuted
+    [flank|mid] key layout on the native v2 core."""
+    flags = ["--kmers", str(k), "--disallow", "Nn", "--complements",
+             "--split", "25", "-2", "--sort", "--sort-cols", "0", "2"]
+    plan_kwargs = dict(kmers=[k], complements=True, disallow="Nn",
+                       split=[25, -2], sort=True, sortcols=[0, 2])
+    return _kstream_rate(tmpdir, k, size, flags=flags,
+                         plan_kwargs=plan_kwargs,
+                         cache_key="kstream_split_ref_kmers_per_s",
+                         subdir="kstream_split")
 
 
 def _device_watchdog(timeout_s: float):
@@ -349,6 +369,17 @@ def main():
                 "spread_pct": _spread_pct(ks_samples)}
         except Exception as exc:
             print(f"kstream probe skipped: {exc!r}", file=sys.stderr)
+        try:
+            # split/sort-cols shape (the reference's two-stage extraction
+            # workflow) on the native v2 core
+            sp_rate, sp_ref, sp_samples = _kstream_split_rate(tmpdir)
+            out["kstream_split_kmers_per_s"] = round(sp_rate)
+            out["kstream_split_vs_reference"] = round(sp_rate / sp_ref, 2)
+            variance["kstream_split_kmers_per_s"] = {
+                "samples": [round(r) for r in sp_samples],
+                "spread_pct": _spread_pct(sp_samples)}
+        except Exception as exc:
+            print(f"kstream split probe skipped: {exc!r}", file=sys.stderr)
         out["variance"] = variance
         if out["vs_baseline"] < 100:
             print(f"WARNING: vs_baseline {out['vs_baseline']} below the "

@@ -559,12 +559,14 @@ int64_t kstream_core_run_w2(const uint8_t* buf, int64_t n, int k, int mode,
 
 namespace {
 
-// Sorted, LEFT-aligned (top-of-128-bit) keys for one k.  Returns the key
-// count, or -1 on allocation failure.
-int64_t build_sorted_aligned(const uint8_t* buf, int64_t n, int k,
-                             int mode, const uint8_t* code_tab,
-                             const uint8_t* valid_tab, int T,
-                             std::vector<K2>& out) {
+// Phase A for any k in 1..64: per-window K2 keys (right-aligned 2k bits,
+// window-start base highest), validity-compacted, in window order
+// (complements interleave fwd,rc per window).  Returns the key count, or
+// -1 on allocation failure.
+int64_t collect_window_keys(const uint8_t* buf, int64_t n, int k,
+                            int mode, const uint8_t* code_tab,
+                            const uint8_t* valid_tab, int T,
+                            std::vector<K2>& out) {
     const int64_t n_win = n - k + 1;
     if (n_win <= 0) {
         out.clear();
@@ -676,6 +678,19 @@ int64_t build_sorted_aligned(const uint8_t* buf, int64_t n, int k,
                parts[t].size() * sizeof(K2));
         parts[t] = {};
     });
+    return total;
+}
+
+// Sorted, LEFT-aligned (top-of-128-bit) keys for one k.  Returns the key
+// count, or -1 on allocation failure.
+int64_t build_sorted_aligned(const uint8_t* buf, int64_t n, int k,
+                             int mode, const uint8_t* code_tab,
+                             const uint8_t* valid_tab, int T,
+                             std::vector<K2>& out) {
+    const int64_t total = collect_window_keys(buf, n, k, mode, code_tab,
+                                              valid_tab, T, out);
+    if (total <= 0) return total;
+    if (int64_t(T) > total) T = 1;
     K2* tmp = (K2*)malloc(size_t(total) * sizeof(K2));
     if (!tmp) return -1;
     radix_sort_k2(out.data(), tmp, total, 2 * k, T);
@@ -700,6 +715,182 @@ int64_t build_sorted_aligned(const uint8_t* buf, int64_t n, int k,
 }
 
 }  // namespace
+
+// ---------------------------------------------------------------------------
+// v2 path: the remaining CLI shapes — --split column output, --sort-cols
+// permuted sort order, unsorted jobs, any validity table (--allow rides the
+// caller-built table) — for one k in 1..64.  The reference reaches these
+// shapes through its per-character Python pipeline + GNU sort -k columns
+// (kstream.py:805-832 split, :66-74 sortPipe -k); here they are the same
+// packed-key engine with (a) an optional bit-permuted key layout so ONE
+// radix sort realizes `sort -t, -kC,C... ` + whole-line-tiebreak order, and
+// (b) a column-aware decode that inserts the commas at fixed offsets.
+//
+// Key layout algebra: every output column is a contiguous bitfield of the
+// right-aligned 2k-bit window key.  GNU sort's order (key columns first,
+// then the whole line as last resort) equals numeric order of the key
+// rebuilt as [sort columns | remaining columns in output order] — equal
+// sort columns make the duplicate comparisons redundant, and fixed column
+// widths make the comma positions align, so the ',' bytes never decide.
+
+namespace {
+
+inline K2 k2_shl(K2 a, int s) {
+    if (s == 0) return a;
+    if (s >= 64) return {0, s == 64 ? a.lo : a.lo << (s - 64)};
+    return {a.lo << s, (a.hi << s) | (a.lo >> (64 - s))};
+}
+
+inline K2 k2_shr(K2 a, int s) {
+    if (s == 0) return a;
+    if (s >= 64) return {s == 64 ? a.hi : a.hi >> (s - 64), 0};
+    return {(a.lo >> s) | (a.hi << (64 - s)), a.hi >> s};
+}
+
+inline K2 k2_or(K2 a, K2 b) { return {a.lo | b.lo, a.hi | b.hi}; }
+
+inline K2 k2_mask_low(K2 a, int nbits) {  // keep the low nbits
+    if (nbits >= 128) return a;
+    if (nbits >= 64) {
+        const int hb = nbits - 64;
+        return {a.lo, hb ? (a.hi & ((1ull << hb) - 1)) : 0};
+    }
+    return {nbits ? (a.lo & ((1ull << nbits) - 1)) : 0, 0};
+}
+
+}  // namespace
+
+extern "C" {
+
+// One k (1..64), full shape surface:
+//   do_sort   0 = emit in window order (unsorted jobs)
+//   col_src   [n_cols] base offset of output column i within the k-mer
+//   col_len   [n_cols] base length of output column i (may be 0)
+//   col_dst   [n_cols] base offset of column i within the PERMUTED key
+//   permute   1 = rebuild keys as the [sortcols|rest] layout before the
+//             sort (decode then reads col_dst; otherwise col_src)
+// The caller (kstream_vec.py) computes the column walk — including the
+// reference's clamped front/back split arithmetic and the sort-column
+// dedup — so this kernel only moves bits.  Same return contract as
+// kstream_core_run; -3 = invalid arguments.
+int64_t kstream_core_run_v2(const uint8_t* buf, int64_t n, int k, int mode,
+                            int do_sort, const int32_t* col_src,
+                            const int32_t* col_len, int n_cols,
+                            const int32_t* col_dst, int permute,
+                            const uint8_t* code_tab,
+                            const uint8_t* valid_tab,
+                            const uint8_t* decode_tab, int threads,
+                            ks_write_fn write_cb) {
+    if (k < 1 || k > 64 || n_cols < 1) return -3;
+    {
+        int64_t covered = 0;
+        for (int c = 0; c < n_cols; ++c) {
+            if (col_len[c] < 0 || col_src[c] < 0 ||
+                col_src[c] + col_len[c] > k || col_dst[c] < 0 ||
+                col_dst[c] + col_len[c] > k)
+                return -3;
+            covered += col_len[c];
+        }
+        if (covered != k) return -3;  // columns must partition the k-mer
+    }
+    if (n < k) return 0;
+    int T = threads > 0 ? threads : 1;
+    PhaseClock clk;
+
+    std::vector<K2> keys;
+    const int64_t total = collect_window_keys(buf, n, k, mode, code_tab,
+                                              valid_tab, T, keys);
+    if (total < 0) return -1;
+    if (total == 0) return 0;
+    if (int64_t(T) > total) T = 1;
+    clk.lap("pack");
+
+    if (do_sort && permute) {
+        // rebuild each key in the [sortcols | rest] bit layout
+        run_team(T, [&](int t) {
+            const int64_t lo = total * t / T, hi = total * (t + 1) / T;
+            for (int64_t i = lo; i < hi; ++i) {
+                const K2 v = keys[i];
+                K2 out{0, 0};
+                for (int c = 0; c < n_cols; ++c) {
+                    const int w = 2 * col_len[c];
+                    if (!w) continue;
+                    const int src_sh = 2 * (k - col_src[c] - col_len[c]);
+                    const int dst_sh = 2 * (k - col_dst[c] - col_len[c]);
+                    out = k2_or(out, k2_shl(
+                        k2_mask_low(k2_shr(v, src_sh), w), dst_sh));
+                }
+                keys[i] = out;
+            }
+        });
+        clk.lap("permute");
+    }
+    if (do_sort) {
+        K2* tmp = (K2*)malloc(size_t(total) * sizeof(K2));
+        if (!tmp) return -1;
+        radix_sort_k2(keys.data(), tmp, total, 2 * k, T);
+        free(tmp);
+        clk.lap("sort");
+    }
+
+    // decode: column fields read from the current layout
+    const int32_t* col_at = (do_sort && permute) ? col_dst : col_src;
+    const int W = k + n_cols;  // bases + (n_cols-1) commas + newline
+    const int64_t SLAB = 1 << 20;
+    uint8_t* slab = (uint8_t*)malloc(size_t(SLAB) * W + 16);
+    if (!slab) return -1;
+    std::vector<uint8_t> lut(size_t(65536) * 8);
+    for (uint32_t v = 0; v < 65536; ++v)
+        for (int j = 0; j < 8; ++j)
+            lut[size_t(v) * 8 + j] = decode_tab[(v >> (14 - 2 * j)) & 3];
+    // per-column char start within the row
+    std::vector<int> chr0(n_cols);
+    {
+        int pos = 0;
+        for (int c = 0; c < n_cols; ++c) {
+            chr0[c] = pos;
+            pos += col_len[c] + 1;  // ',' (or final '\n')
+        }
+    }
+    for (int64_t base = 0; base < total; base += SLAB) {
+        const int64_t rows = std::min(SLAB, total - base);
+        run_team(T, [&](int t) {
+            const int64_t lo = rows * t / T, hi = rows * (t + 1) / T;
+            for (int64_t i = lo; i < hi; ++i) {
+                uint8_t* row = slab + i * W;
+                const K2 v = keys[base + i];
+                for (int c = 0; c < n_cols; ++c) {
+                    const int bl = col_len[c];
+                    uint8_t* dst = row + chr0[c];
+                    if (bl) {
+                        // left-align the field at the top of 128 bits
+                        const int hi_bit = 2 * (k - col_at[c]);
+                        const K2 s = k2_shl(v, 128 - hi_bit);
+                        const int J = (bl + 7) / 8;
+                        for (int j = 0; j < J; ++j) {
+                            const uint64_t word = (j < 4) ? s.hi : s.lo;
+                            const uint16_t idx =
+                                uint16_t(word >> (48 - 16 * (j & 3)));
+                            const int take = std::min(8, bl - 8 * j);
+                            memcpy(dst + 8 * j, &lut[size_t(idx) * 8],
+                                   size_t(take));
+                        }
+                    }
+                    dst[bl] = (c + 1 < n_cols) ? ',' : '\n';
+                }
+            }
+        });
+        if (write_cb(slab, rows * W) < 0) {
+            free(slab);
+            return -2;
+        }
+    }
+    clk.lap("decode");
+    free(slab);
+    return total;
+}
+
+}  // extern "C"
 
 extern "C" {
 

@@ -31,31 +31,87 @@ class DevicePlan:
     mode: str            # "plain" | "complements" | "canonicals"
     omit_soft: bool
     map_soft: bool
+    #: --allow set (uppercase ACGT subset), or None; rides the validity
+    #: table on the host native core (kstream_vec.native_validity)
+    allow: str | None = None
+    #: --split column sizes (reference clamped front/back walk,
+    #: kstream.py:805-832); None = single whole-kmer column
+    split: tuple | None = None
+    #: --sort-cols indices (0-based, into the OUTPUT column order)
+    sortcols: tuple | None = None
+    #: False = emit in window order (unsorted jobs skip the sort phase)
+    sort: bool = True
+
+    @property
+    def v2(self) -> bool:
+        """Shapes that need the native v2 entry (split/sortcols/unsorted);
+        these run on the host native core only — no numpy mirror, no
+        device program."""
+        return (not self.sort) or self.split is not None
+
+    @property
+    def host_only(self) -> bool:
+        """Shapes outside the device engine's coverage."""
+        return self.v2 or self.allow is not None
+
+
+_COMP_BASE = {"A": "T", "T": "A", "C": "G", "G": "C"}
 
 
 def device_plan(kmers=None, complements=False, canonicals=False, allow=None,
                 disallow=None, omitsoft=False, mapsoft=False,
                 expandiupac=False, split=None, sort=False, sortcols=None):
-    """Return a DevicePlan when the configuration is device-eligible."""
-    if not sort or sortcols or split or expandiupac or allow is not None:
-        return None
-    if disallow is None or set(disallow) != {"N", "n"}:
-        return None
+    """Return a DevicePlan when the configuration is fast-path eligible.
+
+    Coverage (anything else returns None and the exact string pipeline
+    runs): one k-mer length; plain/complements/canonicals; N exclusion via
+    ``--disallow Nn`` or an ACGT-subset ``--allow``; softmask policies;
+    sorted or unsorted; ``--split`` columns with ``--sort-cols``;
+    ``--expand-iupac`` (an identity on the ACGT-only content the probe
+    admits — N windows are excluded by the gates above, so there is
+    nothing to expand)."""
     if kmers is None:
         return None
     klist = kmers if isinstance(kmers, (list, tuple)) else [kmers]
     if len(klist) != 1 or klist[0] > 512 or klist[0] < 1:
         return None
+    k = klist[0]
+    # N exclusion: required so no valid window can carry an uncodeable N
+    nn_disallow = disallow is not None and set(disallow) == {"N", "n"}
+    if allow is not None:
+        if not allow or not set(allow) <= set("ACGT"):
+            return None
+        if complements and any(_COMP_BASE[b] not in allow for b in allow):
+            # the reference filters fwd and revcomp INDEPENDENTLY after
+            # adding complements (kstream.py:203-235 order); per-window
+            # validity models that only for complement-closed sets
+            return None
+        if not nn_disallow and disallow is not None:
+            return None          # other disallow sets: string pipeline
+    elif not nn_disallow:
+        return None
     mode = ("canonicals" if canonicals
             else "complements" if complements else "plain")
-    return DevicePlan(k=klist[0], mode=mode, omit_soft=omitsoft,
-                      map_soft=mapsoft)
+    split_t = None
+    if split is not None:
+        split_t = (split,) if isinstance(split, int) else tuple(split)
+    sortcols_t = None
+    if sort and sortcols and split_t is not None:
+        if any(c < 0 for c in sortcols):
+            return None          # negative indices: string-pipeline quirk
+        sortcols_t = tuple(sortcols)
+    if (split_t is not None or not sort) and k > 64:
+        return None              # v2 shapes live in the <=64 native core
+    return DevicePlan(k=k, mode=mode, omit_soft=omitsoft,
+                      map_soft=mapsoft, allow=allow, split=split_t,
+                      sortcols=sortcols_t, sort=bool(sort))
 
 
 def content_ok(buf, plan: DevicePlan) -> bool:
     """Content probe shared by the device and host-vectorized engines:
-    they cover ACGT/N input (case per softmask policy); anything else
-    (IUPAC residues, RNA, lowercase without a softmask policy) falls back
+    they cover ACGT/N input (case per softmask policy — or under --allow,
+    where lowercase windows are dropped by validity); anything else (IUPAC
+    residues, RNA, lowercase that would pass through unchanged) falls back
     to the exact string pipeline."""
     present = np.zeros(256, bool)
     present[buf] = True
@@ -63,7 +119,7 @@ def content_ok(buf, plan: DevicePlan) -> bool:
     for b in "ACGTN":
         allowed[ord(b)] = True
     allowed[0] = True
-    if plan.omit_soft or plan.map_soft:
+    if plan.omit_soft or plan.map_soft or plan.allow is not None:
         for b in "acgtn":
             allowed[ord(b)] = True
     return not present[~allowed].any()
@@ -74,6 +130,8 @@ def run_device_kstream(path, plan: DevicePlan, out_stream):
     (binary).  Returns line count, or None when the input content forces a
     fallback to the host pipeline (IUPAC residues, RNA, lowercase without a
     softmask policy)."""
+    if plan.host_only:
+        return None          # split/sortcols/unsorted/allow: host engine
     k = plan.k
     buf = load_buffer(path)
     if not content_ok(buf, plan):

@@ -42,9 +42,10 @@ def host_bytes_estimate(n_bases: int, plan: DevicePlan) -> int:
     """Peak host-engine footprint, whichever of its two cores runs: the
     numpy path (u32 codes + u64 keys per strand + u64 temp + validity/raw
     bytes + slab-bounded decode) or the native core (u64 keys + u64 radix
-    scratch per strand; its decoded text streams out in bounded slabs)."""
+    scratch per strand; its decoded text streams out in bounded slabs).
+    The v2 shapes always carry two-word keys."""
     strands = 2 if plan.mode == "complements" else 1
-    key_bytes = 8 if plan.k <= 32 else 16
+    key_bytes = 8 if (plan.k <= 32 and not plan.v2) else 16
     numpy_peak = n_bases * (4 + 8 * strands + 8 + 2)
     native_peak = n_bases * strands * 2 * key_bytes + n_bases
     return max(numpy_peak, native_peak) + (1 << 26)
@@ -76,8 +77,11 @@ def run_fast_kstream(path, plan: DevicePlan, out_stream, engine: str = "auto",
         if engine == "host" or host_bytes_estimate(buf.size, plan) <= budget:
             return run_vec_kstream(path, plan, out_stream, buf=buf,
                                    threads=threads)
-    if engine == "host":
-        return None         # caller falls back to the string pipeline
+    if engine == "host" or plan.host_only:
+        # host-only shapes (split/sortcols/unsorted/allow) never route to
+        # the device program; over-budget or forced-device jobs take the
+        # bounded string pipeline instead
+        return None
 
     from .runtime import setup
     setup()

@@ -62,8 +62,32 @@ _SLAB = 1 << 20
 
 def vec_eligible(plan: DevicePlan) -> bool:
     """Host fast path: k <= 32 always (single-u64 numpy or native core);
-    33..64 when the native two-word core is available."""
+    33..64 when the native two-word core is available.  The v2 shapes
+    (split/sortcols/unsorted) have no numpy mirror — native core only."""
+    if plan.v2:
+        return plan.k <= 64 and _load_core() is not None
     return plan.k <= 32 or (plan.k <= 64 and _load_core() is not None)
+
+
+def native_validity(plan: DevicePlan) -> np.ndarray:
+    """Per-byte window validity composing the softmask policy with the
+    --allow/--disallow gates in the reference's parser order (mapsoft runs
+    BEFORE the allow test, kstream.py:203-235): uppercase ACGT valid iff
+    in the allow set (or no set); lowercase dropped under omit-softmask,
+    allow-tested as uppercase under map-softmask, and — with neither
+    policy — valid only without an allow set (where the content probe
+    already excluded it, since it would print unchanged).  N is never
+    valid in the 2-bit alphabet (plans guarantee its exclusion)."""
+    valid = np.zeros(256, np.bool_)
+    allow = plan.allow
+    for b in "ACGT":
+        ok = allow is None or b in allow
+        valid[ord(b)] = ok
+        if plan.omit_soft:
+            continue
+        if plan.map_soft or allow is None:
+            valid[ord(b.lower())] = ok
+    return valid
 
 
 def _pack_keys(codes: np.ndarray, k: int) -> np.ndarray:
@@ -228,8 +252,107 @@ def _load_core():
             lib.kstream_core_run_multi.argtypes = [
                 args[0], ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int, ctypes.c_int] + args[4:]
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.kstream_core_run_v2.restype = ctypes.c_int64
+            lib.kstream_core_run_v2.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,                       # do_sort
+                i32p, i32p, ctypes.c_int,           # col_src col_len n_cols
+                i32p, ctypes.c_int,                 # col_dst permute
+                u8p, u8p, u8p, ctypes.c_int, _WRITE_FN]
         _CORE = lib if lib is not None else False
     return _CORE or None
+
+
+def split_columns(k: int, spec):
+    """Output columns (offset, length) of a k-mer under the reference's
+    split walk (kstream.py:805-832 / our KStream._split_one): positive
+    sizes consume from the front, negative from the back, sizes clamp to
+    what remains; output order is [front parts..., middle, back parts in
+    ENCOUNTER order]."""
+    front, back = 0, k
+    pos, neg = [], []
+    for size in spec:
+        cur = back - front
+        if size >= 0:
+            take = min(size, cur)
+            pos.append((front, take))
+            front += take
+        else:
+            take = min(-size, cur)
+            neg.append((back - take, take))
+            back -= take
+    return pos + [(front, back - front)] + neg
+
+
+def v2_layout(k: int, split, sortcols, do_sort):
+    """(col_src, col_len, col_dst, permute) int32 arrays for the native v2
+    entry.  The sort-key layout is [sort columns (deduped, in order) |
+    remaining columns in output order] — numerically equal to GNU sort's
+    `-t, -kC,C...` + whole-line last-resort order over the fixed-width
+    lines (see csrc/kstreamcore.cpp)."""
+    cols = split_columns(k, split) if split else [(0, k)]
+    n_cols = len(cols)
+    keyc: list = []
+    if do_sort and sortcols:
+        for c in sortcols:
+            if 0 <= c < n_cols and c not in keyc:
+                keyc.append(c)
+    order = keyc + [c for c in range(n_cols) if c not in keyc]
+    dst = [0] * n_cols
+    off = 0
+    for c in order:
+        dst[c] = off
+        off += cols[c][1]
+    src = np.ascontiguousarray([c[0] for c in cols], np.int32)
+    length = np.ascontiguousarray([c[1] for c in cols], np.int32)
+    dst_a = np.ascontiguousarray(dst, np.int32)
+    permute = int(do_sort and any(dst_a != src))
+    return src, length, dst_a, permute
+
+
+def _run_native_v2(buf: np.ndarray, plan: DevicePlan, out_stream,
+                   threads=None):
+    """Native execution of the v2 shapes (split/sortcols/unsorted); the
+    string pipeline remains the fallback (None) when the core is missing
+    or declines."""
+    lib = _load_core()
+    if lib is None:
+        return None
+    k = plan.k
+    col_src, col_len, col_dst, permute = v2_layout(
+        k, plan.split, plan.sortcols, plan.sort)
+    code = np.ascontiguousarray(dna.CODE2_TABLE, np.uint8)
+    valid = np.ascontiguousarray(native_validity(plan).astype(np.uint8))
+    decode = np.ascontiguousarray(dna.DECODE2[:4], np.uint8)
+    buf = np.ascontiguousarray(buf)
+    T = _core_threads(buf.size - k + 1, threads)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    cb_error: list = []
+
+    @_WRITE_FN
+    def write_cb(data, length):
+        try:
+            out_stream.write(memoryview(ctypes.cast(
+                data, ctypes.POINTER(ctypes.c_uint8 * length)).contents))
+            return length
+        except BaseException as exc:  # never unwind through C
+            cb_error.append(exc)
+            return -1
+
+    n_keys = lib.kstream_core_run_v2(
+        buf.ctypes.data_as(u8p), buf.size, k, _MODE_ID[plan.mode],
+        int(plan.sort),
+        col_src.ctypes.data_as(i32p), col_len.ctypes.data_as(i32p),
+        col_src.size, col_dst.ctypes.data_as(i32p), permute,
+        code.ctypes.data_as(u8p), valid.ctypes.data_as(u8p),
+        decode.ctypes.data_as(u8p), T, write_cb)
+    if cb_error:
+        raise cb_error[0]
+    if n_keys < 0:
+        return None
+    return int(n_keys)
 
 
 def _core_threads(n_items: int, threads=None) -> int:
@@ -254,9 +377,7 @@ def _run_native(buf: np.ndarray, plan: DevicePlan, out_stream,
         return None
     k = plan.k
     code = np.ascontiguousarray(dna.CODE2_TABLE, np.uint8)
-    valid = np.ascontiguousarray(
-        dna.base_validity_table(2, disallow="Nn",
-                                omit_soft=plan.omit_soft), np.uint8)
+    valid = np.ascontiguousarray(native_validity(plan).astype(np.uint8))
     decode = np.ascontiguousarray(dna.DECODE2[:4], np.uint8)
     buf = np.ascontiguousarray(buf)
     n_win = buf.size - k + 1
@@ -303,6 +424,9 @@ def run_vec_kstream(path, plan: DevicePlan, out_stream,
     if buf.size < k:
         return 0
 
+    if plan.v2:
+        # split/sortcols/unsorted: native v2 entry only (no numpy mirror)
+        return _run_native_v2(buf, plan, out_stream, threads)
     if k > 32:
         # two-word native core only; no numpy mirror for 33..64
         return _run_native(buf, plan, out_stream, threads)
@@ -311,8 +435,7 @@ def run_vec_kstream(path, plan: DevicePlan, out_stream,
         if n is not None:
             return n
 
-    valid_table = dna.base_validity_table(2, disallow="Nn",
-                                          omit_soft=plan.omit_soft)
+    valid_table = native_validity(plan)
     # Invalid bytes keep their raw 255 code: it stays inside its own
     # 2-bit-aligned lane through every shift/or, so it only corrupts keys
     # of windows that contain the invalid base — exactly the windows the

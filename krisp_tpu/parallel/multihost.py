@@ -23,13 +23,15 @@ from jax.sharding import Mesh
 
 logger = logging.getLogger("krisp_tpu")
 
-#: environment markers that mean a distributed bring-up was CONFIGURED —
-#: a failure with any of these present is a real pod fault (bad
-#: coordinator, version skew), not "single-process environment"
+#: environment markers that mean a distributed bring-up was EXPLICITLY
+#: configured — a failure with any of these present is a real pod fault
+#: (bad coordinator, version skew), not "single-process environment".
+#: TPU autodetect variables (TPU_WORKER_HOSTNAMES etc.) are deliberately
+#: NOT markers: single-chip tunnel hosts carry them too.
 _DIST_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
     "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
-    "TPU_WORKER_HOSTNAMES", "CLOUD_TPU_TASK_ID", "MEGASCALE_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
 )
 
 

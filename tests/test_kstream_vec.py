@@ -315,3 +315,176 @@ def test_sort_np_threads_byte_identical(tmp_path):
     # the thread request is honored (floored by available work)
     assert kv._core_threads(1 << 20, 3) == 3
     assert kv._core_threads(8192, 64) == 2   # capped by items//4096
+
+
+# ---------------------------------------------------------------------------
+# v2 shapes: --split / --sort-cols / unsorted / --allow / --expand-iupac
+# routed onto the native core (csrc/kstreamcore.cpp kstream_core_run_v2).
+# Oracle is always the exact string pipeline with the same flags.
+
+
+def _oracle_bytes(path, **kw):
+    ks = KStream(**kw)
+    return "".join(s + "\n" for s in ks(path)).encode()
+
+
+def _need_core():
+    from krisp_tpu import kstream_vec as kv
+    if kv._load_core() is None:
+        pytest.skip("native core unavailable (no toolchain)")
+    return kv
+
+
+def test_v2_extraction_shape_matches_string_pipeline(tmp_path):
+    """The krisp_fasta C12 two-stage shape (reference kstream.py:805-832 +
+    sortPipe -k cols at :66-74): split [left,-right], sort by flank
+    columns, complements, omit-softmask."""
+    kv = _need_core()
+    rng = np.random.default_rng(41)
+    path = _mkfasta(tmp_path, "c12.fa",
+                    [_rand_seq(rng, 800, soft=True), _rand_seq(rng, 120)])
+    plan = device_plan(kmers=[28], disallow="Nn", sort=True,
+                       complements=True, omitsoft=True,
+                       split=[25, -2], sortcols=[0, 2])
+    assert plan is not None and plan.v2 and vec_eligible(plan)
+    out = io.BytesIO()
+    n = kv.run_vec_kstream(path, plan, out)
+    want = _oracle_bytes(path, kmers=[28], disallow="Nn", sort=True,
+                         complements=True, omitsoft=True,
+                         split=[25, -2], sortcols=[0, 2])
+    assert out.getvalue() == want
+    assert n == want.count(b"\n")
+
+
+@pytest.mark.parametrize("mode", ["plain", "complements", "canonicals"])
+def test_v2_unsorted_window_order(mode, tmp_path):
+    """Unsorted jobs skip the sort phase and must reproduce the string
+    pipeline's window order exactly (complements interleave fwd/rc)."""
+    kv = _need_core()
+    rng = np.random.default_rng(len(mode) * 5)
+    path = _mkfasta(tmp_path, "u.fa",
+                    [_rand_seq(rng, 300), _rand_seq(rng, 40)])
+    plan = device_plan(kmers=[9], disallow="Nn", sort=False,
+                       complements=mode == "complements",
+                       canonicals=mode == "canonicals")
+    assert plan is not None and plan.v2
+    out = io.BytesIO()
+    n = kv.run_vec_kstream(path, plan, out)
+    want = _oracle_bytes(path, kmers=[9], disallow="Nn", sort=False,
+                         complements=mode == "complements",
+                         canonicals=mode == "canonicals")
+    assert out.getvalue() == want
+    assert n == want.count(b"\n")
+
+
+def test_v2_multi_negative_split_column_order(tmp_path):
+    """Reference split semantics: negative parts appear in ENCOUNTER
+    order after the middle, not positional order (kstream.py:805-832)."""
+    kv = _need_core()
+    rng = np.random.default_rng(17)
+    path = _mkfasta(tmp_path, "neg.fa", [_rand_seq(rng, 200)])
+    for spec in ([-2, -3], [3, -2, 4], [-30], [5, 0, -1], [40]):
+        plan = device_plan(kmers=[12], disallow="Nn", sort=True,
+                           split=spec)
+        assert plan is not None
+        out = io.BytesIO()
+        n = kv.run_vec_kstream(path, plan, out)
+        want = _oracle_bytes(path, kmers=[12], disallow="Nn", sort=True,
+                             split=spec)
+        assert out.getvalue() == want, spec
+        assert n == want.count(b"\n")
+
+
+def test_v2_allow_filter(tmp_path):
+    kv = _need_core()
+    rng = np.random.default_rng(23)
+    path = _mkfasta(tmp_path, "al.fa",
+                    [_rand_seq(rng, 400, soft=True), _rand_seq(rng, 60)])
+    # plain/canonicals take any subset; complements need a closed set
+    for kw in (dict(allow="ACGT"), dict(allow="AC"),
+               dict(allow="ACG", canonicals=True),
+               dict(allow="AT", complements=True),
+               dict(allow="ACGT", complements=True),
+               dict(allow="ACGT", mapsoft=True),
+               dict(allow="AC", omitsoft=True)):
+        plan = device_plan(kmers=[8], sort=True, **kw)
+        assert plan is not None, kw
+        out = io.BytesIO()
+        n = kv.run_vec_kstream(path, plan, out)
+        want = _oracle_bytes(path, kmers=[8], sort=True, **kw)
+        assert out.getvalue() == want, kw
+        assert n == want.count(b"\n")
+    # non-closed set in complements mode: fwd/rc filter independently in
+    # the reference — per-window validity cannot model it, so fall back
+    assert device_plan(kmers=[8], sort=True, allow="AC",
+                       complements=True) is None
+    # N in the allow set would make N-windows emittable: fall back
+    assert device_plan(kmers=[8], sort=True, allow="ACGTN") is None
+
+
+def test_v2_expand_iupac_is_identity_on_acgt(tmp_path):
+    """--expand-iupac is an identity on the ACGT-only content the probe
+    admits (N windows are dropped by the gates), so the fast path keeps
+    covering it."""
+    kv = _need_core()
+    rng = np.random.default_rng(29)
+    path = _mkfasta(tmp_path, "iu.fa", [_rand_seq(rng, 300)])
+    plan = device_plan(kmers=[10], disallow="Nn", sort=True,
+                       expandiupac=True, complements=True)
+    assert plan is not None
+    out = io.BytesIO()
+    n = kv.run_vec_kstream(path, plan, out)
+    want = _oracle_bytes(path, kmers=[10], disallow="Nn", sort=True,
+                         expandiupac=True, complements=True)
+    assert out.getvalue() == want
+    assert n == want.count(b"\n")
+    # ...but real IUPAC content still falls back via the probe
+    p2 = _mkfasta(tmp_path, "iu2.fa", ["ACGTRYACGTACGTAAACGT"])
+    assert kv.run_vec_kstream(p2, plan, io.BytesIO()) is None
+
+
+def test_v2_fuzz_against_string_pipeline(tmp_path):
+    """Random k/split/sortcols/sort/mode/softmask/allow plans: native v2
+    bytes must equal the string pipeline on every eligible draw."""
+    kv = _need_core()
+    rng = np.random.default_rng(101)
+    covered = 0
+    for trial in range(40):
+        k = int(rng.integers(2, 41))
+        mode = ["plain", "complements", "canonicals"][trial % 3]
+        omit, mapsoft = [(False, False), (True, False),
+                         (False, True)][int(rng.integers(0, 3))]
+        do_sort = bool(rng.integers(0, 2))
+        n_split = int(rng.integers(0, 4))
+        split = [int(rng.integers(-k - 2, k + 3))
+                 for _ in range(n_split)] or None
+        n_cols = len(split) + 1 if split else 1
+        sortcols = None
+        if do_sort and split and rng.integers(0, 2):
+            sortcols = list(rng.integers(0, n_cols + 1,
+                                         size=int(rng.integers(1, 4))))
+        allow = None
+        if rng.integers(0, 3) == 0:
+            allow = ["ACGT", "AT", "GC"][int(rng.integers(0, 3))]
+        kw = dict(kmers=[k], complements=mode == "complements",
+                  canonicals=mode == "canonicals", omitsoft=omit,
+                  mapsoft=mapsoft, sort=do_sort, split=split,
+                  sortcols=sortcols, allow=allow,
+                  disallow=None if allow else "Nn")
+        plan = device_plan(**kw)
+        if plan is None or not vec_eligible(plan):
+            continue
+        n = int(rng.integers(k, 1200))
+        seqs = [_rand_seq(rng, n, soft=bool(rng.integers(0, 2))),
+                _rand_seq(rng, int(rng.integers(1, 80)))]
+        path = _mkfasta(tmp_path, f"fz{trial}.fa", seqs)
+        out = io.BytesIO()
+        got = kv.run_vec_kstream(path, plan, out)
+        if got is None:
+            # content probe fallback (lowercase without policy/allow)
+            continue
+        want = _oracle_bytes(path, **kw)
+        assert out.getvalue() == want, kw
+        assert got == want.count(b"\n"), kw
+        covered += 1
+    assert covered >= 15
