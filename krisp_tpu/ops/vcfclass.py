@@ -141,6 +141,144 @@ def pack_outputs(out, V):
          out["allele_counts"].reshape(V, -1)], axis=1)
 
 
+def pack_outputs_small(out, V):
+    """The SMALL-pull layout, int16 [V, 4G]: columns [0:G) =
+    sample_counts, [G:2G) = conserved, [2G:3G) = diagnostic, [3G:4G) =
+    per-group allele PRESENCE bitmask (bit a set iff allele_counts > 0).
+
+    The scan's hot path needs only presence (group length / window
+    typing) — the full counts are touched for the few candidate-window
+    context rows, which the host recomputes exactly
+    (``allele_counts_rows_numpy``).  Shrinking the per-variant pull from
+    (3G+G*A) x int32 to 4G x int16 cuts the device->host bytes ~6x on
+    this workload, the measured wall-clock driver of the tunneled scan
+    (BASELINE.md).  Requires A <= 15 and S <= 32767 (caller falls back
+    to the full layout otherwise)."""
+    present = out["allele_counts"] > 0
+    A = present.shape[2]
+    bits = jnp.sum(jnp.where(
+        present,
+        jnp.int32(1) << jnp.arange(A, dtype=jnp.int32)[None, None, :],
+        jnp.int32(0)), axis=2)
+    return jnp.concatenate(
+        [out["sample_counts"], out["conserved"], out["diagnostic"], bits],
+        axis=1).astype(jnp.int16)
+
+
+@partial(jax.jit, static_argnames=("n_groups",))
+def classify_batch_packed_small(dp, gq, ad, n_alleles, mq, qual, group_id,
+                                group_sizes, n_groups: int, min_samples=5,
+                                min_reads=10, min_geno_qual=40,
+                                min_freq=0.1, min_map_qual=30,
+                                min_var_qual=10, min_samp_prop=0.9):
+    """``classify_batch`` emitting the small-pull int16 layout
+    (``pack_outputs_small``)."""
+    out = _classify_impl(dp, gq, ad, n_alleles, mq, qual, group_id,
+                         group_sizes, n_groups, min_samples, min_reads,
+                         min_geno_qual, min_freq, min_map_qual,
+                         min_var_qual, min_samp_prop)
+    return pack_outputs_small(out, dp.shape[0])
+
+
+def host_gate_counted_bits(dp, gq, ad, n_alleles, min_reads,
+                           min_geno_qual, min_freq):
+    """Elementwise gate/keep masks computed HOST-side — exactly the numpy
+    mirror's math, so bit-identical to the device kernel's — and packed
+    to bits for a minimal host->device upload.
+
+    The scan's device classification was measured UPLOAD-bound on the
+    tunneled chip (dp/gq/ad are (V,S[,A]) int32 — ~2 kB/variant at 100
+    samples); the masks are 1 bit per element (~50x less), and the
+    expensive part — the sample-axis group reductions — stays on device
+    (classify_bits_packed_small).  Returns (gate_bits uint8[V, ceil(S/8)],
+    counted_bits uint8[V, ceil(S*A/8)])."""
+    import numpy as np
+
+    V, S = dp.shape
+    A = ad.shape[2]
+    f32 = np.float32
+    gate = (dp >= min_reads) & (gq >= min_geno_qual)
+    depth_sum = np.sum(ad, axis=2, keepdims=True, dtype=np.int32)
+    allele_idx = np.arange(A, dtype=np.int32)
+    keep = ((ad > 0)
+            & (ad.astype(f32) >= depth_sum.astype(f32) * f32(min_freq))
+            & (allele_idx[None, None, :] < n_alleles[:, None, None]))
+    counted = keep & gate[:, :, None]
+    return (np.packbits(gate, axis=1),
+            np.packbits(counted.reshape(V, -1), axis=1))
+
+
+@partial(jax.jit, static_argnames=("n_groups", "n_samples", "n_alleles"))
+def classify_bits_packed_small(gate_bits, counted_bits, mq, qual, group_id,
+                               group_sizes, n_groups: int, n_samples: int,
+                               n_alleles: int, min_samples=5,
+                               min_map_qual=30, min_var_qual=10,
+                               min_samp_prop=0.9):
+    """Device classification from host-precomputed gate/keep bitmasks
+    (``host_gate_counted_bits``): unpack, reduce over the sample axis,
+    finalize, and emit the small-pull int16 layout.  Values equal
+    ``classify_batch_packed`` exactly — the bits are the kernel's own
+    elementwise masks, the float32 reductions of 0/1 over <= S samples
+    are exact integers, and _finalize is shared."""
+    V = gate_bits.shape[0]
+
+    def unpack(words, n):
+        bits = (words[:, :, None]
+                >> (jnp.uint8(7) - jnp.arange(8, dtype=jnp.uint8))) \
+            & jnp.uint8(1)
+        return bits.reshape(V, -1)[:, :n]
+
+    gate_f = unpack(gate_bits, n_samples).astype(jnp.float32)
+    counted_f = unpack(counted_bits, n_samples * n_alleles) \
+        .reshape(V, n_samples, n_alleles).astype(jnp.float32)
+    member_f = (group_id[:, None]
+                == jnp.arange(n_groups, dtype=jnp.int32)[None, :]) \
+        .astype(jnp.float32)
+    sample_counts = jnp.dot(gate_f, member_f).astype(jnp.int32)
+    allele_counts = jnp.einsum("vsa,sg->vga", counted_f,
+                               member_f).astype(jnp.int32)
+    out = _finalize(sample_counts, allele_counts, mq, qual, group_sizes,
+                    n_groups, min_samples, min_map_qual, min_var_qual,
+                    min_samp_prop)
+    return pack_outputs_small(out, V)
+
+
+def allele_counts_rows_numpy(dp, gq, ad, n_alleles, group_id,
+                             n_groups: int, min_reads, min_geno_qual,
+                             min_freq):
+    """Exact allele_counts for a (small) row subset, host-side: the
+    count section of ``classify_batch_packed_numpy`` verbatim, so results
+    are bit-identical to the device kernel's allele_counts (which is
+    pinned against the mirror by tests/test_vcfclass_device.py).  Used by
+    the small-pull scan protocol to rehydrate candidate-window rows
+    without a device round-trip.
+
+    dp, gq: int32[R,S]; ad: int32[R,S,A]; returns int32[R, G, A]."""
+    import numpy as np
+
+    R, S = dp.shape
+    A = ad.shape[2]
+    f32 = np.float32
+    gate = (dp >= min_reads) & (gq >= min_geno_qual)
+    member_f = (group_id[:, None]
+                == np.arange(n_groups, dtype=np.int32)[None, :]) \
+        .astype(f32)
+    depth_sum = np.sum(ad, axis=2, keepdims=True, dtype=np.int32)
+    allele_idx = np.arange(A, dtype=np.int32)
+    keep = ((ad > 0)
+            & (ad.astype(f32) >= depth_sum.astype(f32) * f32(min_freq))
+            & (allele_idx[None, None, :] < n_alleles[:, None, None]))
+    counted = keep & gate[:, :, None]
+    # per-row BLAS dot instead of einsum: this runs once per TOUCHED
+    # candidate-context row during the scan, where einsum's path-planning
+    # overhead dwarfs the actual (G,S)x(S,A) product
+    out = np.empty((R, n_groups, A), np.int32)
+    mt = member_f.T
+    for r in range(R):
+        out[r] = np.dot(mt, counted[r].astype(f32)).astype(np.int32)
+    return out
+
+
 def classify_batch_packed_numpy(dp, gq, ad, n_alleles, mq, qual, group_id,
                                 group_sizes, n_groups: int, min_samples=5,
                                 min_reads=10, min_geno_qual=40, min_freq=0.1,

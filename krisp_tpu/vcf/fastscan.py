@@ -161,13 +161,24 @@ def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
     All batch dispatches are queued before any result is pulled (JAX
     dispatch is async, so host slicing/upload of batch i+1 overlaps device
     compute of batch i), and each batch returns ONE packed array — the
-    pull count per chunk is the wall-clock driver on the tunneled v5e.
-    On a multi-device mesh each batch is sharded variant-parallel
-    (parallel/vcf_shard.py), bit-identical to the single-chip kernel."""
+    pull bytes per variant are the wall-clock driver on the tunneled
+    v5e, so the single-device accelerator path pulls the SMALL int16
+    layout (sample counts + conserved/diagnostic + presence bits,
+    ops/vcfclass.pack_outputs_small) and leaves the full allele-count
+    matrix on device: the scan's hot path needs only presence, and the
+    few candidate rows that need counts are recomputed exactly on the
+    host (allele_counts_rows_numpy).  On a multi-device mesh each batch
+    is sharded variant-parallel (parallel/vcf_shard.py), bit-identical
+    to the single-chip kernel.
+
+    Returns (sample_counts, allele_counts_or_None, conserved,
+    diagnostic, present) — ``present`` is the bool (Vr, G, A) mask;
+    ``allele_counts`` is None on the small-pull path."""
     from ..ops.vcfclass import classify_batch_packed
 
     mesh = _scan_mesh()
     numpy_path = False
+    small = False
     if mesh is not None:
         from functools import partial
 
@@ -184,6 +195,8 @@ def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
             # (tools/probe_cpu_dispatch_degradation.py, BASELINE.md)
             classify_batch_packed = classify_batch_packed_numpy
             numpy_path = True
+        elif (col.ad.shape[2] <= 15 and len(col.samples) <= 32767):
+            small = True
 
     S = len(col.samples)
     A = col.ad.shape[2]
@@ -197,6 +210,10 @@ def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
     group_sizes = np.array([len(groups[g]) for g in group_names], np.int32)
 
     Vr = rows.shape[0]
+    if small:
+        # uploads are ~1 bit/element on this path, so bigger batches cost
+        # nothing in transfer and cut the per-dispatch tunnel latency
+        batch = max(batch, 32768)
     pending = []
     for i in range(0, Vr, batch):
         sel = rows[i:i + batch]
@@ -208,19 +225,46 @@ def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
         while bucket < n:
             bucket *= 2
         pad = min(bucket, batch) - n
+        mq = np.nan_to_num(col.mq[sel], nan=-1.0).astype(np.float32)
+        qual = np.nan_to_num(col.qual[sel], nan=-1.0).astype(np.float32)
+        if pad:
+            mq = np.concatenate([mq, np.full(pad, -1, np.float32)])
+            qual = np.concatenate([qual, np.full(pad, -1, np.float32)])
+        if small:
+            # host computes the elementwise masks (bit-identical to the
+            # kernel's own), device does the sample-axis reductions —
+            # the upload shrinks from (2S + S*A) int32 to (S + S*A) BITS
+            # per variant, the measured wall-clock driver of this stage
+            from ..ops.vcfclass import (classify_bits_packed_small,
+                                        host_gate_counted_bits)
+            gate_bits, counted_bits = host_gate_counted_bits(
+                col.dp[sel], col.gq[sel], col.ad[sel],
+                col.n_alleles[sel], kw["min_reads"],
+                kw["min_geno_qual"], kw["min_freq"])
+            if pad:
+                gate_bits = np.concatenate(
+                    [gate_bits,
+                     np.zeros((pad, gate_bits.shape[1]), np.uint8)])
+                counted_bits = np.concatenate(
+                    [counted_bits,
+                     np.zeros((pad, counted_bits.shape[1]), np.uint8)])
+            pending.append((i, n, classify_bits_packed_small(
+                gate_bits, counted_bits, mq, qual, group_id, group_sizes,
+                n_groups=G, n_samples=S, n_alleles=A,
+                min_samples=kw["min_samples"],
+                min_map_qual=kw["min_map_qual"],
+                min_var_qual=kw["min_var_qual"],
+                min_samp_prop=kw["min_samp_prop"])))
+            continue
         dp = col.dp[sel]
         gq = col.gq[sel]
         ad = col.ad[sel]
         n_alleles = col.n_alleles[sel]
-        mq = np.nan_to_num(col.mq[sel], nan=-1.0).astype(np.float32)
-        qual = np.nan_to_num(col.qual[sel], nan=-1.0).astype(np.float32)
         if pad:
             dp = np.concatenate([dp, np.full((pad, S), -1, np.int32)])
             gq = np.concatenate([gq, np.full((pad, S), -1, np.int32)])
             ad = np.concatenate([ad, np.zeros((pad, S, A), np.int32)])
             n_alleles = np.concatenate([n_alleles, np.zeros(pad, np.int32)])
-            mq = np.concatenate([mq, np.full(pad, -1, np.float32)])
-            qual = np.concatenate([qual, np.full(pad, -1, np.float32)])
         pending.append((i, n, classify_batch_packed(
             dp, gq, ad, n_alleles, mq, qual, group_id, group_sizes,
             n_groups=G, min_samples=kw["min_samples"],
@@ -236,7 +280,8 @@ def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
     # entire classification (profiled on the 100k-record scaled bench).
     if not pending:
         z = np.zeros((0, G), np.int32)
-        return z, np.zeros((0, G, A), np.int32), z.copy(), z.copy()
+        return (z, np.zeros((0, G, A), np.int32), z.copy(), z.copy(),
+                np.zeros((0, G, A), bool))
     if numpy_path:
         all_h = (pending[0][2] if len(pending) == 1
                  else np.concatenate([p[2] for p in pending], axis=0))
@@ -247,9 +292,13 @@ def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
         all_h = np.asarray(all_d)
 
     sc = np.empty((Vr, G), np.int32)
-    ac = np.empty((Vr, G, A), np.int32)
     consv = np.empty((Vr, G), np.int32)
     diag = np.empty((Vr, G), np.int32)
+    if small:
+        present = np.empty((Vr, G, A), bool)
+        ac = None
+    else:
+        ac = np.empty((Vr, G, A), np.int32)
     row = 0
     for i, n, out_d in pending:
         packed = all_h[row:row + n]
@@ -257,8 +306,16 @@ def _classify_columnar(col, rows, group_names, groups, kw, batch=4096):
         sc[i:i + n] = packed[:, :G]
         consv[i:i + n] = packed[:, G:2 * G]
         diag[i:i + n] = packed[:, 2 * G:3 * G]
-        ac[i:i + n] = packed[:, 3 * G:].reshape(n, G, A)
-    return sc, ac, consv, diag
+        if small:
+            bits = packed[:, 3 * G:4 * G].astype(np.int32)
+            present[i:i + n] = (
+                (bits[:, :, None] >> np.arange(A, dtype=np.int32)) & 1
+            ).astype(bool)
+        else:
+            ac[i:i + n] = packed[:, 3 * G:].reshape(n, G, A)
+    if not small:
+        present = ac > 0
+    return sc, ac, consv, diag, present
 
 
 def _window_types(starts, ends, delta, is_diag, is_consv, span, min_vars):
@@ -480,15 +537,14 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
     group_names = list(groups.keys())
     G = len(group_names)
 
-    sc, ac, consv, diag = _classify_columnar(col, rows, group_names, groups,
-                                             classify_kwargs)
+    sc, ac, consv, diag, present = _classify_columnar(
+        col, rows, group_names, groups, classify_kwargs)
 
     pos = col.pos[rows]
     rlen = col.rlen[rows].astype(np.int64)
     starts_np = pos - 1
     ends_np = starts_np + rlen - 1
     alen = col.alen[rows]                          # (Vr, A)
-    present = ac > 0                               # (Vr, G, A)
     gl = np.where(present, alen[:, None, :], -1).max(axis=2)
     group_len = np.where(gl < 0, rlen[:, None], gl)
     delta_np = group_len - rlen[:, None]           # (Vr, G)
@@ -559,13 +615,44 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
     alleles_cache = col.alleles
     dcv_cache: dict[int, DeviceClassifiedVariant] = {}
 
+    s_index = {s: si for si, s in enumerate(col.samples)}
+    gid_of_sample = np.full(len(col.samples), -1, np.int32)
+    for gi2, g2 in enumerate(group_names):
+        for m in groups[g2]:
+            if m in s_index:
+                gid_of_sample[s_index[m]] = gi2
+
+    ac_cache: dict[int, np.ndarray] = {}
+
+    def _ac_row(i: int) -> np.ndarray:
+        """Exact allele counts (G, A) for touched row i.  On the
+        small-pull device path the count matrix stays on device; the host
+        recomputes the row from the columnar arrays with the pinned
+        numpy-mirror math (ops/vcfclass.allele_counts_rows_numpy) —
+        bit-identical to the kernel's output."""
+        if ac is not None:
+            return ac[i]
+        hit = ac_cache.get(i)
+        if hit is None:
+            from ..ops.vcfclass import allele_counts_rows_numpy
+            r = int(rows[i])
+            hit = allele_counts_rows_numpy(
+                col.dp[r:r + 1], col.gq[r:r + 1], col.ad[r:r + 1],
+                col.n_alleles[r:r + 1], gid_of_sample, G,
+                classify_kwargs["min_reads"],
+                classify_kwargs["min_geno_qual"],
+                classify_kwargs["min_freq"])[0]
+            ac_cache[i] = hit
+        return hit
+
     def _dicts_for(i: int):
         alleles = alleles_cache[int(rows[i])]
+        ac_i = _ac_row(i)
         sample_counts = {g: int(sc[i, gi])
                          for gi, g in enumerate(group_names)}
         allele_counts = {
             g: {alleles[ai]: int(c)
-                for ai, c in enumerate(ac[i, gi]) if c > 0}
+                for ai, c in enumerate(ac_i[gi]) if c > 0}
             for gi, g in enumerate(group_names)}
         conserved = {g: (None if consv[i, gi] < 0
                          else alleles[consv[i, gi]])
@@ -574,13 +661,6 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
                           else alleles[diag[i, gi]])
                       for gi, g in enumerate(group_names)}
         return sample_counts, allele_counts, conserved, diagnostic
-
-    s_index = {s: si for si, s in enumerate(col.samples)}
-    gid_of_sample = np.full(len(col.samples), -1, np.int32)
-    for gi2, g2 in enumerate(group_names):
-        for m in groups[g2]:
-            if m in s_index:
-                gid_of_sample[s_index[m]] = gi2
 
     def _missing_for(i):
         # per-group ids of samples failing the DP/GQ gates, straight from

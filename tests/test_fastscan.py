@@ -215,7 +215,7 @@ def test_classify_batches_share_compiled_shapes(bundled):
     distinct count."""
     from unittest import mock
 
-    from krisp_tpu.ops.vcfclass import classify_batch_packed
+    from krisp_tpu.ops.vcfclass import classify_bits_packed_small
     from krisp_tpu.vcf.fastscan import _classify_columnar
 
     idx, col, groups, _ = bundled
@@ -223,29 +223,36 @@ def test_classify_batches_share_compiled_shapes(bundled):
               min_geno_qual=40, min_var_qual=10, min_freq=0.1,
               min_map_qual=40)
     names = list(groups.keys())
-    base = classify_batch_packed._cache_size()
+    base = classify_bits_packed_small._cache_size()
     # pin the jit path: on a CPU-only backend _classify_columnar routes to
     # the numpy mirror (no compiled shapes at all), which this test is
-    # specifically not about
+    # specifically not about.  The single-accelerator path selects the
+    # bits-upload/small-pull kernel for this file (A <= 15).
     with mock.patch("jax.default_backend", return_value="tpu"):
         r1 = _classify_columnar(col, np.arange(300, dtype=np.int64), names,
                                 groups, kw)
-        n1 = classify_batch_packed._cache_size()
+        n1 = classify_bits_packed_small._cache_size()
         r2 = _classify_columnar(col, np.arange(280, dtype=np.int64), names,
                                 groups, kw)
-    assert classify_batch_packed._cache_size() == n1 > base
-    # padding rows must not leak into results
+    assert classify_bits_packed_small._cache_size() == n1 > base
+    # padding rows must not leak into results (ac is None on this path)
     for a, b in zip(r1, r2):
-        assert np.array_equal(a[:280], b)
+        if a is None:
+            assert b is None
+        else:
+            assert np.array_equal(a[:280], b)
 
 
 def test_classify_routes_to_numpy_mirror_on_cpu(bundled):
     """With no accelerator (default_backend == 'cpu'), _classify_columnar
-    must select the bit-identical numpy mirror: the jit kernel's compile
-    cache stays untouched and the results still match (ADVICE r2)."""
+    must select the bit-identical numpy mirror: the jit kernels' compile
+    caches stay untouched and the results still match (ADVICE r2).  The
+    accelerator path's small-pull protocol (sc/consv/diag/present) must
+    agree with the mirror's full outputs."""
     from unittest import mock
 
-    from krisp_tpu.ops.vcfclass import classify_batch_packed
+    from krisp_tpu.ops.vcfclass import (classify_batch_packed,
+                                        classify_bits_packed_small)
     from krisp_tpu.vcf.fastscan import _classify_columnar
 
     idx, col, groups, _ = bundled
@@ -256,9 +263,47 @@ def test_classify_routes_to_numpy_mirror_on_cpu(bundled):
     rows = np.arange(300, dtype=np.int64)
     with mock.patch("jax.default_backend", return_value="tpu"):
         want = _classify_columnar(col, rows, names, groups, kw)
-    base = classify_batch_packed._cache_size()
+    base = (classify_batch_packed._cache_size(),
+            classify_bits_packed_small._cache_size())
     with mock.patch("jax.default_backend", return_value="cpu"):
         got = _classify_columnar(col, rows, names, groups, kw)
-    assert classify_batch_packed._cache_size() == base
-    for a, b in zip(got, want):
-        assert np.array_equal(a, b)
+    assert (classify_batch_packed._cache_size(),
+            classify_bits_packed_small._cache_size()) == base
+    # sc / consv / diag / present identical; ac is device-resident (None)
+    # on the small path and full on the mirror path
+    for k in (0, 2, 3, 4):
+        assert np.array_equal(got[k], want[k]), k
+    assert want[1] is None and got[1] is not None
+    assert np.array_equal(got[1] > 0, want[4])
+
+
+def test_small_pull_ac_row_matches_kernel(bundled):
+    """The host rehydration of candidate-row allele counts
+    (ops/vcfclass.allele_counts_rows_numpy) is bit-identical to the full
+    kernel's allele_counts for every row."""
+    from krisp_tpu.ops.vcfclass import (allele_counts_rows_numpy,
+                                        classify_batch_packed_numpy)
+
+    idx, col, groups, _ = bundled
+    names = list(groups.keys())
+    G = len(names)
+    S = len(col.samples)
+    A = col.ad.shape[2]
+    s_index = {s: i for i, s in enumerate(col.samples)}
+    gid = np.full(S, -1, np.int32)
+    for gi, g in enumerate(names):
+        for m in groups[g]:
+            if m in s_index:
+                gid[s_index[m]] = gi
+    rows = np.arange(0, 400, 7)
+    full = classify_batch_packed_numpy(
+        col.dp[rows], col.gq[rows], col.ad[rows], col.n_alleles[rows],
+        np.nan_to_num(col.mq[rows], nan=-1.0).astype(np.float32),
+        np.nan_to_num(col.qual[rows], nan=-1.0).astype(np.float32),
+        gid, np.array([len(groups[g]) for g in names], np.int32),
+        n_groups=G, min_samples=3)
+    ac_full = full[:, 3 * G:].reshape(rows.size, G, A)
+    ac_rows = allele_counts_rows_numpy(
+        col.dp[rows], col.gq[rows], col.ad[rows], col.n_alleles[rows],
+        gid, G, 10, 40, 0.1)
+    assert np.array_equal(ac_rows, ac_full)
