@@ -29,14 +29,19 @@ REPO = Path(__file__).resolve().parent.parent
 CACHE = REPO / "tools" / ".bench_data"
 
 
-def synth_scaled(n_records, n_samples, seed=0):
+def synth_scaled(n_records, n_samples, seed=0, n_contigs=1):
     """Generate (meta, ref_fasta, vcf_gz) under CACHE, reusing if present.
 
     Scenario mix tuned for realistic scan behavior: mostly conserved
     reference calls, a few percent group-specific fixed differences
     (diagnostic candidates), some low-quality/missing blocks, occasional
-    indels and multiallelics."""
-    tag = f"r{n_records}_s{n_samples}_v3_{seed}"
+    indels and multiallelics.  ``n_contigs`` > 1 splits the records
+    across contigs (the GB-scale layout: per-contig columnar slices
+    bound scan memory by the contig block).  Planted diagnostic-candidate
+    rows are recorded in planted.npz next to the VCF (contig index, pos,
+    group) for survivor verification."""
+    tag = f"r{n_records}_s{n_samples}_v3_{seed}" \
+        + (f"_c{n_contigs}" if n_contigs > 1 else "")
     out = CACHE / tag
     meta = out / "meta.csv"
     ref_fa = out / "ref.fasta"
@@ -54,14 +59,27 @@ def synth_scaled(n_records, n_samples, seed=0):
         f"{s},{g}\n" for g, ss in groups.items() for s in ss))
 
     gaps = rng.integers(10, 50, n_records)
-    pos = np.cumsum(gaps) + 50
-    contig_len = int(pos[-1]) + 500
-    seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), contig_len)
+    # records split evenly across contigs; positions restart per contig
+    per_ctg = -(-n_records // n_contigs)
+    ctg_of = np.arange(n_records) // per_ctg
+    pos = np.empty(n_records, np.int64)
+    ctg_names = []
+    ctg_seqs = []
     with open(ref_fa, "w") as fh:
-        fh.write(">ctg1\n")
-        s = seq.tobytes().decode()
-        for i in range(0, contig_len, 70):
-            fh.write(s[i:i + 70] + "\n")
+        for c in range(n_contigs):
+            sl = slice(c * per_ctg, min((c + 1) * per_ctg, n_records))
+            if sl.start >= n_records:
+                break
+            pos[sl] = np.cumsum(gaps[sl]) + 50
+            contig_len = int(pos[sl][-1]) + 500
+            seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), contig_len)
+            name = "ctg1" if n_contigs == 1 else f"ctg{c + 1}"
+            ctg_names.append(name)
+            ctg_seqs.append(seq)
+            fh.write(f">{name}\n")
+            s = seq.tobytes().decode()
+            for i in range(0, contig_len, 70):
+                fh.write(s[i:i + 70] + "\n")
 
     # canned sample-column strings per (scenario role, n_alts)
     def col(gt, ad, dp, gq):
@@ -79,12 +97,30 @@ def synth_scaled(n_records, n_samples, seed=0):
     diag_group = rng.integers(0, n_groups, n_records)
     alt_base = {0: "A", 1: "C", 2: "G", 3: "T"}
 
+    # precomputed joined sample blocks per (scenario, n_alts): the join
+    # over hundreds of identical columns dominated generation at the
+    # GB scale, and every scenario's block is record-independent
+    join_homref = {na: "\t".join([HOMREF[na]] * n_samples) for na in (1, 2)}
+    join_het = {na: "\t".join([HET[na]] * n_samples) for na in (1, 2)}
+    join_lowq = {na: "\t".join([LOWQ[na]] * (n_samples // 2)
+                               + [HOMREF[na]]
+                               * (n_samples - n_samples // 2))
+                 for na in (1, 2)}
+    join_miss = "\t".join([MISS] * n_samples)
+    join_diag = {(g, na): "\t".join(
+        sum(([HOMALT[na] if gi == g else HOMREF[na]] * per
+             for gi in range(n_groups)), []))
+        for g in range(n_groups) for na in (1, 2)}
+
+    planted = []  # (contig_index, pos, group_index) of diag candidates
     t0 = time.perf_counter()
     with gzip.open(vcf, "wt", compresslevel=1) as fh:
         fh.write("##fileformat=VCFv4.2\n")
         fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
                  + "\t".join(s for ss in groups.values() for s in ss) + "\n")
         for i in range(n_records):
+            c = int(ctg_of[i])
+            seq = ctg_seqs[c]
             p = int(pos[i])
             rl = int(ref_len[i])
             ref_allele = seq[p - 1:p - 1 + rl].tobytes().decode()
@@ -98,25 +134,26 @@ def synth_scaled(n_records, n_samples, seed=0):
             na = len(alts)
             s_val = scen[i]
             if s_val < 0.925:
-                cols = [HOMREF[na]] * n_samples          # conserved REF
+                joined = join_homref[na]                 # conserved REF
             elif s_val < 0.930:
                 # one group fixed ALT: diagnostic candidate (~0.5%, the
                 # bundled real VCF's order of magnitude)
                 g = int(diag_group[i])
-                cols = []
-                for gi in range(n_groups):
-                    cols += [HOMALT[na] if gi == g else HOMREF[na]] * per
+                joined = join_diag[(g, na)]
+                planted.append((c, p, g))
             elif s_val < 0.96:
-                cols = [HET[na]] * n_samples             # unconserved
+                joined = join_het[na]                    # unconserved
             elif s_val < 0.985:
-                cols = ([LOWQ[na]] * (n_samples // 2)
-                        + [HOMREF[na]] * (n_samples - n_samples // 2))
+                joined = join_lowq[na]
             else:
-                cols = [MISS] * n_samples                # no data
+                joined = join_miss                       # no data
             qual = 900 if s_val >= 0.999 or True else 5
-            fh.write(f"ctg1\t{p}\t.\t{ref_allele}\t{','.join(alts)}\t"
-                     f"{qual}\tPASS\tMQ=60\tGT:AD:DP:GQ\t"
-                     + "\t".join(cols) + "\n")
+            fh.write(f"{ctg_names[c]}\t{p}\t.\t{ref_allele}\t"
+                     f"{','.join(alts)}\t{qual}\tPASS\tMQ=60\t"
+                     f"GT:AD:DP:GQ\t{joined}\n")
+    pl = np.array(planted, np.int64).reshape(-1, 3)
+    np.savez(out / "planted.npz", contig=pl[:, 0], pos=pl[:, 1],
+             group=pl[:, 2])
     print(f"generated {vcf} in {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
     return str(meta), str(ref_fa), str(vcf)
