@@ -21,8 +21,10 @@
 // pure-Python DP (thermo/oracle.py) when no toolchain is available.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -61,12 +63,19 @@ extern "C" int krisp_thermo_chain(
     double t37,       // 310.15 K
     double salt_ds,   // 0.368 * ln(salt): dS salt correction
     double rlogc,     // R * ln(c/4): duplex Tm concentration term
+    int32_t threads,  // worker team size (candidates are independent)
     double* out       // [n_cand*4]: any_dh, any_ds, end_dh, end_ds
 ) {
+  const int T = threads > 0
+      ? static_cast<int>(std::min<int64_t>(threads, n_cand ? n_cand : 1))
+      : 1;
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
   std::vector<int> order;
   std::vector<std::vector<Entry>> fronts;
   std::vector<Entry> buf;
-  for (int64_t c = 0; c < n_cand; ++c) {
+  for (int64_t c = next.fetch_add(1); c < n_cand;
+       c = next.fetch_add(1)) {
     const int64_t lo = offsets[c];
     const int R = static_cast<int>(offsets[c + 1] - lo);
     double best_any = -INFINITY, best_end = -INFINITY;
@@ -148,6 +157,16 @@ extern "C" int krisp_thermo_chain(
     out[c * 4 + 1] = any_ds;
     out[c * 4 + 2] = end_dh;
     out[c * 4 + 3] = end_ds;
+  }
+  };
+  if (T <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    ts.reserve(T - 1);
+    for (int t = 1; t < T; ++t) ts.emplace_back(worker);
+    worker();
+    for (auto& th : ts) th.join();
   }
   return 0;
 }

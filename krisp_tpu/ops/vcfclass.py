@@ -197,15 +197,35 @@ def host_gate_counted_bits(dp, gq, ad, n_alleles, min_reads,
     V, S = dp.shape
     A = ad.shape[2]
     f32 = np.float32
-    gate = (dp >= min_reads) & (gq >= min_geno_qual)
-    depth_sum = np.sum(ad, axis=2, keepdims=True, dtype=np.int32)
-    allele_idx = np.arange(A, dtype=np.int32)
-    keep = ((ad > 0)
-            & (ad.astype(f32) >= depth_sum.astype(f32) * f32(min_freq))
-            & (allele_idx[None, None, :] < n_alleles[:, None, None]))
-    counted = keep & gate[:, :, None]
-    return (np.packbits(gate, axis=1),
-            np.packbits(counted.reshape(V, -1), axis=1))
+
+    def block(sl):
+        gate = (dp[sl] >= min_reads) & (gq[sl] >= min_geno_qual)
+        adb = ad[sl]
+        depth_sum = np.sum(adb, axis=2, keepdims=True, dtype=np.int32)
+        allele_idx = np.arange(A, dtype=np.int32)
+        keep = ((adb > 0)
+                & (adb.astype(f32) >= depth_sum.astype(f32)
+                   * f32(min_freq))
+                & (allele_idx[None, None, :]
+                   < n_alleles[sl, None, None]))
+        counted = keep & gate[:, :, None]
+        return (np.packbits(gate, axis=1),
+                np.packbits(counted.reshape(gate.shape[0], -1), axis=1))
+
+    # V-axis blocks on a small pool: numpy releases the GIL, the per-row
+    # math is independent, and the temporaries stay cache-sized
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    T = max(1, min(os.cpu_count() or 1, 4, V // 2048))
+    if T <= 1:
+        return block(slice(0, V))
+    bounds = [V * t // T for t in range(T + 1)]
+    with ThreadPoolExecutor(max_workers=T) as pool:
+        parts = list(pool.map(lambda b: block(slice(*b)),
+                              zip(bounds, bounds[1:])))
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]))
 
 
 @partial(jax.jit, static_argnames=("n_groups", "n_samples", "n_alleles"))

@@ -62,6 +62,7 @@ def get_lib():
             ctypes.c_double, ctypes.c_double,        # tmm_ds, dangle5_ds
             ctypes.c_double,                         # t37
             ctypes.c_double, ctypes.c_double,        # salt_ds, rlogc
+            ctypes.c_int32,                          # threads
             _F64,                                    # out
         ]
         _lib = lib
@@ -73,6 +74,14 @@ def _consts():
     salt_ds = 0.368 * math.log(nn.effective_monovalent() / 1000.0)
     rlogc = nn.R_GAS * math.log(50.0 * 1e-9 / 4.0)
     return nn, salt_ds, rlogc
+
+
+def _n_threads(n_cand: int) -> int:
+    """DP team size: candidates are independent; small batches stay
+    serial (thread spawn costs more than the work)."""
+    if n_cand < 24:
+        return 1
+    return max(1, min(os.cpu_count() or 1, 4))
 
 
 def _solve(runs, C, inner_desc, hairpin, end_i):
@@ -111,7 +120,7 @@ def _solve(runs, C, inner_desc, hairpin, end_i):
         None if end_i is None else end_i.ctypes.data_as(ctypes.c_void_p),
         nn._BULGE_DS, nn._INTERNAL_DS, nn._HAIRPIN_DS, nn._MAX_LOOP,
         nn.TMM_DS, nn.DANGLE5_DS, nn._T37, salt_ds, rlogc,
-        out.reshape(-1))
+        _n_threads(C), out.reshape(-1))
     return out
 
 
