@@ -758,6 +758,181 @@ inline K2 k2_mask_low(K2 a, int nbits) {  // keep the low nbits
     return {nbits ? (a.lo & ((1ull << nbits) - 1)) : 0, 0};
 }
 
+// u64 phase A for k <= 32 (the v2 single-word fast path — same loops as
+// kstream_core_run's phase A, collected instead of streamed).  Returns
+// the key count or -1 on allocation failure.
+int64_t collect_window_keys_u64(const uint8_t* buf, int64_t n, int k,
+                                int mode, const uint8_t* code_tab,
+                                const uint8_t* valid_tab, int T,
+                                std::vector<uint64_t>& out) {
+    const int64_t n_win = n - k + 1;
+    if (n_win <= 0) {
+        out.clear();
+        return 0;
+    }
+    if (int64_t(T) > n_win) T = 1;
+    const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    const int rc_top = 2 * (k - 1);
+    std::vector<std::vector<uint64_t>> parts(T);
+    run_team(T, [&](int t) {
+        const int64_t wlo = n_win * t / T, whi = n_win * (t + 1) / T;
+        auto& seg = parts[t];
+        seg.resize(size_t(whi - wlo) * (mode == COMPLEMENTS ? 2 : 1));
+        uint64_t* w = seg.data();
+        uint64_t fwd = 0, rc = 0;
+        int64_t last_bad = wlo - 1;
+        for (int64_t j = wlo; j < wlo + k - 1; ++j) {
+            const uint8_t b = buf[j];
+            const uint64_t c = code_tab[b] & 3u;
+            fwd = ((fwd << 2) | c) & mask;
+            rc = (rc >> 2) | ((3ull - c) << rc_top);
+            if (!valid_tab[b]) last_bad = j;
+        }
+        for (int64_t i = wlo; i < whi; ++i) {
+            const uint8_t b = buf[i + k - 1];
+            const uint64_t c = code_tab[b] & 3u;
+            fwd = ((fwd << 2) | c) & mask;
+            rc = (rc >> 2) | ((3ull - c) << rc_top);
+            if (!valid_tab[b]) last_bad = i + k - 1;
+            const bool ok = last_bad < i;
+            switch (mode) {
+                case PLAIN:
+                    *w = fwd;
+                    w += ok;
+                    break;
+                case COMPLEMENTS:
+                    w[0] = fwd;
+                    w[1] = rc;
+                    w += 2 * ok;
+                    break;
+                default:
+                    *w = fwd < rc ? fwd : rc;
+                    w += ok;
+            }
+        }
+        seg.resize(size_t(w - seg.data()));
+    });
+    int64_t total = 0;
+    std::vector<int64_t> offs(T + 1, 0);
+    for (int t = 0; t < T; ++t) {
+        offs[t] = total;
+        total += int64_t(parts[t].size());
+    }
+    out.clear();
+    try {
+        out.resize(size_t(total));
+    } catch (...) {
+        return -1;
+    }
+    if (total == 0) return 0;
+    run_team(T, [&](int t) {
+        memcpy(out.data() + offs[t], parts[t].data(),
+               parts[t].size() * 8);
+        parts[t] = {};
+    });
+    return total;
+}
+
+// u64 specialization of the v2 body for k <= 32: permute, sort, and
+// decode all operate on single words (the radix moves half the bytes of
+// the K2 path — measured ~2x on the split-shape bench).
+int64_t run_v2_u64(const uint8_t* buf, int64_t n, int k, int mode,
+                   int do_sort, const int32_t* col_src,
+                   const int32_t* col_len, int n_cols,
+                   const int32_t* col_dst, int permute,
+                   const uint8_t* code_tab, const uint8_t* valid_tab,
+                   const uint8_t* decode_tab, int T,
+                   ks_write_fn write_cb, PhaseClock& clk) {
+    std::vector<uint64_t> keys;
+    const int64_t total = collect_window_keys_u64(buf, n, k, mode,
+                                                  code_tab, valid_tab, T,
+                                                  keys);
+    if (total < 0) return -1;
+    if (total == 0) return 0;
+    if (int64_t(T) > total) T = 1;
+    clk.lap("pack");
+
+    if (do_sort && permute) {
+        run_team(T, [&](int t) {
+            const int64_t lo = total * t / T, hi = total * (t + 1) / T;
+            for (int64_t i = lo; i < hi; ++i) {
+                const uint64_t v = keys[i];
+                uint64_t out = 0;
+                for (int c = 0; c < n_cols; ++c) {
+                    const int w = 2 * col_len[c];
+                    if (!w) continue;
+                    const int src_sh = 2 * (k - col_src[c] - col_len[c]);
+                    const int dst_sh = 2 * (k - col_dst[c] - col_len[c]);
+                    const uint64_t m =
+                        (w == 64) ? ~0ull : ((1ull << w) - 1);
+                    out |= ((v >> src_sh) & m) << dst_sh;
+                }
+                keys[i] = out;
+            }
+        });
+        clk.lap("permute");
+    }
+    if (do_sort) {
+        uint64_t* tmp = (uint64_t*)malloc(size_t(total) * 8);
+        if (!tmp) return -1;
+        radix_sort_u64(keys.data(), tmp, total, 2 * k, T);
+        free(tmp);
+        clk.lap("sort");
+    }
+
+    const int32_t* col_at = (do_sort && permute) ? col_dst : col_src;
+    const int W = k + n_cols;
+    const int64_t SLAB = 1 << 20;
+    uint8_t* slab = (uint8_t*)malloc(size_t(SLAB) * W + 16);
+    if (!slab) return -1;
+    std::vector<uint8_t> lut(size_t(65536) * 8);
+    for (uint32_t v = 0; v < 65536; ++v)
+        for (int j = 0; j < 8; ++j)
+            lut[size_t(v) * 8 + j] = decode_tab[(v >> (14 - 2 * j)) & 3];
+    std::vector<int> chr0(n_cols);
+    {
+        int pos = 0;
+        for (int c = 0; c < n_cols; ++c) {
+            chr0[c] = pos;
+            pos += col_len[c] + 1;
+        }
+    }
+    for (int64_t base = 0; base < total; base += SLAB) {
+        const int64_t rows = std::min(SLAB, total - base);
+        run_team(T, [&](int t) {
+            const int64_t lo = rows * t / T, hi = rows * (t + 1) / T;
+            for (int64_t i = lo; i < hi; ++i) {
+                uint8_t* row = slab + i * W;
+                const uint64_t v = keys[base + i];
+                for (int c = 0; c < n_cols; ++c) {
+                    const int bl = col_len[c];
+                    uint8_t* dst = row + chr0[c];
+                    if (bl) {
+                        const int hi_bit = 2 * (k - col_at[c]);
+                        const uint64_t s = v << (64 - hi_bit);
+                        const int J = (bl + 7) / 8;
+                        for (int j = 0; j < J; ++j) {
+                            const uint16_t idx =
+                                uint16_t(s >> (48 - 16 * j));
+                            const int take = std::min(8, bl - 8 * j);
+                            memcpy(dst + 8 * j, &lut[size_t(idx) * 8],
+                                   size_t(take));
+                        }
+                    }
+                    dst[bl] = (c + 1 < n_cols) ? ',' : '\n';
+                }
+            }
+        });
+        if (write_cb(slab, rows * W) < 0) {
+            free(slab);
+            return -2;
+        }
+    }
+    clk.lap("decode");
+    free(slab);
+    return total;
+}
+
 }  // namespace
 
 extern "C" {
@@ -796,6 +971,10 @@ int64_t kstream_core_run_v2(const uint8_t* buf, int64_t n, int k, int mode,
     if (n < k) return 0;
     int T = threads > 0 ? threads : 1;
     PhaseClock clk;
+    if (k <= 32)
+        return run_v2_u64(buf, n, k, mode, do_sort, col_src, col_len,
+                          n_cols, col_dst, permute, code_tab, valid_tab,
+                          decode_tab, T, write_cb, clk);
 
     std::vector<K2> keys;
     const int64_t total = collect_window_keys(buf, n, k, mode, code_tab,
