@@ -758,6 +758,80 @@ inline K2 k2_mask_low(K2 a, int nbits) {  // keep the low nbits
     return {nbits ? (a.lo & ((1ull << nbits) - 1)) : 0, 0};
 }
 
+// left-aligned 16-bit chunk access per key type, for the shared decode
+template <class K> struct V2Chunks;
+template <> struct V2Chunks<uint64_t> {
+    uint64_t s;
+    V2Chunks(uint64_t v, int hi_bit)
+        : s(hi_bit >= 64 ? v : v << (64 - hi_bit)) {}
+    uint16_t chunk(int j) const { return uint16_t(s >> (48 - 16 * j)); }
+};
+template <> struct V2Chunks<K2> {
+    K2 s;
+    V2Chunks(K2 v, int hi_bit) : s(k2_shl(v, 128 - hi_bit)) {}
+    uint16_t chunk(int j) const {
+        const uint64_t w = (j < 4) ? s.hi : s.lo;
+        return uint16_t(w >> (48 - 16 * (j & 3)));
+    }
+};
+
+// Shared v2 decode+emit: column fields read at col_at offsets, commas at
+// fixed positions, slab-streamed through write_cb.  ONE definition for
+// the u64 and K2 shapes — only the chunk extraction differs (V2Chunks).
+template <class K>
+int64_t v2_decode_emit(const std::vector<K>& keys, int64_t total, int k,
+                       const int32_t* col_len, const int32_t* col_at,
+                       int n_cols, const uint8_t* decode_tab, int T,
+                       ks_write_fn write_cb) {
+    const int W = k + n_cols;  // bases + (n_cols-1) commas + newline
+    const int64_t SLAB = 1 << 20;
+    uint8_t* slab = (uint8_t*)malloc(size_t(SLAB) * W + 16);
+    if (!slab) return -1;
+    std::vector<uint8_t> lut(size_t(65536) * 8);
+    for (uint32_t v = 0; v < 65536; ++v)
+        for (int j = 0; j < 8; ++j)
+            lut[size_t(v) * 8 + j] = decode_tab[(v >> (14 - 2 * j)) & 3];
+    std::vector<int> chr0(n_cols);
+    {
+        int pos = 0;
+        for (int c = 0; c < n_cols; ++c) {
+            chr0[c] = pos;
+            pos += col_len[c] + 1;  // ',' (or final '\n')
+        }
+    }
+    for (int64_t base = 0; base < total; base += SLAB) {
+        const int64_t rows = std::min(SLAB, total - base);
+        run_team(T, [&](int t) {
+            const int64_t lo = rows * t / T, hi = rows * (t + 1) / T;
+            for (int64_t i = lo; i < hi; ++i) {
+                uint8_t* row = slab + i * W;
+                const K v = keys[base + i];
+                for (int c = 0; c < n_cols; ++c) {
+                    const int bl = col_len[c];
+                    uint8_t* dst = row + chr0[c];
+                    if (bl) {
+                        const V2Chunks<K> s(v, 2 * (k - col_at[c]));
+                        const int J = (bl + 7) / 8;
+                        for (int j = 0; j < J; ++j) {
+                            const uint16_t idx = s.chunk(j);
+                            const int take = std::min(8, bl - 8 * j);
+                            memcpy(dst + 8 * j, &lut[size_t(idx) * 8],
+                                   size_t(take));
+                        }
+                    }
+                    dst[bl] = (c + 1 < n_cols) ? ',' : '\n';
+                }
+            }
+        });
+        if (write_cb(slab, rows * W) < 0) {
+            free(slab);
+            return -2;
+        }
+    }
+    free(slab);
+    return total;
+}
+
 // u64 phase A for k <= 32 (the v2 single-word fast path — same loops as
 // kstream_core_run's phase A, collected instead of streamed).  Returns
 // the key count or -1 on allocation failure.
@@ -881,56 +955,10 @@ int64_t run_v2_u64(const uint8_t* buf, int64_t n, int k, int mode,
     }
 
     const int32_t* col_at = (do_sort && permute) ? col_dst : col_src;
-    const int W = k + n_cols;
-    const int64_t SLAB = 1 << 20;
-    uint8_t* slab = (uint8_t*)malloc(size_t(SLAB) * W + 16);
-    if (!slab) return -1;
-    std::vector<uint8_t> lut(size_t(65536) * 8);
-    for (uint32_t v = 0; v < 65536; ++v)
-        for (int j = 0; j < 8; ++j)
-            lut[size_t(v) * 8 + j] = decode_tab[(v >> (14 - 2 * j)) & 3];
-    std::vector<int> chr0(n_cols);
-    {
-        int pos = 0;
-        for (int c = 0; c < n_cols; ++c) {
-            chr0[c] = pos;
-            pos += col_len[c] + 1;
-        }
-    }
-    for (int64_t base = 0; base < total; base += SLAB) {
-        const int64_t rows = std::min(SLAB, total - base);
-        run_team(T, [&](int t) {
-            const int64_t lo = rows * t / T, hi = rows * (t + 1) / T;
-            for (int64_t i = lo; i < hi; ++i) {
-                uint8_t* row = slab + i * W;
-                const uint64_t v = keys[base + i];
-                for (int c = 0; c < n_cols; ++c) {
-                    const int bl = col_len[c];
-                    uint8_t* dst = row + chr0[c];
-                    if (bl) {
-                        const int hi_bit = 2 * (k - col_at[c]);
-                        const uint64_t s = v << (64 - hi_bit);
-                        const int J = (bl + 7) / 8;
-                        for (int j = 0; j < J; ++j) {
-                            const uint16_t idx =
-                                uint16_t(s >> (48 - 16 * j));
-                            const int take = std::min(8, bl - 8 * j);
-                            memcpy(dst + 8 * j, &lut[size_t(idx) * 8],
-                                   size_t(take));
-                        }
-                    }
-                    dst[bl] = (c + 1 < n_cols) ? ',' : '\n';
-                }
-            }
-        });
-        if (write_cb(slab, rows * W) < 0) {
-            free(slab);
-            return -2;
-        }
-    }
+    const int64_t got = v2_decode_emit(keys, total, k, col_len, col_at,
+                                       n_cols, decode_tab, T, write_cb);
     clk.lap("decode");
-    free(slab);
-    return total;
+    return got;
 }
 
 }  // namespace
@@ -1012,61 +1040,13 @@ int64_t kstream_core_run_v2(const uint8_t* buf, int64_t n, int k, int mode,
         clk.lap("sort");
     }
 
-    // decode: column fields read from the current layout
+    // decode: column fields read from the current layout (shared
+    // template — identical for the u64 fast path)
     const int32_t* col_at = (do_sort && permute) ? col_dst : col_src;
-    const int W = k + n_cols;  // bases + (n_cols-1) commas + newline
-    const int64_t SLAB = 1 << 20;
-    uint8_t* slab = (uint8_t*)malloc(size_t(SLAB) * W + 16);
-    if (!slab) return -1;
-    std::vector<uint8_t> lut(size_t(65536) * 8);
-    for (uint32_t v = 0; v < 65536; ++v)
-        for (int j = 0; j < 8; ++j)
-            lut[size_t(v) * 8 + j] = decode_tab[(v >> (14 - 2 * j)) & 3];
-    // per-column char start within the row
-    std::vector<int> chr0(n_cols);
-    {
-        int pos = 0;
-        for (int c = 0; c < n_cols; ++c) {
-            chr0[c] = pos;
-            pos += col_len[c] + 1;  // ',' (or final '\n')
-        }
-    }
-    for (int64_t base = 0; base < total; base += SLAB) {
-        const int64_t rows = std::min(SLAB, total - base);
-        run_team(T, [&](int t) {
-            const int64_t lo = rows * t / T, hi = rows * (t + 1) / T;
-            for (int64_t i = lo; i < hi; ++i) {
-                uint8_t* row = slab + i * W;
-                const K2 v = keys[base + i];
-                for (int c = 0; c < n_cols; ++c) {
-                    const int bl = col_len[c];
-                    uint8_t* dst = row + chr0[c];
-                    if (bl) {
-                        // left-align the field at the top of 128 bits
-                        const int hi_bit = 2 * (k - col_at[c]);
-                        const K2 s = k2_shl(v, 128 - hi_bit);
-                        const int J = (bl + 7) / 8;
-                        for (int j = 0; j < J; ++j) {
-                            const uint64_t word = (j < 4) ? s.hi : s.lo;
-                            const uint16_t idx =
-                                uint16_t(word >> (48 - 16 * (j & 3)));
-                            const int take = std::min(8, bl - 8 * j);
-                            memcpy(dst + 8 * j, &lut[size_t(idx) * 8],
-                                   size_t(take));
-                        }
-                    }
-                    dst[bl] = (c + 1 < n_cols) ? ',' : '\n';
-                }
-            }
-        });
-        if (write_cb(slab, rows * W) < 0) {
-            free(slab);
-            return -2;
-        }
-    }
+    const int64_t got = v2_decode_emit(keys, total, k, col_len, col_at,
+                                       n_cols, decode_tab, T, write_cb);
     clk.lap("decode");
-    free(slab);
-    return total;
+    return got;
 }
 
 }  // extern "C"

@@ -43,10 +43,12 @@ def parse_args(argv):
                         help="Number of processors to use. Default 1")
     parser.add_argument("-s", "--sort", action="store_true",
                         help="Sort resulting kmers")
-    parser.add_argument("--sort-np", type=int, default=1,
+    parser.add_argument("--sort-np", type=int, default=None,
                         help="Number of processors to use for sorting "
                              "(sets the native host core's thread-team "
-                             "size; mirrors GNU sort --parallel)")
+                             "size; mirrors GNU sort --parallel; "
+                             "default: an up-to-4-thread heuristic — "
+                             "pass 1 to force serial)")
     parser.add_argument("--sort-mem", type=str,
                         help="Amount of memory to use for sorting, GNU "
                              "sort -S grammar (N%%, K/M/G, bare = KiB): "
@@ -80,7 +82,8 @@ def main(argv=None):
     args = parse_args(sys.argv[1:] if argv is None else argv)
     if args.devices is not None:
         os.environ["KRISP_TPU_DEVICES"] = str(args.devices)
-    sort_np = args.sort_np if args.sort_np != 1 else None
+    sort_np = args.sort_np       # None = heuristic; an explicit 1 forces
+                                 # a serial native core
 
     # Fast path: eligible extract+sort configurations run on the
     # host-vectorized or device packed-key engine (identical output bytes;
@@ -159,7 +162,7 @@ def main(argv=None):
                        split=args.split,
                        parallel=args.parallel,
                        sort=args.sort,
-                       sortnp=args.sort_np,
+                       sortnp=args.sort_np or 1,
                        sortmem=args.sort_mem,
                        sortcols=args.sort_cols)
     try:

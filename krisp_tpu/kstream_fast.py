@@ -41,13 +41,15 @@ def _mem_available() -> int:
 def host_bytes_estimate(n_bases: int, plan: DevicePlan) -> int:
     """Peak host-engine footprint, whichever of its two cores runs: the
     numpy path (u32 codes + u64 keys per strand + u64 temp + validity/raw
-    bytes + slab-bounded decode) or the native core (u64 keys + u64 radix
-    scratch per strand; its decoded text streams out in bounded slabs).
-    The v2 shapes always carry two-word keys."""
+    bytes + slab-bounded decode) or the native core (keys + radix scratch
+    per strand; decoded text streams out in bounded slabs).  v2 shapes
+    run native-only (u64 keys to k=32, two-word beyond)."""
     strands = 2 if plan.mode == "complements" else 1
-    key_bytes = 8 if (plan.k <= 32 and not plan.v2) else 16
-    numpy_peak = n_bases * (4 + 8 * strands + 8 + 2)
+    key_bytes = 8 if plan.k <= 32 else 16
     native_peak = n_bases * strands * 2 * key_bytes + n_bases
+    if plan.v2:
+        return native_peak + (1 << 26)   # no numpy mirror for v2 shapes
+    numpy_peak = n_bases * (4 + 8 * strands + 8 + 2)
     return max(numpy_peak, native_peak) + (1 << 26)
 
 

@@ -65,7 +65,9 @@ def vec_eligible(plan: DevicePlan) -> bool:
     33..64 when the native two-word core is available.  The v2 shapes
     (split/sortcols/unsorted) have no numpy mirror — native core only."""
     if plan.v2:
-        return plan.k <= 64 and _load_core() is not None
+        lib = _load_core()
+        return (plan.k <= 64 and lib is not None
+                and not getattr(lib, "_no_v2", False))
     return plan.k <= 32 or (plan.k <= 64 and _load_core() is not None)
 
 
@@ -253,13 +255,19 @@ def _load_core():
                 args[0], ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int, ctypes.c_int] + args[4:]
             i32p = ctypes.POINTER(ctypes.c_int32)
-            lib.kstream_core_run_v2.restype = ctypes.c_int64
-            lib.kstream_core_run_v2.argtypes = [
-                u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int,                       # do_sort
-                i32p, i32p, ctypes.c_int,           # col_src col_len n_cols
-                i32p, ctypes.c_int,                 # col_dst permute
-                u8p, u8p, u8p, ctypes.c_int, _WRITE_FN]
+            try:
+                lib.kstream_core_run_v2.restype = ctypes.c_int64
+                lib.kstream_core_run_v2.argtypes = [
+                    u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int,                   # do_sort
+                    i32p, i32p, ctypes.c_int,       # col_src col_len n_cols
+                    i32p, ctypes.c_int,             # col_dst permute
+                    u8p, u8p, u8p, ctypes.c_int, _WRITE_FN]
+            except AttributeError:
+                # a prebuilt binary predating the v2 entry (installed
+                # package without csrc/): classic shapes keep working,
+                # v2 shapes fall back to the string pipeline
+                lib._no_v2 = True
         _CORE = lib if lib is not None else False
     return _CORE or None
 
@@ -317,7 +325,7 @@ def _run_native_v2(buf: np.ndarray, plan: DevicePlan, out_stream,
     string pipeline remains the fallback (None) when the core is missing
     or declines."""
     lib = _load_core()
-    if lib is None:
+    if lib is None or getattr(lib, "_no_v2", False):
         return None
     k = plan.k
     col_src, col_len, col_dst, permute = v2_layout(

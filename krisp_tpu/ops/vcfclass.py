@@ -165,21 +165,6 @@ def pack_outputs_small(out, V):
         axis=1).astype(jnp.int16)
 
 
-@partial(jax.jit, static_argnames=("n_groups",))
-def classify_batch_packed_small(dp, gq, ad, n_alleles, mq, qual, group_id,
-                                group_sizes, n_groups: int, min_samples=5,
-                                min_reads=10, min_geno_qual=40,
-                                min_freq=0.1, min_map_qual=30,
-                                min_var_qual=10, min_samp_prop=0.9):
-    """``classify_batch`` emitting the small-pull int16 layout
-    (``pack_outputs_small``)."""
-    out = _classify_impl(dp, gq, ad, n_alleles, mq, qual, group_id,
-                         group_sizes, n_groups, min_samples, min_reads,
-                         min_geno_qual, min_freq, min_map_qual,
-                         min_var_qual, min_samp_prop)
-    return pack_outputs_small(out, dp.shape[0])
-
-
 def host_gate_counted_bits(dp, gq, ad, n_alleles, min_reads,
                            min_geno_qual, min_freq):
     """Elementwise gate/keep masks computed HOST-side — exactly the numpy

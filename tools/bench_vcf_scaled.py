@@ -46,7 +46,7 @@ def synth_scaled(n_records, n_samples, seed=0, n_contigs=1):
     meta = out / "meta.csv"
     ref_fa = out / "ref.fasta"
     vcf = out / "vars.vcf.gz"
-    if vcf.exists():
+    if vcf.exists() and (out / "planted.npz").exists():
         return str(meta), str(ref_fa), str(vcf)
     out.mkdir(parents=True, exist_ok=True)
 
