@@ -488,3 +488,31 @@ def test_v2_fuzz_against_string_pipeline(tmp_path):
         assert got == want.count(b"\n"), kw
         covered += 1
     assert covered >= 15
+
+
+def test_v2_cli_end_to_end(tmp_path, capsys):
+    """CLI-level byte parity for the v2 shapes: the production entry
+    point (cli.kstream.main) must route split/sort-cols, unsorted, and
+    allow jobs through the fast path and print the string pipeline's
+    exact bytes."""
+    from krisp_tpu.cli.kstream import main
+
+    rng = np.random.default_rng(77)
+    path = _mkfasta(tmp_path, "cli.fa",
+                    [_rand_seq(rng, 500, soft=True), _rand_seq(rng, 80)])
+    cases = [
+        (["-k", "28", "--disallow", "Nn", "--complements",
+          "--omit-softmask", "--split", "25", "-2", "--sort",
+          "--sort-cols", "0", "2"],
+         dict(kmers=[28], disallow="Nn", complements=True, omitsoft=True,
+              split=[25, -2], sort=True, sortcols=[0, 2])),
+        (["-k", "9", "--disallow", "Nn"],
+         dict(kmers=[9], disallow="Nn")),
+        (["-k", "8", "--allow", "ACGT", "--sort", "--canonicals"],
+         dict(kmers=[8], allow="ACGT", sort=True, canonicals=True)),
+    ]
+    for argv, kw in cases:
+        main([str(path)] + argv)
+        got = capsys.readouterr().out
+        want = "".join(s + "\n" for s in KStream(**kw)(str(path)))
+        assert got == want, argv
