@@ -315,6 +315,10 @@ def test_sort_np_threads_byte_identical(tmp_path):
     # the thread request is honored (floored by available work)
     assert kv._core_threads(1 << 20, 3) == 3
     assert kv._core_threads(8192, 64) == 2   # capped by items//4096
+    # an explicit --sort-np 1 forces a serial core (distinct from the
+    # None default, which picks the heuristic team)
+    assert kv._core_threads(1 << 20, 1) == 1
+    assert kv._core_threads(1 << 20, None) > 1
 
 
 # ---------------------------------------------------------------------------
