@@ -401,7 +401,11 @@ class _DesignJob:
         out["PRIMER_PAIR_0_COMPL_END_TH"] = best["compl_end"]
         out["PRIMER_PAIR_0_PRODUCT_SIZE"] = best["product"]
         product_seq = self.template[l_start:r_start + r_size]
-        prod_tm = nn.tm_santalucia(product_seq, dna_nM=50.0)
+        # primer3 computes product Tm with the long-sequence GC-fraction
+        # formula (oligotm long_seq_tm), NOT nearest-neighbor — exact on
+        # the README's published 84.32116 (ambiguous consensus bases are
+        # simply not counted as G/C, where NN math would have no Tm)
+        prod_tm = nn.tm_long_seq(product_seq)
         out["PRIMER_PAIR_0_PRODUCT_TM"] = round(prod_tm, 5)
         out["PRIMER_PAIR_0_PRODUCT_TM_OLIGO_TM_DIFF"] = round(
             prod_tm - min(l_tm, r_tm), 5)

@@ -99,6 +99,21 @@ def tm_santalucia(seq: str, dna_nM=50.0, mv_mM=50.0, dv_mM=1.5,
     return tm_k - 273.15
 
 
+def tm_long_seq(seq: str, mv_mM=50.0, dv_mM=1.5, dntp_mM=0.6) -> float:
+    """Tm of a long sequence by the GC-fraction (Bolton-McCarthy)
+    formula — primer3's oligotm long_seq_tm, the function libprimer3
+    uses for PRIMER_PAIR_PRODUCT_TM: 81.5 + 16.6*log10(salt_M) +
+    41*GC/len - 600/len, counting only literal G/C (ambiguity codes do
+    not count).  Exact on the README's published product Tm 84.32116
+    (94-nt product, 51 G+C) — tests/test_thermo.py."""
+    n = len(seq)
+    if n == 0:
+        return -999.0
+    salt = effective_monovalent(mv_mM, dv_mM, dntp_mM) / 1000.0
+    gc = sum(1 for b in seq if b in "GCgc")
+    return 81.5 + 16.6 * math.log10(salt) + 41.0 * gc / n - 600.0 / n
+
+
 def duplex_tm(dh: float, ds: float, dna_nM=50.0, mv_mM=50.0, dv_mM=1.5,
               dntp_mM=0.6) -> float:
     """Tm of an arbitrary duplex given its ΔH (kcal) / ΔS (cal/K)."""

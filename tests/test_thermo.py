@@ -366,6 +366,23 @@ class TestPublishedStatsRow:
         out = design_primers(t, 30, 40, amp_size=(70, 150))
         assert out["PRIMER_RIGHT_0_SEQUENCE"] == self.RIGHT
 
+    def test_product_tm_long_seq_formula(self):
+        """PRIMER_PAIR_PRODUCT_TM uses primer3's long-sequence
+        GC-fraction formula (oligotm long_seq_tm), not nearest-neighbor:
+        all three published pair-row values reproduce exactly, including
+        on the ambiguous consensus template (the diagnostic K is simply
+        not counted as G/C — NN math would have no Tm at all)."""
+        from krisp_tpu.thermo.design import design_primers
+        t = ("ACGCACAAGGACAAGTGCCACTAAACCAGCCAGCCCTGACGCAGATCATCCCGCGC"
+             "TTACTKACCAAGCTGCGAGAGTATCTTGTCGATGGGAACGATAG")
+        out = design_primers(t, 30, 40, amp_size=(70, 150))
+        assert out["PRIMER_PAIR_0_PRODUCT_TM"] == pytest.approx(
+            84.32116, abs=1e-4)
+        assert out["PRIMER_PAIR_0_PRODUCT_TM_OLIGO_TM_DIFF"] == \
+            pytest.approx(22.38359, abs=1e-4)
+        assert out["PRIMER_PAIR_0_T_OPT_A"] == pytest.approx(62.70608,
+                                                             abs=1e-4)
+
     def test_dangle_term_sensitivity_window(self):
         """The selection flip is parameter-robust: any effective 5'-dangle
         ΔG37 in the published range [-0.16, -0.35] kcal/mol rejects the
