@@ -200,6 +200,24 @@ def fuzz_kstream_point(seed, tmp_path):
         flags.append("--omit-softmask")
     elif soft == "map":
         flags.append("--map-softmask")
+    # v2 shape space (r5): split columns / sort columns / unsorted /
+    # allow — all still byte-compared against the live reference
+    shape = int(rng.integers(0, 4))
+    if shape == 1:
+        n_cuts = int(rng.integers(1, 3))
+        cuts = [int(rng.integers(-k - 1, k + 2)) for _ in range(n_cuts)]
+        flags += ["--split", *map(str, cuts)]
+        if rng.integers(0, 2):
+            cols = rng.integers(0, n_cuts + 2,
+                                size=int(rng.integers(1, 3)))
+            flags += ["--sort-cols", *map(str, cols)]
+    elif shape == 2:
+        flags.remove("--sort")           # unsorted: window-order output
+    elif shape == 3 and mode != "complements":
+        # allow-filtered (non-closed sets are complements-ineligible on
+        # the fast path; either way the string pipelines must agree)
+        flags = [f for f in flags if f not in ("Nn", "--disallow")]
+        flags += ["--allow", str(rng.choice(["ACGT", "AC", "ACG"]))]
     out = tmp_path / "ours.txt"
     proc = subprocess.run(
         [sys.executable, "-m", "krisp_tpu.cli.kstream", str(fasta), *flags,
