@@ -7,12 +7,15 @@ packed-key pipeline: windows -> (optional revcomp/canonical) -> device LSD
 sort -> run-length counts -> vectorized text decode, emitting the identical
 byte stream the string pipeline produces.
 
-Eligibility (``device_plan`` + a content probe in ``run_device_kstream``):
-one k-mer length; plain, complements, or canonicals; ``--disallow Nn``;
-softmask policies; sort without custom columns; DNA input whose residues
-are ACGT/N (lowercase only under a softmask policy).  Everything else
-returns None and the caller falls back to the exact host pipeline
-(krisp_tpu.kstream).
+Eligibility (``device_plan`` + a content probe): one k-mer length;
+plain, complements, or canonicals; N exclusion via ``--disallow Nn`` or
+an ACGT-subset ``--allow``; softmask policies; DNA input whose residues
+are ACGT/N (lowercase only under a softmask policy or an allow filter).
+The DEVICE program itself runs the sorted single-column shapes; the
+split/sort-cols/unsorted/allow shapes are host-native-core only
+(``DevicePlan.host_only`` — kstream_vec.py's v2 entry).  Everything
+else returns None and the caller falls back to the exact string
+pipeline (krisp_tpu.kstream).
 """
 
 from __future__ import annotations
