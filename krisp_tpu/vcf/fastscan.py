@@ -689,10 +689,12 @@ def find_diag_region_fast(col, rows, groups, reference=None, nontarget=None,
     # Windows that reach primer design are buffered (in stream order) and
     # designed in batches, fusing the thermodynamic screen rounds of many
     # templates into single numpy passes (design_primers_batch) — the
-    # per-window results are bit-identical to serial cascade_tail calls.
-    # Rejections pass straight through while nothing is buffered, so the
-    # typed stream order is preserved exactly.
-    DESIGN_BATCH = 32
+    # per-window results are bit-identical to serial cascade_tail calls
+    # at ANY batch size (batching is composition-invariant, pinned by
+    # tests/test_thermo.py).  Rejections pass straight through while
+    # nothing is buffered, so the typed stream order is preserved exactly.
+    import os as _os
+    DESIGN_BATCH = int(_os.environ.get("KRISP_TPU_DESIGN_BATCH", 32))
     buf: list = []
     npending = 0
 
